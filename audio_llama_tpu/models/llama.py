@@ -1,0 +1,310 @@
+"""Llama-3.x decoder, TPU-native functional implementation.
+
+Re-designed (not ported) from the reference's use of HF `LlamaForCausalLM`
+(reference src/models/base.py:19-26 loads it frozen; LoRA is attached via
+forward hooks in src/models/allm.py:27-32). Here:
+
+- Parameters live in a plain nested-dict pytree with **stacked layers**
+  (leading axis = layer), so the decoder body is a single `lax.scan` — one
+  compiled layer program regardless of depth, fast XLA compiles, and clean
+  `PartitionSpec`s for tensor parallelism (shard the head/ffn axis).
+- LoRA is a functional overlay: a second (trainable) pytree whose deltas are
+  added to the frozen matmul outputs inside the forward — the JAX-native
+  replacement for the reference's `register_forward_hook` mechanism
+  (reference src/models/lora.py:41-43).
+- KV cache is a preallocated ring of static shape, updated with
+  `lax.dynamic_update_slice` — jit-friendly autoregressive decode.
+- Mixed precision: frozen weights stored bf16, activations bf16, softmax and
+  norm statistics f32 (TPU-idiomatic replacement for the reference's fp16
+  GradScaler AMP, reference src/train.py:254).
+
+Weight layout convention: all linear weights are stored **(in_dim, out_dim)**
+(transposed from HF's nn.Linear) so forward is `x @ w` with no transposes in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import LlamaConfig
+from ..ops.attention import NEG_INF, causal_bias, combine_bias, mha, padding_bias
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_for_config, rope_tables
+
+Params = dict
+LINEAR_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_params(
+    cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32
+) -> Params:
+    """Random-init a Llama param tree (tests / from-scratch training).
+
+    Production weights come from `models.hf_loader.load_llama`.
+    """
+    k_embed, k_layers, k_head = jax.random.split(key, 3)
+    D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    Hq, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def dense(key, shape):
+        fan_in = shape[-2]
+        return (jax.random.normal(key, shape, jnp.float32) * fan_in ** -0.5).astype(dtype)
+
+    ks = jax.random.split(k_layers, 7)
+    params = {
+        "embed": {"weight": (jax.random.normal(k_embed, (cfg.vocab_size, D), jnp.float32) * 0.02).astype(dtype)},
+        "layers": {
+            "input_ln": jnp.ones((L, D), dtype),
+            "post_attn_ln": jnp.ones((L, D), dtype),
+            "q_proj": dense(ks[0], (L, D, Hq * hd)),
+            "k_proj": dense(ks[1], (L, D, Hkv * hd)),
+            "v_proj": dense(ks[2], (L, D, Hkv * hd)),
+            "o_proj": dense(ks[3], (L, Hq * hd, D)),
+            "gate_proj": dense(ks[4], (L, D, F)),
+            "up_proj": dense(ks[5], (L, D, F)),
+            "down_proj": dense(ks[6], (L, F, D)),
+        },
+        "final_ln": jnp.ones((D,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(k_head, (D, cfg.vocab_size))
+    return params
+
+
+def resize_embeddings(params: Params, new_vocab: int, cfg: LlamaConfig) -> Params:
+    """Grow the embedding table (and untied lm_head) for added special tokens.
+
+    Mirrors the capability of `resize_token_embeddings` the reference calls for
+    <audio>/</audio> (reference src/train.py:230, src/inference.py:44-46). New
+    rows are initialized to the mean of existing rows (deterministic).
+    """
+    emb = params["embed"]["weight"]
+    old_vocab = emb.shape[0]
+    if new_vocab <= old_vocab:
+        return params
+    n_new = new_vocab - old_vocab
+    mean_row = jnp.mean(emb.astype(jnp.float32), axis=0, keepdims=True)
+    new_rows = jnp.tile(mean_row, (n_new, 1)).astype(emb.dtype)
+    params = dict(params)
+    params["embed"] = {"weight": jnp.concatenate([emb, new_rows], axis=0)}
+    if "lm_head" in params:
+        head = params["lm_head"]
+        mean_col = jnp.mean(head.astype(jnp.float32), axis=1, keepdims=True)
+        new_cols = jnp.tile(mean_col, (1, n_new)).astype(head.dtype)
+        params["lm_head"] = jnp.concatenate([head, new_cols], axis=1)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    """Static-shape KV ring for jit-compiled decode.
+
+    k/v: [L, B, max_len, Hkv, hd]; length: [] int32 current fill.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _linear(x, w, lora_branch, compute_dtype):
+    """x @ w with optional LoRA delta: x @ a @ b * scaling.
+
+    The frozen matmul runs in compute dtype on the MXU; the LoRA branch is two
+    skinny matmuls (rank-r) — negligible FLOPs, fused by XLA.
+    """
+    y = x @ w.astype(compute_dtype)
+    if lora_branch is not None:
+        a, b, scaling = lora_branch
+        y = y + (x @ a.astype(compute_dtype)) @ b.astype(compute_dtype) * scaling
+    return y
+
+
+def llama_forward(
+    params: Params,
+    cfg: LlamaConfig,
+    *,
+    input_ids: Optional[jnp.ndarray] = None,  # [B, T] int32
+    inputs_embeds: Optional[jnp.ndarray] = None,  # [B, T, D]
+    attention_mask: Optional[jnp.ndarray] = None,  # [B, T_total] 1=attend
+    positions: Optional[jnp.ndarray] = None,  # [B, T] int32
+    kv_cache: Optional[KVCache] = None,
+    lora: Optional[dict] = None,
+    compute_dtype=jnp.bfloat16,
+    return_hidden: bool = False,
+):
+    """Decoder forward.
+
+    Without kv_cache: full causal self-attention over T positions; returns
+    (logits [B, T, V], None).
+    With kv_cache: appends the T new positions at cache.length and attends over
+    the whole cache timeline; returns (logits, updated_cache). attention_mask,
+    if given, covers the full cache timeline [B, max_len].
+    """
+    if inputs_embeds is None:
+        inputs_embeds = embed_tokens(params, input_ids, compute_dtype)
+    x = inputs_embeds.astype(compute_dtype)
+    B, T, D = x.shape
+
+    if kv_cache is not None:
+        offset = kv_cache.length
+        Tk = kv_cache.k.shape[2]
+    else:
+        offset = 0
+        Tk = T
+
+    if positions is None:
+        positions = jnp.arange(T)[None, :] + offset  # [1|B, T]
+        positions = jnp.broadcast_to(positions, (B, T))
+
+    inv_freq = rope_for_config(cfg)
+    cos, sin = rope_tables(positions, inv_freq)  # [B, T, hd]
+
+    # Attention bias over the (possibly cached) key timeline.
+    if kv_cache is not None:
+        # Causal w.r.t. absolute positions; also mask out unwritten cache slots.
+        kpos = jnp.arange(Tk)[None, :]
+        qpos = positions  # [B, T]
+        allowed = kpos[:, None, :] <= qpos[:, :, None]  # [B, T, Tk]
+        written = kpos < (offset + T)
+        allowed = allowed & written[:, None, :]
+        bias = jnp.where(allowed, 0.0, NEG_INF)
+        bias = bias[:, None, :, :].astype(jnp.float32)
+        if attention_mask is not None:
+            bias = combine_bias(bias, padding_bias(attention_mask))
+    else:
+        bias = causal_bias(T, Tk)
+        if attention_mask is not None:
+            bias = combine_bias(bias, padding_bias(attention_mask))
+
+    lp = params["layers"]
+    lora_scaling = lora["scaling"] if lora is not None else None
+
+    def layer_step(carry, scanned):
+        x, = carry
+        (p, lor, cache_kv) = scanned
+        h = rms_norm(x, p["input_ln"].astype(jnp.float32), cfg.rms_norm_eps)
+
+        def lb(name):
+            if lor is None:
+                return None
+            br = lor.get(name)
+            if br is None:
+                return None
+            return (br["a"], br["b"], lora_scaling)
+
+        q = _linear(h, p["q_proj"], lb("q_proj"), compute_dtype)
+        k = _linear(h, p["k_proj"], lb("k_proj"), compute_dtype)
+        v = _linear(h, p["v_proj"], lb("v_proj"), compute_dtype)
+        q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if cache_kv is not None:
+            ck, cv = cache_kv
+            ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, offset, 0, 0))
+            cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, offset, 0, 0))
+            attn_k, attn_v = ck.astype(compute_dtype), cv.astype(compute_dtype)
+            new_cache = (ck, cv)
+        else:
+            attn_k, attn_v = k, v
+            new_cache = None
+
+        attn = mha(q, attn_k, attn_v, bias=bias, scale=cfg.head_dim ** -0.5)
+        attn = attn.reshape(B, T, cfg.num_heads * cfg.head_dim)
+        attn = _linear(attn, p["o_proj"], lb("o_proj"), compute_dtype)
+        x = x + attn
+
+        h = rms_norm(x, p["post_attn_ln"].astype(jnp.float32), cfg.rms_norm_eps)
+        g = _linear(h, p["gate_proj"], lb("gate_proj"), compute_dtype)
+        u = _linear(h, p["up_proj"], lb("up_proj"), compute_dtype)
+        d = _linear(jax.nn.silu(g) * u, p["down_proj"], lb("down_proj"), compute_dtype)
+        x = x + d
+        return (x,), new_cache
+
+    # Assemble scanned pytrees: stacked layer params (+ optional stacked lora,
+    # + optional cache slabs).
+    lora_layers = lora["layers"] if lora is not None else None
+    cache_in = (kv_cache.k, kv_cache.v) if kv_cache is not None else None
+
+    def scan_body(carry, xs):
+        return layer_step(carry, xs)
+
+    (x,), cache_out = lax.scan(
+        scan_body, (x,), (lp, lora_layers, cache_in)
+    )
+
+    x = rms_norm(x, params["final_ln"].astype(jnp.float32), cfg.rms_norm_eps)
+
+    logits = unembed(params, cfg, x, compute_dtype)
+
+    new_cache = None
+    if kv_cache is not None:
+        new_cache = KVCache(k=cache_out[0], v=cache_out[1], length=offset + T)
+    if return_hidden:
+        return logits, new_cache, x
+    return logits, new_cache
+
+
+def embed_tokens(params: Params, input_ids: jnp.ndarray, compute_dtype=jnp.bfloat16):
+    """Token-embedding lookup (reference: llama.model.model.embed_tokens,
+    src/models/allm.py:64)."""
+    return params["embed"]["weight"][input_ids].astype(compute_dtype)
+
+
+def unembed(params: Params, cfg: LlamaConfig, x: jnp.ndarray, compute_dtype=jnp.bfloat16):
+    """Project hidden states to vocab logits (tied or untied head). f32 out."""
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        w = params["embed"]["weight"].astype(compute_dtype)  # [V, D]
+        return jnp.einsum("btd,vd->btv", x, w, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "btd,dv->btv",
+        x,
+        params["lm_head"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def causal_lm_loss(
+    logits: jnp.ndarray,  # [B, T, V] f32
+    labels: jnp.ndarray,  # [B, T] int32, -100 = ignore
+) -> jnp.ndarray:
+    """Shifted cross-entropy, mean over non-ignored tokens — matches HF
+    `LlamaForCausalLM`'s internal loss the reference trains with
+    (reference src/models/allm.py:99-104 passes `labels=`)."""
+    shift_logits = logits[:, :-1, :]
+    shift_labels = labels[:, 1:]
+    mask = shift_labels != -100
+    safe_labels = jnp.where(mask, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    total = jnp.sum(jnp.where(mask, -token_ll, 0.0))
+    count = jnp.maximum(jnp.sum(mask), 1)
+    return total / count

@@ -1,0 +1,88 @@
+"""Attention core (XLA path).
+
+Design notes (TPU-first):
+- Layout is [B, T, H, hd] activations; GQA is computed by grouping query heads
+  over shared KV heads with einsum — KV is never materially repeated, which
+  keeps HBM traffic at the GQA-reduced size and lets XLA tile the contraction
+  straight onto the MXU.
+- Softmax runs in f32 regardless of the compute dtype (bf16 activations in,
+  bf16 out) — this is the standard TPU mixed-precision recipe.
+- Masks are additive f32 biases ([B, 1, T_q, T_k] or broadcastable); builders
+  below cover causal, padding, and causal+prefix cases.
+
+A fused Pallas flash-attention kernel lives in ops/flash_attention.py; this
+module is the reference XLA implementation it is tested against (and the
+fallback on CPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def mha(
+    q: jnp.ndarray,  # [B, Tq, Hq, hd]
+    k: jnp.ndarray,  # [B, Tk, Hkv, hd]
+    v: jnp.ndarray,  # [B, Tk, Hkv, hd]
+    bias: jnp.ndarray | None = None,  # additive, broadcastable to [B, Hq, Tq, Tk]
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Grouped-query attention. Returns [B, Tq, Hq, hd] in q.dtype."""
+    B, Tq, Hq, hd = q.shape
+    _, Tk, Hkv, _ = k.shape
+    assert Hq % Hkv == 0, (Hq, Hkv)
+    G = Hq // Hkv
+    if scale is None:
+        scale = hd ** -0.5
+
+    qg = q.reshape(B, Tq, Hkv, G, hd)
+    # logits [B, Hkv, G, Tq, Tk], accumulated in f32 on the MXU.
+    logits = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if bias is not None:
+        bias = bias.astype(jnp.float32)
+        if bias.ndim == 4:  # [B, H|1, Tq, Tk] -> group layout
+            Hb = bias.shape[1]
+            if Hb == 1:
+                bias = bias[:, :, None, :, :]  # broadcast over (Hkv, G)
+            else:
+                bias = bias.reshape(B, Hkv, G, Tq, Tk)
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(B, Tq, Hq, hd)
+
+
+def causal_bias(Tq: int, Tk: int, offset: int = 0) -> jnp.ndarray:
+    """[1, 1, Tq, Tk] causal additive bias. Query i attends keys j <= i + offset.
+
+    offset is the absolute position of query 0 in the key timeline (used for
+    KV-cached decode where Tq << Tk).
+    """
+    qpos = jnp.arange(Tq)[:, None] + offset
+    kpos = jnp.arange(Tk)[None, :]
+    allowed = kpos <= qpos
+    return jnp.where(allowed, 0.0, NEG_INF)[None, None].astype(jnp.float32)
+
+
+def padding_bias(mask: jnp.ndarray) -> jnp.ndarray:
+    """mask [B, Tk] (1 = attend) -> additive bias [B, 1, 1, Tk]."""
+    return jnp.where(mask[:, None, None, :] != 0, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def combine_bias(*biases: jnp.ndarray | None) -> jnp.ndarray | None:
+    out = None
+    for b in biases:
+        if b is None:
+            continue
+        out = b if out is None else out + b
+    if out is None:
+        return None
+    # Clamp so stacked NEG_INFs do not overflow to -inf (softmax of all -inf
+    # rows would produce NaN; clamped values still underflow to exactly 0 prob).
+    return jnp.maximum(out, NEG_INF)

@@ -1,0 +1,200 @@
+"""AudioLLM: frozen Whisper encoder + projector + frozen Llama with LoRA.
+
+The composite model of the reference (`AudioLLM`, src/models/allm.py:8-348),
+re-designed as pure functions over two pytrees:
+
+    frozen    = {"llama": ..., "whisper": ...}          (bf16, no gradients)
+    trainable = {"projector": ..., "lora": ...}         (f32 masters)
+
+Pipeline per batch (reference call stack SURVEY.md §3.2):
+
+    mel [B, n_mels, 3000]
+      -> whisper.encode (stop_gradient)          [B, A, d_whisper]
+      -> projector.project                        [B, A, d_llama]
+      -> splice: <audio> ++ audio ++ </audio> ++ text-embeds
+      -> mask extension + label -100 padding
+      -> llama_forward(inputs_embeds=..., lora=...) -> logits, loss
+
+Splice semantics: the reference's code PREPENDS the audio block before all
+text regardless of where the <audio> placeholder sits in the prompt
+(reference src/models/allm.py:156-170 — its docstring claims in-place splice
+but the code prepends; SURVEY.md §2 'Embedding splice'). `splice_mode=
+'prepend'` reproduces that; everything is static-shape so XLA never sees a
+dynamic sequence length.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AudioLLMConfig
+from . import llama as llama_mod
+from . import lora as lora_mod
+from . import projector as proj_mod
+from . import whisper as whisper_mod
+
+IGNORE_INDEX = -100
+
+
+class AudioLLMBatch(NamedTuple):
+    """One training batch (all static shapes; collate pads to these)."""
+
+    input_ids: jnp.ndarray  # [B, T] int32 — prompt/instruction tokens
+    attention_mask: jnp.ndarray  # [B, T] int32 1=real
+    audio_features: Optional[jnp.ndarray]  # [B, n_mels, F_mel] or None
+    labels: jnp.ndarray  # [B, T] int32, -100 = ignored
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_trainable(cfg: AudioLLMConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    """The trainable pytree: projector + (optional) LoRA — exactly the set the
+    reference returns from get_trainable_params (src/models/allm.py:244-249)."""
+    kp, kl = jax.random.split(key)
+    trainable = {"projector": proj_mod.init_params(cfg.projector, kp, dtype)}
+    if cfg.lora is not None:
+        trainable["lora"] = lora_mod.init_params(cfg.llama, cfg.lora, kl, dtype)
+    return trainable
+
+
+def init_frozen(cfg: AudioLLMConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+    """Random frozen base (tests / benchmarks). Production: models.hf_loader."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "llama": llama_mod.init_params(cfg.llama, k1, dtype),
+        "whisper": whisper_mod.init_params(cfg.whisper, k2, dtype),
+    }
+
+
+def num_trainable_params(trainable: dict) -> int:
+    leaves = [x for x in jax.tree.leaves(trainable) if hasattr(x, "size")]
+    return int(sum(x.size for x in leaves))
+
+
+# ---------------------------------------------------------------------------
+# Audio path
+# ---------------------------------------------------------------------------
+
+def process_audio_features(
+    frozen: dict, cfg: AudioLLMConfig, mel: jnp.ndarray, compute_dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    """Frozen Whisper encode under stop_gradient — the JAX analog of the
+    reference's `with torch.no_grad()` (src/models/allm.py:214-219)."""
+    if mel.ndim == 4:  # tolerate a [B, 1, n_mels, F] channel dim like the ref
+        mel = mel.squeeze(1)
+    enc = whisper_mod.encode(frozen["whisper"], cfg.whisper, mel, compute_dtype)
+    return jax.lax.stop_gradient(enc)
+
+
+def combine_text_and_audio_embeddings(
+    frozen: dict,
+    trainable: dict,
+    cfg: AudioLLMConfig,
+    input_ids: jnp.ndarray,  # [B, T]
+    attention_mask: jnp.ndarray,  # [B, T]
+    audio_embeds: jnp.ndarray,  # [B, A, d_llama] — already projected
+    audio_start_id: int,
+    audio_end_id: int,
+    compute_dtype=jnp.bfloat16,
+):
+    """Build (combined_embeds [B, A+2+T, D], combined_mask [B, A+2+T]).
+
+    Reference: _combine_text_and_audio_embeddings + _extend_attention_mask
+    (src/models/allm.py:109-196). Delimiter ids must be valid rows of the
+    (resized) embedding table — validated at trace time against the table
+    shape, mirroring the reference's ValueError (src/models/allm.py:140-141).
+    """
+    vocab = frozen["llama"]["embed"]["weight"].shape[0]
+    if audio_start_id >= vocab or audio_end_id >= vocab:
+        raise ValueError(
+            f"audio delimiter ids ({audio_start_id}, {audio_end_id}) out of "
+            f"range for embedding table of size {vocab} — did you forget "
+            "resize_embeddings?"
+        )
+    B, A = audio_embeds.shape[0], audio_embeds.shape[1]
+    text_embeds = llama_mod.embed_tokens(frozen["llama"], input_ids, compute_dtype)
+    delim = llama_mod.embed_tokens(
+        frozen["llama"],
+        jnp.asarray([[audio_start_id, audio_end_id]], jnp.int32),
+        compute_dtype,
+    )  # [1, 2, D]
+    start = jnp.broadcast_to(delim[:, 0:1], (B, 1, text_embeds.shape[-1]))
+    end = jnp.broadcast_to(delim[:, 1:2], (B, 1, text_embeds.shape[-1]))
+    combined = jnp.concatenate(
+        [start, audio_embeds.astype(compute_dtype), end, text_embeds], axis=1
+    )
+    ones = jnp.ones((B, A + 2), attention_mask.dtype)
+    combined_mask = jnp.concatenate([ones, attention_mask], axis=1)
+    return combined, combined_mask
+
+
+def extend_labels(labels: jnp.ndarray, audio_block_len: int) -> jnp.ndarray:
+    """Prepend -100 over the audio block so those positions are loss-masked
+    (reference src/models/allm.py:85-91)."""
+    B = labels.shape[0]
+    pad = jnp.full((B, audio_block_len), IGNORE_INDEX, labels.dtype)
+    return jnp.concatenate([pad, labels], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Forward (+ loss)
+# ---------------------------------------------------------------------------
+
+def forward(
+    frozen: dict,
+    trainable: dict,
+    cfg: AudioLLMConfig,
+    batch: AudioLLMBatch,
+    audio_start_id: int,
+    audio_end_id: int,
+    compute_dtype=jnp.bfloat16,
+):
+    """Full multimodal forward. Returns (loss, logits [B, A+2+T, V]).
+
+    With batch.audio_features=None this degenerates to a plain text LM step
+    (the reference's text-only path, src/models/allm.py:93-96).
+    """
+    lora = trainable.get("lora")
+    if lora is not None:
+        lora = lora_mod.with_scaling(lora, cfg.lora)
+    if batch.audio_features is None:
+        logits, _ = llama_mod.llama_forward(
+            frozen["llama"],
+            cfg.llama,
+            input_ids=batch.input_ids,
+            attention_mask=batch.attention_mask,
+            lora=lora,
+            compute_dtype=compute_dtype,
+        )
+        loss = llama_mod.causal_lm_loss(logits, batch.labels)
+        return loss, logits
+
+    enc = process_audio_features(frozen, cfg, batch.audio_features, compute_dtype)
+    audio_embeds = proj_mod.project(trainable["projector"], enc, compute_dtype)
+    combined, combined_mask = combine_text_and_audio_embeddings(
+        frozen,
+        trainable,
+        cfg,
+        batch.input_ids,
+        batch.attention_mask,
+        audio_embeds,
+        audio_start_id,
+        audio_end_id,
+        compute_dtype,
+    )
+    labels = extend_labels(batch.labels, audio_embeds.shape[1] + 2)
+    logits, _ = llama_mod.llama_forward(
+        frozen["llama"],
+        cfg.llama,
+        inputs_embeds=combined,
+        attention_mask=combined_mask,
+        lora=lora,
+        compute_dtype=compute_dtype,
+    )
+    loss = llama_mod.causal_lm_loss(logits, labels)
+    return loss, logits

@@ -43,8 +43,11 @@ def init_params(
     key: jax.Array,
     dtype=jnp.float32,
 ) -> dict:
-    """Stacked LoRA tree: {"layers": {name: {"a": [L,in,r], "b": [L,r,out]}},
-    "scaling": float}."""
+    """Stacked LoRA param tree: {"layers": {name: {"a": [L,in,r], "b": [L,r,out]}}}.
+
+    Arrays only — the (static) alpha/rank scaling is NOT a leaf, so optimizers
+    never touch it; `with_scaling` attaches it for the forward pass.
+    """
     L, r = llama_cfg.num_layers, lora_cfg.rank
     dims = _module_dims(llama_cfg)
     layers = {}
@@ -62,7 +65,12 @@ def init_params(
         else:
             raise ValueError(f"unknown lora init {lora_cfg.init!r}")
         layers[name] = {"a": a, "b": b}
-    return {"layers": layers, "scaling": lora_cfg.scaling}
+    return {"layers": layers}
+
+
+def with_scaling(lora_params: dict, lora_cfg: LoraConfig) -> dict:
+    """Attach the static scaling for consumption by llama_forward."""
+    return {"layers": lora_params["layers"], "scaling": lora_cfg.scaling}
 
 
 def num_params(lora: dict) -> int:
@@ -71,17 +79,16 @@ def num_params(lora: dict) -> int:
     )
 
 
-def merge_into_llama(params: dict, lora: dict) -> dict:
+def merge_into_llama(params: dict, lora: dict, scaling: float | None = None) -> dict:
     """Fold LoRA deltas into the frozen weights (w += a @ b * scaling).
 
     Inference-time optimization: a merged checkpoint decodes with zero LoRA
     overhead. Returns a new params tree; the input is untouched.
     """
-    import copy
-
-    out = copy.deepcopy(dict(params))
+    out = dict(params)
     out["layers"] = dict(params["layers"])
-    scaling = lora["scaling"]
+    if scaling is None:
+        scaling = lora["scaling"]
     for name, br in lora["layers"].items():
         w = out["layers"][name]
         delta = jnp.einsum("lir,lro->lio", br["a"].astype(jnp.float32), br["b"].astype(jnp.float32)) * scaling

@@ -178,7 +178,9 @@ def test_lora_overlay_zero_init_is_identity(setup):
 
     cfg, _, params = setup
     lcfg = LoraConfig(rank=4, alpha=8)
-    lora = lora_mod.init_params(cfg, lcfg, jax.random.PRNGKey(0))
+    lora = lora_mod.with_scaling(
+        lora_mod.init_params(cfg, lcfg, jax.random.PRNGKey(0)), lcfg
+    )
     rng = np.random.default_rng(6)
     ids = rng.integers(0, cfg.vocab_size, (1, 6)).astype(np.int32)
     base, _ = llama.llama_forward(
@@ -197,7 +199,9 @@ def test_lora_merge_matches_overlay(setup):
 
     cfg, _, params = setup
     lcfg = LoraConfig(rank=4, alpha=8)
-    lora = lora_mod.init_params(cfg, lcfg, jax.random.PRNGKey(1))
+    lora = lora_mod.with_scaling(
+        lora_mod.init_params(cfg, lcfg, jax.random.PRNGKey(1)), lcfg
+    )
     # Make the deltas nonzero.
     lora = jax.tree.map(
         lambda x: x + 0.01 if isinstance(x, jnp.ndarray) else x, lora

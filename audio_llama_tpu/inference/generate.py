@@ -1,0 +1,147 @@
+"""KV-cached autoregressive generation, fully jit-compiled.
+
+Reference behavior (AudioLLM.generate, src/models/allm.py:263-348): build the
+combined <audio>+text embedding prefix, call HF generate with sampling config,
+return only the newly generated tokens. Here the whole thing — prefill +
+`lax.scan` decode loop + temperature/top-p/top-k sampling + EOS latching — is
+ONE compiled XLA program with a static-shape KV cache ring, which is the
+TPU-idiomatic replacement for HF's Python decode loop.
+
+Note: the reference's post-slice `outputs[0, input_length:]` over-trims
+because HF generate already returns only new tokens when fed inputs_embeds
+(SURVEY.md §2 'Generation' quirk). We implement the *intended* capability:
+exactly the new tokens come back.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AudioLLMConfig
+from ..models import allm, llama as llama_mod, lora as lora_mod, projector as proj_mod
+from ..ops import sampling
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray  # [B, max_new_tokens] int32, pad_id after EOS
+    num_generated: jnp.ndarray  # [B] int32, count of tokens up to+incl. EOS
+
+
+def build_prefix(
+    frozen: dict,
+    trainable: Optional[dict],
+    cfg: AudioLLMConfig,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    audio_features: Optional[jnp.ndarray],
+    audio_start_id: int,
+    audio_end_id: int,
+    compute_dtype=jnp.bfloat16,
+):
+    """(combined_embeds, combined_mask) for the prompt (+ optional audio)."""
+    if audio_features is None:
+        embeds = llama_mod.embed_tokens(frozen["llama"], input_ids, compute_dtype)
+        return embeds, attention_mask
+    enc = allm.process_audio_features(frozen, cfg, audio_features, compute_dtype)
+    audio_embeds = proj_mod.project(trainable["projector"], enc, compute_dtype)
+    return allm.combine_text_and_audio_embeddings(
+        frozen, trainable, cfg, input_ids, attention_mask, audio_embeds,
+        audio_start_id, audio_end_id, compute_dtype,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "temperature", "top_p", "top_k", "greedy",
+        "eos_id", "pad_id", "audio_start_id", "audio_end_id", "compute_dtype",
+        "has_audio",
+    ),
+)
+def generate(
+    frozen: dict,
+    trainable: Optional[dict],
+    cfg: AudioLLMConfig,
+    input_ids: jnp.ndarray,  # [B, T] int32 (right-padded)
+    attention_mask: jnp.ndarray,  # [B, T]
+    audio_features: Optional[jnp.ndarray],  # [B, n_mels, F] or None
+    key: jax.Array,
+    *,
+    max_new_tokens: int = 256,
+    temperature: float = 0.7,
+    top_p: float = 0.9,
+    top_k: int = 0,
+    greedy: bool = False,
+    eos_id: int = 2,
+    pad_id: int = 0,
+    audio_start_id: int = 0,
+    audio_end_id: int = 0,
+    compute_dtype=jnp.bfloat16,
+    has_audio: bool = True,
+) -> GenerateResult:
+    """Sampling defaults mirror the reference CLI (temperature 0.7, top_p 0.9,
+    max_new_tokens 256; reference src/inference.py:186-194)."""
+    lora = None
+    if trainable is not None and "lora" in trainable and cfg.lora is not None:
+        lora = lora_mod.with_scaling(trainable["lora"], cfg.lora)
+
+    if not has_audio:
+        audio_features = None
+    embeds, mask = build_prefix(
+        frozen, trainable, cfg, input_ids, attention_mask, audio_features,
+        audio_start_id, audio_end_id, compute_dtype,
+    )
+    B, P, _ = embeds.shape
+    total = P + max_new_tokens
+    # The cache-timeline attention mask: prefix mask ++ ones for decode slots.
+    full_mask = jnp.concatenate(
+        [mask.astype(jnp.int32), jnp.ones((B, max_new_tokens), jnp.int32)], axis=1
+    )
+
+    cache = llama_mod.KVCache.zeros(cfg.llama, B, total, dtype=compute_dtype)
+    logits, cache = llama_mod.llama_forward(
+        frozen["llama"], cfg.llama,
+        inputs_embeds=embeds, attention_mask=full_mask,
+        kv_cache=cache, lora=lora, compute_dtype=compute_dtype,
+    )
+    # Last *real* (non-pad) position per row holds the next-token logits.
+    last_idx = jnp.sum(mask, axis=1).astype(jnp.int32) - 1  # [B]
+    next_logits = jnp.take_along_axis(
+        logits, last_idx[:, None, None], axis=1
+    )[:, 0]  # [B, V]
+
+    def sample(logits, k):
+        return sampling.sample_token(
+            logits, k, temperature=temperature, top_p=top_p, top_k=top_k,
+            greedy=greedy,
+        )
+
+    all_keys = jax.random.split(key, max_new_tokens)
+    tok0 = sample(next_logits, all_keys[0])
+    done0 = tok0 == eos_id
+
+    def step(carry, k):
+        cache, tok, done = carry
+        step_logits, cache = llama_mod.llama_forward(
+            frozen["llama"], cfg.llama,
+            input_ids=tok[:, None], attention_mask=full_mask,
+            kv_cache=cache, lora=lora, compute_dtype=compute_dtype,
+        )
+        nxt = sample(step_logits[:, 0], k)
+        nxt = jnp.where(done, pad_id, nxt)
+        new_done = done | (nxt == eos_id)
+        return (cache, nxt, new_done), nxt
+
+    (_, _, done), rest = jax.lax.scan(step, (cache, tok0, done0), all_keys[1:])
+    tokens = jnp.concatenate([tok0[:, None], rest.T], axis=1)  # [B, max_new]
+
+    # count tokens up to and including first EOS (or all if none)
+    hit_eos = tokens == eos_id
+    any_eos = jnp.any(hit_eos, axis=1)
+    first_eos = jnp.argmax(hit_eos, axis=1)
+    num = jnp.where(any_eos, first_eos + 1, max_new_tokens).astype(jnp.int32)
+    return GenerateResult(tokens=tokens, num_generated=num)

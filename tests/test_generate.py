@@ -1,0 +1,148 @@
+"""Generation tests: jit-compiled KV-cached decode vs naive full re-forward,
+EOS latching, sampling filters."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audio_llama_tpu.config import AudioLLMConfig
+from audio_llama_tpu.models import allm, llama as llama_mod
+from audio_llama_tpu.inference import generate as gen_mod
+from audio_llama_tpu.ops import sampling
+
+
+CFG = AudioLLMConfig.tiny()
+AUDIO_START, AUDIO_END = 512, 513
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = CFG
+    frozen = allm.init_frozen(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    frozen["llama"] = llama_mod.resize_embeddings(
+        frozen["llama"], cfg.llama.vocab_size + 2, cfg.llama
+    )
+    trainable = allm.init_trainable(cfg, jax.random.PRNGKey(1))
+    return cfg, frozen, trainable
+
+
+def _naive_greedy(frozen, cfg, ids, steps):
+    """Reference decode: full forward each step, argmax last position."""
+    ids = np.asarray(ids)
+    out = []
+    for _ in range(steps):
+        logits, _ = llama_mod.llama_forward(
+            frozen["llama"], cfg.llama, input_ids=jnp.asarray(ids),
+            compute_dtype=jnp.float32,
+        )
+        nxt = np.asarray(jnp.argmax(logits[:, -1], axis=-1)).astype(np.int32)
+        out.append(nxt)
+        ids = np.concatenate([ids, nxt[:, None]], axis=1)
+    return np.stack(out, axis=1)
+
+
+def test_greedy_text_only_matches_naive(model):
+    cfg, frozen, trainable = model
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.llama.vocab_size, (2, 6)).astype(np.int32)
+    mask = np.ones_like(ids)
+    res = gen_mod.generate(
+        frozen, trainable, cfg, jnp.asarray(ids), jnp.asarray(mask), None,
+        jax.random.PRNGKey(0), max_new_tokens=5, greedy=True,
+        eos_id=-1, pad_id=0, has_audio=False, compute_dtype=jnp.float32,
+        audio_start_id=AUDIO_START, audio_end_id=AUDIO_END,
+    )
+    naive = _naive_greedy(frozen, cfg, ids, 5)
+    np.testing.assert_array_equal(np.asarray(res.tokens), naive)
+
+
+def test_greedy_with_audio_runs_and_is_deterministic(model):
+    cfg, frozen, trainable = model
+    rng = np.random.default_rng(1)
+    B, T = 2, 5
+    ids = rng.integers(0, cfg.llama.vocab_size, (B, T)).astype(np.int32)
+    mask = np.ones_like(ids)
+    mel = rng.normal(
+        size=(B, cfg.whisper.num_mel_bins, 2 * cfg.whisper.max_source_positions)
+    ).astype(np.float32)
+    kwargs = dict(
+        max_new_tokens=4, greedy=True, eos_id=-1, pad_id=0,
+        audio_start_id=AUDIO_START, audio_end_id=AUDIO_END,
+        compute_dtype=jnp.float32,
+    )
+    r1 = gen_mod.generate(
+        frozen, trainable, cfg, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(mel), jax.random.PRNGKey(0), **kwargs,
+    )
+    r2 = gen_mod.generate(
+        frozen, trainable, cfg, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(mel), jax.random.PRNGKey(7), **kwargs,
+    )
+    assert r1.tokens.shape == (B, 4)
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+
+
+def test_eos_latching(model):
+    cfg, frozen, trainable = model
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, cfg.llama.vocab_size, (1, 4)).astype(np.int32)
+    mask = np.ones_like(ids)
+    # First find what greedy emits, then declare that token the EOS.
+    probe = gen_mod.generate(
+        frozen, trainable, cfg, jnp.asarray(ids), jnp.asarray(mask), None,
+        jax.random.PRNGKey(0), max_new_tokens=1, greedy=True, eos_id=-1,
+        pad_id=0, has_audio=False, compute_dtype=jnp.float32,
+        audio_start_id=AUDIO_START, audio_end_id=AUDIO_END,
+    )
+    eos = int(probe.tokens[0, 0])
+    res = gen_mod.generate(
+        frozen, trainable, cfg, jnp.asarray(ids), jnp.asarray(mask), None,
+        jax.random.PRNGKey(0), max_new_tokens=6, greedy=True, eos_id=eos,
+        pad_id=0, has_audio=False, compute_dtype=jnp.float32,
+        audio_start_id=AUDIO_START, audio_end_id=AUDIO_END,
+    )
+    assert int(res.num_generated[0]) == 1
+    assert (np.asarray(res.tokens[0, 1:]) == 0).all()
+
+
+def test_right_padded_prompt_uses_last_real_position(model):
+    cfg, frozen, trainable = model
+    rng = np.random.default_rng(3)
+    ids_short = rng.integers(0, cfg.llama.vocab_size, (1, 4)).astype(np.int32)
+    # Same prompt padded to 8 with a right-pad region.
+    ids_padded = np.concatenate([ids_short, np.zeros((1, 4), np.int32)], axis=1)
+    mask_padded = np.concatenate(
+        [np.ones((1, 4), np.int32), np.zeros((1, 4), np.int32)], axis=1
+    )
+    r_short = gen_mod.generate(
+        frozen, trainable, cfg, jnp.asarray(ids_short),
+        jnp.asarray(np.ones_like(ids_short)), None, jax.random.PRNGKey(0),
+        max_new_tokens=1, greedy=True, eos_id=-1, pad_id=0, has_audio=False,
+        compute_dtype=jnp.float32, audio_start_id=AUDIO_START, audio_end_id=AUDIO_END,
+    )
+    r_padded = gen_mod.generate(
+        frozen, trainable, cfg, jnp.asarray(ids_padded),
+        jnp.asarray(mask_padded), None, jax.random.PRNGKey(0),
+        max_new_tokens=1, greedy=True, eos_id=-1, pad_id=0, has_audio=False,
+        compute_dtype=jnp.float32, audio_start_id=AUDIO_START, audio_end_id=AUDIO_END,
+    )
+    # First sampled token reads logits at the last REAL position.
+    np.testing.assert_array_equal(
+        np.asarray(r_short.tokens[:, 0]), np.asarray(r_padded.tokens[:, 0])
+    )
+
+
+def test_top_p_filters_to_greedy_when_tiny():
+    logits = jnp.asarray([[2.0, 1.0, 0.5, -1.0]])
+    filtered = sampling.apply_top_p(logits, 0.01)
+    # Only the argmax survives.
+    probs = np.asarray(jax.nn.softmax(filtered, axis=-1))[0]
+    assert probs[0] > 0.999
+
+
+def test_top_k():
+    logits = jnp.asarray([[2.0, 1.0, 0.5, -1.0]])
+    filtered = np.asarray(sampling.apply_top_k(logits, 2))[0]
+    assert np.isfinite(filtered[:2]).all()
+    assert (filtered[2:] < -1e30).all()

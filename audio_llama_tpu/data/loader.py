@@ -1,0 +1,147 @@
+"""Dataloader factory + threaded prefetching loader.
+
+Reference: create_dataloaders (src/dataloaders.py:10-113) — JSON load, seeded
+shuffle, 90/10 split, torch DataLoaders with num_workers + pin_memory. The
+TPU-native analog: a thread-pooled batch builder (the native FLAC decode
+releases the GIL, so threads parallelize decode) with a bounded prefetch
+queue feeding device puts; no torch dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import random
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+from .dataset import AudioLLMDataset, DatasetConfig, collate
+
+logger = logging.getLogger(__name__)
+
+
+class DataLoader:
+    """Map-style loader with in-order threaded prefetch."""
+
+    def __init__(
+        self,
+        dataset: AudioLLMDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 42,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _batches(self) -> List[List[int]]:
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self._epoch).shuffle(idx)
+        out = []
+        for i in range(0, len(idx), self.batch_size):
+            b = idx[i : i + self.batch_size]
+            if len(b) < self.batch_size and self.drop_last:
+                continue
+            out.append(b)
+        return out
+
+    def _build(self, batch_idx: List[int]) -> Dict[str, Any]:
+        return collate([self.dataset[i] for i in batch_idx])
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        batches = self._batches()
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            inflight = []
+            it = iter(batches)
+            try:
+                for _ in range(self.prefetch):
+                    inflight.append(ex.submit(self._build, next(it)))
+            except StopIteration:
+                pass
+            i = 0
+            while i < len(batches):
+                fut = inflight.pop(0)
+                try:
+                    inflight.append(ex.submit(self._build, batches[i + self.prefetch]))
+                except IndexError:
+                    pass
+                yield fut.result()
+                i += 1
+
+
+def create_dataloaders(
+    data_path: str,
+    audio_dir: str,
+    tokenizer,
+    batch_size: int = 8,
+    val_split: float = 0.1,
+    seed: int = 42,
+    num_workers: int = 4,
+    dataset_config: Optional[DatasetConfig] = None,
+    dataset_config_path: Optional[str] = None,
+    max_samples: Optional[int] = None,
+) -> Tuple[DataLoader, DataLoader, DatasetConfig]:
+    """JSON -> (train_loader, val_loader, dataset_config).
+
+    Matches the reference semantics (src/dataloaders.py:10-113): seeded
+    shuffle, (1-val_split)/val_split split, train shuffled / val not. The key
+    mapping from dataset_config.json IS honored here (reference bug fixed).
+    """
+    cfg = dataset_config
+    if cfg is None:
+        cfg = (
+            DatasetConfig.from_json_file(dataset_config_path)
+            if dataset_config_path
+            else DatasetConfig()
+        )
+
+    with open(data_path) as f:
+        data = json.load(f)
+    if isinstance(data, dict) and "examples" in data:
+        data = data["examples"]
+    if max_samples:
+        data = data[:max_samples]
+
+    rng = random.Random(seed)
+    rng.shuffle(data)
+    n_val = max(1, int(len(data) * val_split)) if len(data) > 1 else 0
+    val_entries = data[:n_val]
+    train_entries = data[n_val:]
+    logger.info(
+        "dataset: %d train / %d val entries", len(train_entries), len(val_entries)
+    )
+
+    train_ds = AudioLLMDataset(train_entries, audio_dir, tokenizer, cfg)
+    val_ds = AudioLLMDataset(val_entries, audio_dir, tokenizer, cfg)
+    train = DataLoader(
+        train_ds, batch_size, shuffle=True, seed=seed, drop_last=True,
+        num_workers=num_workers,
+    )
+    val = DataLoader(
+        val_ds, batch_size, shuffle=False, seed=seed, drop_last=False,
+        num_workers=num_workers,
+    )
+    return train, val, cfg
+
+
+def get_sample_batch(loader: DataLoader) -> Dict[str, Any]:
+    """First batch (debug helper; reference src/dataloaders.py:115-126)."""
+    return next(iter(loader))

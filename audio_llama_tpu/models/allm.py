@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import AudioLLMConfig
+from ..ops import mel as mel_ops
 from . import llama as llama_mod
 from . import lora as lora_mod
 from . import projector as proj_mod
@@ -81,12 +82,22 @@ def num_trainable_params(trainable: dict) -> int:
 # ---------------------------------------------------------------------------
 
 def process_audio_features(
-    frozen: dict, cfg: AudioLLMConfig, mel: jnp.ndarray, compute_dtype=jnp.bfloat16
+    frozen: dict, cfg: AudioLLMConfig, audio: jnp.ndarray, compute_dtype=jnp.bfloat16
 ) -> jnp.ndarray:
-    """Frozen Whisper encode under stop_gradient — the JAX analog of the
-    reference's `with torch.no_grad()` (src/models/allm.py:214-219)."""
-    if mel.ndim == 4:  # tolerate a [B, 1, n_mels, F] channel dim like the ref
-        mel = mel.squeeze(1)
+    """Frozen audio path under stop_gradient — the JAX analog of the
+    reference's `with torch.no_grad()` (src/models/allm.py:214-219).
+
+    Accepts either raw waveforms [B, S] (the default data-layer contract —
+    log-mel then runs ON-DEVICE, fused into this jitted program) or
+    precomputed mels [B, n_mels, F] / [B, 1, n_mels, F] (reference-style
+    host featurization).
+    """
+    if audio.ndim == 2:  # waveform -> on-device log-mel
+        mel = mel_ops.log_mel(audio, cfg.mel)
+    elif audio.ndim == 4:  # tolerate a [B, 1, n_mels, F] channel dim like the ref
+        mel = audio.squeeze(1)
+    else:
+        mel = audio
     enc = whisper_mod.encode(frozen["whisper"], cfg.whisper, mel, compute_dtype)
     return jax.lax.stop_gradient(enc)
 

@@ -208,7 +208,7 @@ def llama_forward(
     def layer_step(carry, scanned):
         x, = carry
         (p, lor, cache_kv) = scanned
-        h = rms_norm(x, p["input_ln"].astype(jnp.float32), cfg.rms_norm_eps)
+        h = rms_norm(x, p["input_ln"].astype(compute_dtype), cfg.rms_norm_eps)
 
         def lb(name):
             if lor is None:
@@ -242,7 +242,7 @@ def llama_forward(
         attn = _linear(attn, p["o_proj"], lb("o_proj"), compute_dtype)
         x = x + attn
 
-        h = rms_norm(x, p["post_attn_ln"].astype(jnp.float32), cfg.rms_norm_eps)
+        h = rms_norm(x, p["post_attn_ln"].astype(compute_dtype), cfg.rms_norm_eps)
         g = _linear(h, p["gate_proj"], lb("gate_proj"), compute_dtype)
         u = _linear(h, p["up_proj"], lb("up_proj"), compute_dtype)
         d = _linear(jax.nn.silu(g) * u, p["down_proj"], lb("down_proj"), compute_dtype)
@@ -261,7 +261,7 @@ def llama_forward(
         scan_body, (x,), (lp, lora_layers, cache_in)
     )
 
-    x = rms_norm(x, params["final_ln"].astype(jnp.float32), cfg.rms_norm_eps)
+    x = rms_norm(x, params["final_ln"].astype(compute_dtype), cfg.rms_norm_eps)
 
     logits = unembed(params, cfg, x, compute_dtype)
 

@@ -1,0 +1,120 @@
+"""Headline benchmark: audio-seconds encoded per second per chip.
+
+North star (BASELINE.json): >= 50x real-time audio encoding per v5e chip.
+The measured program is the full audio hot path of the framework — on-device
+log-mel (ops/mel.py) -> whisper-large-v3-turbo encoder (32 layers, d=1280,
+bf16, random-initialized ON DEVICE so no host transfer skews timing) ->
+trainable projector — as ONE jitted XLA program, exactly what training and
+inference run per batch.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is the multiple of the 50x-real-time target.
+
+Flags: --batch, --iters, --backend (default: whatever jax.devices() gives,
+i.e. the real TPU under the driver; tests can pass --backend cpu --tiny).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--backend", type=str, default=None)
+    ap.add_argument(
+        "--tiny", action="store_true", help="toy dims (CI/CPU smoke run)"
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+
+    import jax.numpy as jnp
+
+    from audio_llama_tpu.config import AudioLLMConfig, MelConfig, WhisperConfig
+    from audio_llama_tpu.models import projector as proj_mod
+    from audio_llama_tpu.models import whisper as whisper_mod
+    from audio_llama_tpu.ops import mel as mel_ops
+
+    if args.tiny:
+        wcfg = WhisperConfig.tiny()
+        mcfg = MelConfig(num_mel_bins=80, max_audio_seconds=1.28)
+    else:
+        wcfg = WhisperConfig.large_v3_turbo()
+        mcfg = MelConfig(num_mel_bins=128)
+
+    pcfg = AudioLLMConfig(whisper=wcfg, mel=mcfg).projector
+    B = args.batch
+    clip_seconds = mcfg.max_audio_seconds
+
+    key = jax.random.PRNGKey(0)
+    kw, kp, ka = jax.random.split(key, 3)
+
+    # Init on device inside jit: no host->device weight transfer in the timing.
+    wparams = jax.jit(
+        lambda k: whisper_mod.init_params(wcfg, k, dtype=jnp.bfloat16)
+    )(kw)
+    pparams = jax.jit(lambda k: proj_mod.init_params(pcfg, k))(kp)
+    audio = jax.random.normal(ka, (B, mcfg.max_samples), jnp.float32) * 0.1
+
+    def encode_once(wparams, pparams, audio):
+        mel = mel_ops.log_mel(audio, mcfg)
+        enc = whisper_mod.encode(wparams, wcfg, mel, jnp.bfloat16)
+        return proj_mod.project(pparams, enc, jnp.bfloat16)
+
+    @jax.jit
+    def encode_loop(wparams, pparams, audio, n):
+        # Iterations are chained by a data dependency (the audio is perturbed
+        # by the previous output), so neither XLA nor any remote-execution
+        # cache can elide or dedup them — the timing is n real encodes.
+        def body(_, carry):
+            audio, acc = carry
+            out = encode_once(wparams, pparams, audio)
+            bump = jnp.mean(out.astype(jnp.float32)) * 1e-6
+            return (audio + bump, acc + bump)
+
+        audio, acc = jax.lax.fori_loop(0, n, body, (audio, jnp.float32(0)))
+        return acc
+
+    # warmup (compile; n is traced so one executable serves all loop lengths)
+    float(encode_loop(wparams, pparams, audio, args.warmup))
+
+    # Some transports (the axon tunnel) make block_until_ready a no-op and add
+    # a fixed dispatch latency; fetching the scalar result synchronizes, and
+    # timing two loop lengths cancels the fixed overhead.
+    n_small = max(1, args.iters // 10)
+    if args.iters <= n_small:  # degenerate --iters values still measure
+        args.iters = n_small + 1
+    t0 = time.perf_counter()
+    float(encode_loop(wparams, pparams, audio, n_small))
+    dt_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(encode_loop(wparams, pparams, audio, args.iters))
+    dt_large = time.perf_counter() - t0
+    dt = max(dt_large - dt_small, 1e-9)
+
+    audio_sec = B * clip_seconds * (args.iters - n_small)
+    value = audio_sec / dt
+    target = 50.0  # 50x real-time per chip (BASELINE.json north_star)
+    print(
+        json.dumps(
+            {
+                "metric": "audio_sec_encoded_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "audio-sec/sec",
+                "vs_baseline": round(value / target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Inference: checkpoint load, audio processing, generation — function + CLI.
+
+Reference surface (src/inference.py): load_audio_llm (13-76), process_audio
+(79-111), generate_response (114-172), argparse CLI (175-220). Re-designed:
+the checkpoint carries the full model config, so loading needs no flag
+archaeology; audio decode/resample happens on host (native FLAC/WAV IO) but
+featurization + encode + KV-cached decode run as one jitted program
+(inference/generate.py). Both checkpoint layout variants load
+(training/checkpoint.py handles full and bare-trainable formats, the analog
+of reference src/inference.py:57-68).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("audio_llama_tpu")
+
+
+def load_audio_llm(
+    checkpoint_path: Optional[str],
+    llama_path: Optional[str] = None,
+    whisper_path: Optional[str] = None,
+    tokenizer: Optional[str] = None,
+    toy_model: bool = False,
+    seed: int = 0,
+):
+    """Returns (cfg, frozen, trainable, tokenizer).
+
+    Mirrors reference load_audio_llm (src/inference.py:13-76): tokenizer +
+    special tokens, frozen base load, embedding resize, trainable restore.
+    The model config is read from the checkpoint's config.json when present.
+    """
+    import jax
+
+    from ..config import AudioLLMConfig
+    from ..data.tokenizer import load_tokenizer
+    from ..models import allm, hf_loader
+    from ..models import llama as llama_mod
+    from ..training import checkpoint as ckpt
+
+    meta = ckpt.load_metadata(checkpoint_path) if checkpoint_path else {}
+    cfg = None
+    if meta.get("model_config"):
+        cfg = AudioLLMConfig.from_dict(meta["model_config"])
+
+    if toy_model or (cfg is not None and llama_path is None and cfg.llama.num_layers <= 4):
+        tk = load_tokenizer(tokenizer or "byte")
+        if cfg is None:
+            cfg = AudioLLMConfig.tiny()
+        # Random frozen weights must match the training run: use the seed the
+        # trainer recorded in the checkpoint metadata.
+        frozen_seed = meta.get("args", {}).get("seed", seed)
+        frozen = allm.init_frozen(cfg, jax.random.PRNGKey(frozen_seed))
+    else:
+        tk = load_tokenizer(tokenizer or llama_path)
+        llama_params, llama_cfg = hf_loader.load_llama(llama_path)
+        whisper_params, whisper_cfg = hf_loader.load_whisper_encoder(whisper_path)
+        llama_params = llama_mod.resize_embeddings(
+            llama_params, tk.vocab_size, llama_cfg
+        )
+        llama_cfg = llama_cfg.replace(
+            vocab_size=max(llama_cfg.vocab_size, tk.vocab_size)
+        )
+        if cfg is None:
+            cfg = AudioLLMConfig(llama=llama_cfg, whisper=whisper_cfg)
+        else:
+            cfg = cfg.replace(llama=llama_cfg, whisper=whisper_cfg)
+        frozen = {"llama": llama_params, "whisper": whisper_params}
+
+    trainable = allm.init_trainable(cfg, jax.random.PRNGKey(seed + 1))
+    if checkpoint_path:
+        trainable, _, step, _ = ckpt.load_checkpoint(
+            checkpoint_path, trainable_template=jax.device_get(trainable)
+        )
+        logger.info("loaded checkpoint %s (step %d)", checkpoint_path, step)
+    return cfg, frozen, trainable, tk
+
+
+def process_audio(audio_path: str, mel_cfg) -> np.ndarray:
+    """Host-side audio prep: decode -> mono -> resample 16k -> crop/pad to the
+    static clip length. Returns waveform [1, S] (mel runs on-device).
+    Reference: process_audio, src/inference.py:79-111."""
+    from ..data import audio_io
+
+    audio = audio_io.load_audio(audio_path, target_sr=mel_cfg.sample_rate)
+    S = mel_cfg.max_samples
+    out = np.zeros(S, np.float32)
+    n = min(len(audio), S)
+    out[:n] = audio[:n]
+    return out[None, :]
+
+
+def generate_response(
+    cfg,
+    frozen,
+    trainable,
+    tokenizer,
+    prompt: str,
+    audio_path: Optional[str] = None,
+    max_new_tokens: int = 256,
+    temperature: float = 0.7,
+    top_p: float = 0.9,
+    top_k: int = 0,
+    greedy: bool = False,
+    seed: int = 0,
+) -> str:
+    """Tokenize prompt -> (optional) audio -> jitted generate -> decode.
+    Reference: generate_response, src/inference.py:114-172. Returns exactly
+    the newly generated text (the intended capability; see generate.py note
+    about the reference's over-trim quirk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import generate as gen
+
+    ids, mask = tokenizer.encode(prompt)
+    input_ids = jnp.asarray(ids[None, :], jnp.int32)
+    attention_mask = jnp.asarray(mask[None, :], jnp.int32)
+
+    audio = None
+    if audio_path:
+        audio = jnp.asarray(process_audio(audio_path, cfg.mel))
+
+    result = gen.generate(
+        frozen,
+        trainable,
+        cfg,
+        input_ids,
+        attention_mask,
+        audio,
+        jax.random.PRNGKey(seed),
+        max_new_tokens=max_new_tokens,
+        temperature=temperature,
+        top_p=top_p,
+        top_k=top_k,
+        greedy=greedy,
+        eos_id=tokenizer.eos_id,
+        pad_id=tokenizer.pad_id,
+        audio_start_id=tokenizer.token_to_id(cfg.audio_start_token),
+        audio_end_id=tokenizer.token_to_id(cfg.audio_end_token),
+        has_audio=audio is not None,
+    )
+    tokens = np.asarray(result.tokens[0])[: int(result.num_generated[0])]
+    return tokenizer.decode(tokens, skip_special_tokens=True)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="AudioLLM inference (TPU-native)")
+    # reference CLI flags (src/inference.py:176-194)
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--llama_path", type=str, default=None)
+    p.add_argument("--whisper_path", type=str, default=None)
+    p.add_argument("--tokenizer", type=str, default=None)
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--audio", type=str, default=None)
+    p.add_argument("--max_new_tokens", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--top_p", type=float, default=0.9)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--toy_model", action="store_true")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax backend, e.g. 'cpu'")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    logging.basicConfig(level=logging.INFO)
+    cfg, frozen, trainable, tk = load_audio_llm(
+        args.checkpoint_path,
+        llama_path=args.llama_path,
+        whisper_path=args.whisper_path,
+        tokenizer=args.tokenizer,
+        toy_model=args.toy_model,
+        seed=args.seed,
+    )
+    text = generate_response(
+        cfg, frozen, trainable, tk,
+        prompt=args.prompt,
+        audio_path=args.audio,
+        max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature,
+        top_p=args.top_p,
+        top_k=args.top_k,
+        greedy=args.greedy,
+        seed=args.seed,
+    )
+    print(text)
+    return text
+
+
+if __name__ == "__main__":
+    main()

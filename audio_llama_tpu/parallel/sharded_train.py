@@ -123,5 +123,14 @@ def make_sharded_eval_step(
     compute_dtype=jnp.bfloat16,
 ):
     step = base_steps.make_eval_step(cfg, audio_start_id, audio_end_id, compute_dtype)
-    batch_sh = sharding.batch_shardings(mesh, batch_template, accum=False)
+    # Small eval batches that don't divide the dp×fsdp axis run replicated
+    # (eval is a tiny fraction of the work; correctness over layout).
+    dp_size = mesh.shape["dp"] * mesh.shape["fsdp"]
+    b = batch_template.input_ids.shape[0]
+    if b % dp_size == 0:
+        batch_sh = sharding.batch_shardings(mesh, batch_template, accum=False)
+    else:
+        batch_sh = jax.tree_util.tree_map(
+            lambda _: sharding.replicated(mesh), batch_template
+        )
     return jax.jit(step, in_shardings=(None, None, batch_sh))

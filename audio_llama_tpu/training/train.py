@@ -1,0 +1,471 @@
+"""Training driver CLI.
+
+The TPU-native re-design of the reference trainer (src/train.py:1-375):
+same capability surface — argparse flags (superset of reference
+src/train.py:29-94), seeded runs, AdamW + cosine warmup schedule, gradient
+accumulation + clipping, periodic eval (loss + perplexity) with best-model
+checkpointing, periodic + final checkpoints, file/TensorBoard/wandb logging —
+but the training step is ONE jit-compiled XLA program per microbatch-stack
+(grad accumulation via lax.scan, training/train_step.py) laid out over a
+('dp','fsdp','tp') device mesh (parallel/), with bf16 compute + f32 masters
+instead of fp16 GradScaler AMP.
+
+Differences from the reference, by design (SURVEY.md §5, §7):
+  - --resume_from actually restores optimizer/step (reference saved but never
+    loaded, SURVEY.md §5 'Checkpoint / resume');
+  - --lora_rank is actually plumbed into the model (the reference's flag was
+    dead — AudioLLM always used rank 64, SURVEY.md §2); default is therefore
+    64 to match the reference's *effective* behavior;
+  - wandb logging is fully gated behind --use_wandb (reference crashed at
+    src/train.py:331 when wandb was off);
+  - --fp16 is accepted for CLI compatibility but maps to bf16 on TPU.
+
+Run (offline smoke):
+  python -m audio_llama_tpu.training.train --toy_model --tokenizer byte \
+      --data_path examples.json --audio_dir ./audio --num_epochs 1
+Run (real models from local HF checkout):
+  python -m audio_llama_tpu.training.train \
+      --llama_path /ckpt/Llama-3.2-3B-Instruct \
+      --whisper_path /ckpt/whisper-large-v3-turbo \
+      --data_path data/examples.json --audio_dir data
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+import os
+import random
+import time
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger("audio_llama_tpu")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train AudioLLM (TPU-native)")
+    # Model paths (reference src/train.py:33-36)
+    p.add_argument("--llama_path", type=str, default="meta-llama/Llama-3.2-3B-Instruct")
+    p.add_argument("--whisper_path", type=str, default="openai/whisper-large-v3-turbo")
+    p.add_argument("--toy_model", action="store_true",
+                   help="random tiny model + byte tokenizer (offline smoke/CI)")
+    p.add_argument("--tokenizer", type=str, default=None,
+                   help="'byte' or local tokenizer path (default: llama_path)")
+    # Data paths (reference src/train.py:39-46)
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--audio_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="./checkpoints")
+    p.add_argument("--dataset_config", type=str, default=None)
+    # Training hyperparameters (reference src/train.py:48-67)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--eval_batch_size", type=int, default=16)
+    p.add_argument("--grad_accum_steps", type=int, default=4)
+    p.add_argument("--num_epochs", type=int, default=5)
+    p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--warmup_steps", type=int, default=50)
+    p.add_argument("--max_grad_norm", type=float, default=2.0)
+    p.add_argument("--lora_rank", type=int, default=64,
+                   help="LoRA rank (reference's effective rank was 64)")
+    p.add_argument("--lora_alpha", type=float, default=16.0)
+    p.add_argument("--no_lora", action="store_true", help="projector-only training")
+    # Cadence (reference src/train.py:69-76)
+    p.add_argument("--save_steps", type=int, default=50)
+    p.add_argument("--eval_steps", type=int, default=100)
+    p.add_argument("--log_steps", type=int, default=5)
+    p.add_argument("--max_steps", type=int, default=0, help="0 = no cap")
+    # Shapes (reference src/train.py:77-80)
+    p.add_argument("--max_audio_length", type=int, default=30)
+    p.add_argument("--text_max_length", type=int, default=512)
+    # Logging (reference src/train.py:81-84)
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--wandb_project", type=str, default="audio-llm")
+    p.add_argument("--no_tensorboard", action="store_true")
+    # Misc (reference src/train.py:85-92)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--fp16", action="store_true",
+                   help="accepted for reference-CLI compat; maps to bf16 on TPU")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--skip_missing_files", action="store_true")
+    p.add_argument("--use_dummy_audio", action="store_true")
+    # TPU-native extensions
+    p.add_argument("--mesh_dp", type=int, default=-1)
+    p.add_argument("--mesh_fsdp", type=int, default=1)
+    p.add_argument("--mesh_tp", type=int, default=1)
+    p.add_argument("--resume_from", type=str, default=None)
+    p.add_argument("--label_mode", type=str, default="concat",
+                   choices=["concat", "reference"],
+                   help="'reference' replicates the reference's label semantics")
+    p.add_argument("--max_samples", type=int, default=0, help="0 = all data")
+    p.add_argument("--val_split", type=float, default=0.1)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax backend, e.g. 'cpu' (env vars are too "
+                        "late when jax is pre-imported at interpreter start)")
+    return p.parse_args(argv)
+
+
+def set_seed(seed: int):
+    """Reference src/train.py:96-99 (JAX randomness is explicit via keys)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def _build_model(args):
+    """Returns (cfg, frozen, tokenizer, n_added_tokens)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import (
+        AudioLLMConfig,
+        LlamaConfig,
+        LoraConfig,
+        MelConfig,
+        WhisperConfig,
+    )
+    from ..data.tokenizer import load_tokenizer
+    from ..models import allm, hf_loader
+    from ..models import llama as llama_mod
+
+    lora = None
+    if not args.no_lora:
+        lora = LoraConfig(rank=args.lora_rank, alpha=args.lora_alpha)
+
+    if args.toy_model:
+        tokenizer = load_tokenizer(args.tokenizer or "byte")
+        llama_cfg = LlamaConfig.tiny(vocab_size=max(tokenizer.vocab_size, 384))
+        whisper_cfg = WhisperConfig.tiny()
+        cfg = AudioLLMConfig(
+            llama=llama_cfg,
+            whisper=whisper_cfg,
+            mel=MelConfig(
+                num_mel_bins=whisper_cfg.num_mel_bins,
+                max_audio_seconds=min(args.max_audio_length, 1.28),
+            ),
+            lora=LoraConfig(rank=4, alpha=8) if lora else None,
+        )
+        frozen = allm.init_frozen(cfg, jax.random.PRNGKey(args.seed))
+        return cfg, frozen, tokenizer, 2
+
+    tokenizer = load_tokenizer(args.tokenizer or args.llama_path)
+    llama_params, llama_cfg = hf_loader.load_llama(args.llama_path)
+    whisper_params, whisper_cfg = hf_loader.load_whisper_encoder(args.whisper_path)
+    new_vocab = tokenizer.vocab_size
+    llama_params = llama_mod.resize_embeddings(llama_params, new_vocab, llama_cfg)
+    llama_cfg = llama_cfg.replace(vocab_size=max(llama_cfg.vocab_size, new_vocab))
+    cfg = AudioLLMConfig(
+        llama=llama_cfg,
+        whisper=whisper_cfg,
+        mel=MelConfig(
+            num_mel_bins=whisper_cfg.num_mel_bins,
+            max_audio_seconds=float(args.max_audio_length),
+        ),
+        lora=lora,
+    )
+    return cfg, {"llama": llama_params, "whisper": whisper_params}, tokenizer, 2
+
+
+def _to_batch(accum_group):
+    """Stack collated host batches into AudioLLMBatch arrays ([A,B,...] when
+    len>1, else [B,...])."""
+    from ..models.allm import AudioLLMBatch
+
+    def stack(key):
+        arrs = [b[key] for b in accum_group]
+        return np.stack(arrs) if len(arrs) > 1 else arrs[0]
+
+    has_audio = all(b["audio"] is not None for b in accum_group)
+    return AudioLLMBatch(
+        input_ids=stack("input_ids"),
+        attention_mask=stack("attention_mask"),
+        audio_features=stack("audio") if has_audio else None,
+        labels=stack("labels"),
+    )
+
+
+def _flops_per_step(cfg, tokens_per_micro, audio_frames, micros):
+    """Rough fwd+bwd FLOPs for MFU: whisper fwd (frozen, no bwd) +
+    llama fwd+bwd (activation grads flow through every layer for LoRA)."""
+    n_llama = (
+        cfg.llama.num_layers
+        * (
+            cfg.llama.hidden_size * (cfg.llama.q_dim + 2 * cfg.llama.kv_dim)
+            + cfg.llama.q_dim * cfg.llama.hidden_size
+            + 3 * cfg.llama.hidden_size * cfg.llama.intermediate_size
+        )
+    )
+    n_whisper = cfg.whisper.num_layers * (
+        4 * cfg.whisper.d_model ** 2 + 2 * cfg.whisper.d_model * cfg.whisper.ffn_dim
+    )
+    per_micro = 2 * n_whisper * audio_frames + 6 * n_llama * tokens_per_micro
+    return per_micro * micros
+
+
+def evaluate(eval_step, state, frozen, val_loader, accum=1) -> dict:
+    """Mean val loss + perplexity (reference src/train.py:133-163)."""
+    losses = []
+    for np_batch in val_loader:
+        batch = _to_batch([np_batch])
+        if batch.audio_features is None:
+            continue  # separate text-only program not worth compiling for eval
+        losses.append(float(eval_step(state.trainable, frozen, batch)))
+    if not losses:
+        return {"eval/loss": float("nan"), "eval/perplexity": float("nan")}
+    mean = sum(losses) / len(losses)
+    return {"eval/loss": mean, "eval/perplexity": math.exp(min(mean, 30.0))}
+
+
+def train(args) -> dict:
+    import jax
+
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from .. import parallel
+    from ..data.dataset import DatasetConfig
+    from ..data.loader import create_dataloaders
+    from ..models import allm
+    from ..training import checkpoint as ckpt
+    from ..training import train_step as steps_mod
+    from .metrics import MetricsWriter, Throughput, setup_logging
+    from .optim import cosine_schedule_with_warmup, make_optimizer
+
+    set_seed(args.seed)
+    setup_logging(args.output_dir)
+    logger.info("devices: %s", jax.devices())
+
+    cfg, frozen, tokenizer, _ = _build_model(args)
+    sid = tokenizer.token_to_id(cfg.audio_start_token)
+    eid = tokenizer.token_to_id(cfg.audio_end_token)
+    compute_dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+    ds_cfg = DatasetConfig(
+        text_max_length=args.text_max_length,
+        max_audio_seconds=cfg.mel.max_audio_seconds,
+        label_mode=args.label_mode,
+        skip_missing_files=args.skip_missing_files,
+        use_dummy_audio_for_missing=args.use_dummy_audio,
+    )
+    train_loader, val_loader, ds_cfg = create_dataloaders(
+        args.data_path,
+        args.audio_dir,
+        tokenizer,
+        batch_size=args.batch_size,
+        val_split=args.val_split,
+        seed=args.seed,
+        num_workers=args.num_workers,
+        dataset_config=ds_cfg,
+        dataset_config_path=args.dataset_config,
+        max_samples=args.max_samples or None,
+    )
+    # Static-shape eval: full batches only.
+    val_loader.batch_size = min(args.eval_batch_size, max(len(val_loader.dataset), 1))
+    val_loader.drop_last = len(val_loader.dataset) >= val_loader.batch_size
+
+    accum = max(1, args.grad_accum_steps)
+    steps_per_epoch = max(len(train_loader) // accum, 1)
+    total_steps = steps_per_epoch * args.num_epochs
+    if args.max_steps:
+        total_steps = min(total_steps, args.max_steps)
+
+    schedule = cosine_schedule_with_warmup(
+        args.learning_rate, args.warmup_steps, total_steps
+    )
+    optimizer = make_optimizer(
+        schedule, weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm
+    )
+
+    n_dev = len(jax.devices())
+    fsdp, tp = args.mesh_fsdp, args.mesh_tp
+    if args.mesh_dp == -1:
+        # Auto: the largest dp that divides both the per-step batch and the
+        # devices left after fsdp×tp. Unused devices are left out of the mesh.
+        avail = max(n_dev // (fsdp * tp), 1)
+        dp = math.gcd(args.batch_size, avail)
+    else:
+        dp = args.mesh_dp
+        if args.batch_size % (dp * fsdp) != 0:
+            raise ValueError(
+                f"batch_size {args.batch_size} must be divisible by "
+                f"dp*fsdp = {dp * fsdp}"
+            )
+    used = dp * fsdp * tp
+    mesh = parallel.make_mesh(
+        parallel.MeshConfig(dp=dp, fsdp=fsdp, tp=tp),
+        devices=jax.devices()[:used],
+    )
+    if used < n_dev:
+        logger.warning("mesh uses %d of %d devices", used, n_dev)
+    logger.info("mesh: %s", mesh)
+    frozen = parallel.sharding.shard_frozen(mesh, frozen)
+    trainable = allm.init_trainable(cfg, jax.random.PRNGKey(args.seed + 1))
+    logger.info("trainable params: %s", f"{allm.num_trainable_params(trainable):,}")
+
+    start_step, start_epoch = 0, 0
+    state = parallel.init_sharded_state(mesh, trainable, optimizer)
+    if args.resume_from:
+        t, o, start_step, start_epoch = ckpt.load_checkpoint(
+            args.resume_from,
+            trainable_template=jax.device_get(state.trainable),
+            opt_state_template=jax.device_get(state.opt_state),
+        )
+        state = steps_mod.TrainState(
+            trainable=parallel.sharding.shard_trainable(mesh, t),
+            opt_state=jax.device_put(o) if o is not None else state.opt_state,
+            step=jnp.asarray(start_step, jnp.int32),
+        )
+        logger.info("resumed from %s at step %d", args.resume_from, start_step)
+
+    writer = MetricsWriter(
+        args.output_dir,
+        use_tensorboard=not args.no_tensorboard,
+        use_wandb=args.use_wandb,
+        wandb_project=args.wandb_project,
+        wandb_config=vars(args),
+    )
+
+    # Two compiled programs: with-audio and text-only batches.
+    step_fns = {}
+
+    def get_step(batch):
+        key = batch.audio_features is not None
+        if key not in step_fns:
+            step_fns[key] = parallel.make_sharded_train_step(
+                cfg, optimizer, mesh, batch, sid, eid,
+                compute_dtype=compute_dtype, accum_steps=accum,
+            )
+        return step_fns[key]
+
+    eval_step = None
+
+    def get_eval_step(batch):
+        nonlocal eval_step
+        if eval_step is None:
+            eval_step = parallel.make_sharded_eval_step(
+                cfg, mesh, batch, sid, eid, compute_dtype=compute_dtype
+            )
+        return eval_step
+
+    tokens_per_micro = args.batch_size * (
+        args.text_max_length + cfg.audio_seq_len + 2
+    )
+    tput = Throughput(
+        flops_per_step=_flops_per_step(
+            cfg, tokens_per_micro, args.batch_size * cfg.audio_seq_len, accum
+        )
+    )
+
+    best_eval = float("inf")
+    global_step = start_step
+    last_metrics = {}
+    t_start = time.time()
+    done = False
+
+    for epoch in range(start_epoch, args.num_epochs):
+        if done:
+            break
+        train_loader.set_epoch(epoch)
+        group = []
+        for np_batch in train_loader:
+            group.append(np_batch)
+            if len(group) < accum:
+                continue
+            batch = _to_batch(group) if accum > 1 else _to_batch([np_batch])
+            group = []
+            state, metrics = get_step(batch)(state, frozen, batch)
+            global_step += 1
+            tput.update(
+                steps=1,
+                tokens=tokens_per_micro * accum,
+                audio_sec=args.batch_size * accum * cfg.mel.max_audio_seconds
+                if batch.audio_features is not None
+                else 0.0,
+            )
+
+            if global_step % args.log_steps == 0:
+                loss = float(metrics["loss"])
+                gnorm = float(metrics["grad_norm"])
+                lr = float(schedule(min(global_step, total_steps) - 1))
+                scalars = {
+                    "train/loss": loss,
+                    "train/grad_norm": gnorm,
+                    "train/lr": lr,
+                    "train/epoch": epoch,
+                    **{f"perf/{k}": v for k, v in tput.window().items()},
+                }
+                writer.log(global_step, scalars)
+                logger.info(
+                    "step %d/%d epoch %d loss %.4f lr %.2e",
+                    global_step, total_steps, epoch, loss, lr,
+                )
+                last_metrics = scalars
+
+            if args.eval_steps and global_step % args.eval_steps == 0 and len(val_loader):
+                probe = _to_batch([next(iter(val_loader))])
+                ev = evaluate(get_eval_step(probe), state, frozen, val_loader)
+                writer.log(global_step, ev)
+                logger.info(
+                    "eval @ %d: loss %.4f ppl %.4f",
+                    global_step, ev["eval/loss"], ev["eval/perplexity"],
+                )
+                last_metrics.update(ev)
+                if ev["eval/loss"] < best_eval:
+                    best_eval = ev["eval/loss"]
+                    ckpt.save_checkpoint(
+                        args.output_dir,
+                        trainable=jax.device_get(state.trainable),
+                        opt_state=jax.device_get(state.opt_state),
+                        step=global_step, epoch=epoch, model_cfg=cfg,
+                        args=vars(args), dataset_config=ds_cfg.__dict__,
+                        best=True,
+                    )
+
+            if args.save_steps and global_step % args.save_steps == 0:
+                ckpt.save_checkpoint(
+                    args.output_dir,
+                    trainable=jax.device_get(state.trainable),
+                    opt_state=jax.device_get(state.opt_state),
+                    step=global_step, epoch=epoch, model_cfg=cfg,
+                    args=vars(args), dataset_config=ds_cfg.__dict__,
+                )
+
+            if args.max_steps and global_step >= args.max_steps:
+                done = True
+                break
+
+    # Final eval + final checkpoint (reference src/train.py:357-363).
+    if len(val_loader):
+        probe = _to_batch([next(iter(val_loader))])
+        ev = evaluate(get_eval_step(probe), state, frozen, val_loader)
+        writer.log(global_step, ev)
+        logger.info(
+            "final eval: loss %.4f ppl %.4f", ev["eval/loss"], ev["eval/perplexity"]
+        )
+        last_metrics.update(ev)
+    path = ckpt.save_checkpoint(
+        args.output_dir,
+        trainable=jax.device_get(state.trainable),
+        opt_state=jax.device_get(state.opt_state),
+        step=global_step, epoch=args.num_epochs - 1, model_cfg=cfg,
+        args=vars(args), dataset_config=ds_cfg.__dict__,
+        final=True,
+    )
+    writer.close()
+    logger.info(
+        "done: %d steps in %.1fs; final checkpoint %s",
+        global_step, time.time() - t_start, path,
+    )
+    return {"steps": global_step, "final_checkpoint": path, **last_metrics}
+
+
+def main(argv=None):
+    train(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,7 +93,12 @@ def process_audio_features(
     host featurization).
     """
     if audio.ndim == 2:  # waveform -> on-device log-mel
-        mel = mel_ops.log_mel(audio, cfg.mel)
+        from ..ops import mel_pallas
+
+        if mel_pallas.should_use(cfg.mel):
+            mel = mel_pallas.log_mel(audio, cfg.mel)  # fused Pallas kernel
+        else:
+            mel = mel_ops.log_mel(audio, cfg.mel)
     elif audio.ndim == 4:  # tolerate a [B, 1, n_mels, F] channel dim like the ref
         mel = audio.squeeze(1)
     else:

@@ -149,6 +149,60 @@ def combine_text_and_audio_embeddings(
     return combined, combined_mask
 
 
+def splice_inplace(
+    text_embeds: jnp.ndarray,  # [B, T, D]
+    audio_embeds: jnp.ndarray,  # [B, A, D]
+    input_ids: jnp.ndarray,  # [B, T]
+    attention_mask: jnp.ndarray,  # [B, T]
+    labels: Optional[jnp.ndarray],  # [B, T] or None
+    audio_start_id: int,
+):
+    """In-place splice: insert the audio block right AFTER the first
+    `<audio>` token, shifting the rest of the text (so `</audio>`, which the
+    prompt already contains, ends up closing the block).
+
+    This is the behavior the reference's docstring CLAIMS
+    (src/models/allm.py:109-127) but its code never does — it always prepends
+    (SURVEY.md §2 'Embedding splice'). Implemented as a static-shape
+    vectorized gather (output [B, T+A, ...]): per output position j,
+      j <= p        -> text[j]
+      p < j <= p+A  -> audio[j-p-1]
+      j > p+A       -> text[j-A]
+    where p is the per-row `<audio>` position (rows without the token place
+    audio at the front, i.e. degrade to prepend).
+
+    Returns (embeds [B, T+A, D], mask [B, T+A], labels [B, T+A] | None).
+    Audio positions are mask=1 and label=-100.
+    """
+    B, T, D = text_embeds.shape
+    A = audio_embeds.shape[1]
+    is_start = input_ids == audio_start_id
+    has = jnp.any(is_start, axis=1)
+    p = jnp.where(has, jnp.argmax(is_start, axis=1), -1)[:, None]  # [B, 1]
+
+    j = jnp.arange(T + A)[None, :]  # [1, T+A]
+    in_text_before = j <= p
+    in_audio = (~in_text_before) & (j <= p + A)
+    text_idx = jnp.where(in_text_before, j, j - A)
+    text_idx = jnp.clip(text_idx, 0, T - 1)
+    audio_idx = jnp.clip(j - p - 1, 0, A - 1)
+
+    gathered_text = jnp.take_along_axis(text_embeds, text_idx[..., None], axis=1)
+    gathered_audio = jnp.take_along_axis(
+        audio_embeds.astype(text_embeds.dtype), audio_idx[..., None], axis=1
+    )
+    embeds = jnp.where(in_audio[..., None], gathered_audio, gathered_text)
+
+    text_mask = jnp.take_along_axis(attention_mask, text_idx, axis=1)
+    mask = jnp.where(in_audio, 1, text_mask).astype(attention_mask.dtype)
+
+    out_labels = None
+    if labels is not None:
+        text_labels = jnp.take_along_axis(labels, text_idx, axis=1)
+        out_labels = jnp.where(in_audio, IGNORE_INDEX, text_labels)
+    return embeds, mask, out_labels
+
+
 def extend_labels(labels: jnp.ndarray, audio_block_len: int) -> jnp.ndarray:
     """Prepend -100 over the audio block so those positions are loss-masked
     (reference src/models/allm.py:85-91)."""
@@ -192,18 +246,27 @@ def forward(
 
     enc = process_audio_features(frozen, cfg, batch.audio_features, compute_dtype)
     audio_embeds = proj_mod.project(trainable["projector"], enc, compute_dtype)
-    combined, combined_mask = combine_text_and_audio_embeddings(
-        frozen,
-        trainable,
-        cfg,
-        batch.input_ids,
-        batch.attention_mask,
-        audio_embeds,
-        audio_start_id,
-        audio_end_id,
-        compute_dtype,
-    )
-    labels = extend_labels(batch.labels, audio_embeds.shape[1] + 2)
+    if cfg.splice_mode == "inplace":
+        text_embeds = llama_mod.embed_tokens(
+            frozen["llama"], batch.input_ids, compute_dtype
+        )
+        combined, combined_mask, labels = splice_inplace(
+            text_embeds, audio_embeds, batch.input_ids, batch.attention_mask,
+            batch.labels, audio_start_id,
+        )
+    else:  # 'prepend' — the reference's actual behavior
+        combined, combined_mask = combine_text_and_audio_embeddings(
+            frozen,
+            trainable,
+            cfg,
+            batch.input_ids,
+            batch.attention_mask,
+            audio_embeds,
+            audio_start_id,
+            audio_end_id,
+            compute_dtype,
+        )
+        labels = extend_labels(batch.labels, audio_embeds.shape[1] + 2)
     logits, _ = llama_mod.llama_forward(
         frozen["llama"],
         cfg.llama,

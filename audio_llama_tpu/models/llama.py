@@ -157,6 +157,7 @@ def llama_forward(
     lora: Optional[dict] = None,
     compute_dtype=jnp.bfloat16,
     return_hidden: bool = False,
+    attn_impl: str = "auto",
 ):
     """Decoder forward.
 
@@ -185,8 +186,18 @@ def llama_forward(
     inv_freq = rope_for_config(cfg)
     cos, sin = rope_tables(positions, inv_freq)  # [B, T, hd]
 
+    # Full-sequence (training/scoring) path can use flash attention: no
+    # cache, contiguous positions. Decode keeps the XLA path (Tq=1).
+    from ..ops import flash_attention as fa
+
+    use_flash = kv_cache is None and (
+        attn_impl == "flash" or (attn_impl == "auto" and fa.available())
+    )
+
     # Attention bias over the (possibly cached) key timeline.
-    if kv_cache is not None:
+    if use_flash:
+        bias = None
+    elif kv_cache is not None:
         # Causal w.r.t. absolute positions; also mask out unwritten cache slots.
         kpos = jnp.arange(Tk)[None, :]
         qpos = positions  # [B, T]
@@ -237,7 +248,13 @@ def llama_forward(
             attn_k, attn_v = k, v
             new_cache = None
 
-        attn = mha(q, attn_k, attn_v, bias=bias, scale=cfg.head_dim ** -0.5)
+        if use_flash:
+            attn = fa.flash_mha(
+                q, attn_k, attn_v,
+                mask=attention_mask, causal=True, scale=cfg.head_dim ** -0.5,
+            )
+        else:
+            attn = mha(q, attn_k, attn_v, bias=bias, scale=cfg.head_dim ** -0.5)
         attn = attn.reshape(B, T, cfg.num_heads * cfg.head_dim)
         attn = _linear(attn, p["o_proj"], lb("o_proj"), compute_dtype)
         x = x + attn

@@ -91,12 +91,20 @@ def encode(
     cfg: WhisperConfig,
     mel: jnp.ndarray,  # [B, n_mels, T_mel] log-mel features
     compute_dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
 ) -> jnp.ndarray:
     """Frozen encoder forward -> [B, T_mel//2, d_model].
 
     The reference equivalent returns `last_hidden_state`
     (reference src/models/allm.py:214-219).
+
+    attn_impl: 'auto' (flash on TPU backends, XLA elsewhere) | 'flash' | 'xla'.
+    Flash avoids the [B, H, T, T] f32 logits round-trip to HBM that dominates
+    encoder time at T=1500.
     """
+    from ..ops import flash_attention as fa
+
+    use_flash = attn_impl == "flash" or (attn_impl == "auto" and fa.available())
     x = mel.astype(compute_dtype)
     x = jax.nn.gelu(
         _conv1d(x, params["conv1"]["w"].astype(compute_dtype), params["conv1"]["b"].astype(compute_dtype), 1),
@@ -123,7 +131,10 @@ def encode(
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, H, hd)
         v = v.reshape(B, T, H, hd)
-        attn = mha(q, k, v, bias=None, scale=hd ** -0.5)
+        if use_flash:
+            attn = fa.flash_mha(q, k, v, causal=False, scale=hd ** -0.5)
+        else:
+            attn = mha(q, k, v, bias=None, scale=hd ** -0.5)
         attn = attn.reshape(B, T, D)
         attn = attn @ p["out_proj"]["w"].astype(compute_dtype) + p["out_proj"]["b"].astype(compute_dtype)
         x = x + attn

@@ -46,7 +46,63 @@ logger = logging.getLogger("audio_llama_tpu")
 
 
 def parse_args(argv=None):
+    p = _build_parser()
+    # --config FILE supplies defaults (YAML or JSON); explicit CLI flags win.
+    # The reference shipped a config.yaml that nothing ever read
+    # (SURVEY.md §5 'Config / flag system') — here it is honored.
+    import sys as _sys
+
+    argv_list = list(argv if argv is not None else _sys.argv[1:])
+    if "--config" in argv_list:
+        i = argv_list.index("--config")
+        path = argv_list[i + 1]
+        del argv_list[i : i + 2]
+        p.set_defaults(**_load_config_file(path, p))
+    return p.parse_args(argv_list)
+
+
+def _load_config_file(path: str, parser) -> dict:
+    import json as _json
+
+    with open(path) as f:
+        text = f.read()
+    try:
+        data = _json.loads(text)
+    except ValueError:
+        data = _parse_simple_yaml(text)
+    known = {a.dest for a in parser._actions}
+    unknown = set(data) - known
+    if unknown:
+        raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")
+    return data
+
+
+def _parse_simple_yaml(text: str) -> dict:
+    """Flat key: value YAML subset (no external yaml dependency)."""
+    out = {}
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        k, v = line.split(":", 1)
+        v = v.strip().strip("'\"")
+        if v.lower() in ("true", "false"):
+            out[k.strip()] = v.lower() == "true"
+        else:
+            try:
+                out[k.strip()] = int(v)
+            except ValueError:
+                try:
+                    out[k.strip()] = float(v)
+                except ValueError:
+                    out[k.strip()] = v
+    return out
+
+
+def _build_parser():
     p = argparse.ArgumentParser(description="Train AudioLLM (TPU-native)")
+    p.add_argument("--config", type=str, default=None,
+                   help="YAML/JSON file of flag defaults (CLI flags override)")
     # Model paths (reference src/train.py:33-36)
     p.add_argument("--llama_path", type=str, default="meta-llama/Llama-3.2-3B-Instruct")
     p.add_argument("--whisper_path", type=str, default="openai/whisper-large-v3-turbo")
@@ -106,7 +162,7 @@ def parse_args(argv=None):
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax backend, e.g. 'cpu' (env vars are too "
                         "late when jax is pre-imported at interpreter start)")
-    return p.parse_args(argv)
+    return p
 
 
 def set_seed(seed: int):
@@ -360,6 +416,41 @@ def train(args) -> dict:
         )
     )
 
+    # One-ahead device prefetch: batch i+1's host->device transfer overlaps
+    # step i's compute (the TPU-native analog of the reference's
+    # pin_memory=True DataLoaders, reference src/dataloaders.py:99).
+    batch_shardings = {}
+
+    def put(batch):
+        key = batch.audio_features is not None
+        if key not in batch_shardings:
+            batch_shardings[key] = parallel.sharding.batch_shardings(
+                mesh, batch, accum=accum > 1
+            )
+        return jax.device_put(batch, batch_shardings[key])
+
+    def epoch_batches():
+        group = []
+        for np_batch in train_loader:
+            group.append(np_batch)
+            if len(group) == accum:
+                yield _to_batch(group)
+                group = []
+
+    def prefetched(it):
+        it = iter(it)
+        try:
+            nxt = put(next(it))
+        except StopIteration:
+            return
+        while nxt is not None:
+            cur, nxt = nxt, None
+            try:
+                nxt = put(next(it))  # async transfer while cur computes
+            except StopIteration:
+                pass
+            yield cur
+
     best_eval = float("inf")
     global_step = start_step
     last_metrics = {}
@@ -370,13 +461,7 @@ def train(args) -> dict:
         if done:
             break
         train_loader.set_epoch(epoch)
-        group = []
-        for np_batch in train_loader:
-            group.append(np_batch)
-            if len(group) < accum:
-                continue
-            batch = _to_batch(group) if accum > 1 else _to_batch([np_batch])
-            group = []
+        for batch in prefetched(epoch_batches()):
             state, metrics = get_step(batch)(state, frozen, batch)
             global_step += 1
             tput.update(

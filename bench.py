@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--backend", type=str, default=None)
     ap.add_argument(
+        "--mode", type=str, default="encode", choices=["encode", "decode"],
+        help="encode: audio-sec/sec (headline); decode: KV-cached tokens/sec",
+    )
+    ap.add_argument(
         "--tiny", action="store_true", help="toy dims (CI/CPU smoke run)"
     )
     args = ap.parse_args()
@@ -36,6 +40,9 @@ def main():
 
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
+
+    if args.mode == "decode":
+        return run_decode(args)
 
     import jax.numpy as jnp
 
@@ -111,6 +118,80 @@ def main():
                 "value": round(value, 2),
                 "unit": "audio-sec/sec",
                 "vs_baseline": round(value / target, 3),
+            }
+        )
+    )
+
+
+def run_decode(args):
+    """KV-cached autoregressive decode throughput on the flagship decoder
+    (Llama-3.2-3B dims, bf16, random weights init'd on device): tokens/sec at
+    batch B after a 2014-token multimodal-sized prefill. No reference number
+    exists (BASELINE.md: 'measure, no reference number')."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_llama_tpu.config import LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+
+    cfg = LlamaConfig.tiny(vocab_size=2048) if args.tiny else LlamaConfig.llama32_3b()
+    B = args.batch
+    prefill_len = 64 if args.tiny else 2014  # audio 1502 + text 512
+    max_len = prefill_len + args.iters + 8
+
+    params = jax.jit(
+        lambda k: lm.init_params(cfg, k, dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+    ids = jax.random.randint(
+        jax.random.PRNGKey(1), (B, prefill_len), 3, cfg.vocab_size - 8
+    )
+
+    @jax.jit
+    def prefill(params, ids):
+        cache = lm.KVCache.zeros(cfg, B, max_len, dtype=jnp.bfloat16)
+        logits, cache = lm.llama_forward(
+            params, cfg, input_ids=ids, kv_cache=cache,
+            compute_dtype=jnp.bfloat16,
+        )
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+    @jax.jit
+    def decode(params, tok, cache, n):
+        # fori_loop (not scan) so n stays a traced arg: one compile serves
+        # every loop length — compiles through the tunnel cost minutes.
+        def body(_, carry):
+            tok, cache = carry
+            logits, cache = lm.llama_forward(
+                params, cfg, input_ids=tok[:, None], kv_cache=cache,
+                compute_dtype=jnp.bfloat16,
+            )
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            return (nxt, cache)
+
+        tok, cache = jax.lax.fori_loop(0, n, body, (tok, cache))
+        return jnp.sum(tok)
+
+    tok, cache = prefill(params, ids)
+    float(decode(params, tok, cache, 2))  # compile (n is static in scan len)
+
+    n_small, n_large = 8, args.iters + 8
+    t0 = time.perf_counter()
+    float(decode(params, tok, cache, n_small))
+    d1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(decode(params, tok, cache, n_large))
+    d2 = time.perf_counter() - t0
+    dt = max(d2 - d1, 1e-9)
+    toks_per_sec = B * (n_large - n_small) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tokens_per_sec",
+                "value": round(toks_per_sec, 2),
+                "unit": "tokens/sec",
+                "vs_baseline": 0.0,  # reference never measured decode speed
             }
         )
     )

@@ -1,0 +1,89 @@
+"""In-place embedding splice tests (splice_mode='inplace'): audio block lands
+at the <audio> placeholder position, not prepended."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_llama_tpu.config import AudioLLMConfig
+from audio_llama_tpu.models import allm
+from audio_llama_tpu.models.allm import splice_inplace
+
+
+def test_splice_positions_mask_labels():
+    B, T, A, D = 2, 8, 3, 4
+    rng = np.random.RandomState(0)
+    text = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    audio = jnp.asarray(rng.randn(B, A, D).astype(np.float32))
+    START = 77
+    ids = np.full((B, T), 5, np.int32)
+    ids[0, 2] = START  # row 0: <audio> at position 2
+    ids[1, 0] = START  # row 1: at position 0
+    mask = np.ones((B, T), np.int32)
+    mask[0, 6:] = 0  # row 0 padded from 6
+    labels = np.full((B, T), 9, np.int32)
+
+    emb, m, lab = splice_inplace(
+        text, audio, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(labels), START
+    )
+    assert emb.shape == (B, T + A, D)
+    # row 0: text[0..2], audio[0..2], text[3..]
+    np.testing.assert_allclose(emb[0, :3], text[0, :3])
+    np.testing.assert_allclose(emb[0, 3:6], audio[0])
+    np.testing.assert_allclose(emb[0, 6:], text[0, 3:])
+    # mask: audio positions are 1; shifted text pads stay 0
+    assert m[0, 3:6].tolist() == [1, 1, 1]
+    assert m[0].tolist() == [1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0]
+    # labels: audio positions ignored
+    assert lab[0, 3:6].tolist() == [-100, -100, -100]
+    assert lab[0, 0] == 9 and lab[0, 6] == 9
+    # row 1: audio right after position 0
+    np.testing.assert_allclose(emb[1, 0:1], text[1, 0:1])
+    np.testing.assert_allclose(emb[1, 1:4], audio[1])
+    np.testing.assert_allclose(emb[1, 4:], text[1, 1:])
+
+
+def test_splice_without_placeholder_degrades_to_prepend():
+    B, T, A, D = 1, 4, 2, 3
+    rng = np.random.RandomState(1)
+    text = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    audio = jnp.asarray(rng.randn(B, A, D).astype(np.float32))
+    ids = jnp.full((B, T), 5, jnp.int32)  # no <audio> token anywhere
+    mask = jnp.ones((B, T), jnp.int32)
+    emb, m, _ = splice_inplace(text, audio, ids, mask, None, 77)
+    np.testing.assert_allclose(emb[0, :A], audio[0])
+    np.testing.assert_allclose(emb[0, A:], text[0])
+
+
+def test_forward_inplace_mode_runs_and_differs_from_prepend():
+    cfg = AudioLLMConfig.tiny()
+    key = jax.random.PRNGKey(0)
+    kf, kt = jax.random.split(key)
+    frozen = allm.init_frozen(cfg, kf, dtype=jnp.float32)
+    trainable = allm.init_trainable(cfg, kt)
+    sid, eid = 260, 261
+    rng = np.random.RandomState(0)
+    T = 12
+    ids = rng.randint(3, 250, (2, T)).astype(np.int32)
+    ids[:, 4] = sid
+    ids[:, 5] = eid
+    batch = allm.AudioLLMBatch(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones((2, T), jnp.int32),
+        audio_features=jnp.asarray(rng.randn(2, cfg.mel.max_samples), jnp.float32) * 0.1,
+        labels=jnp.asarray(rng.randint(3, 250, (2, T)), jnp.int32),
+    )
+    loss_pre, logits_pre = allm.forward(
+        frozen, trainable, cfg, batch, sid, eid, compute_dtype=jnp.float32
+    )
+    cfg_in = cfg.replace(splice_mode="inplace")
+    loss_in, logits_in = allm.forward(
+        frozen, trainable, cfg_in, batch, sid, eid, compute_dtype=jnp.float32
+    )
+    # both are [B, A+2+T, V] (inplace inserts A inside T which already holds
+    # the two delimiters, prepend adds A+2 in front of T)
+    assert logits_pre.shape[1] == cfg.audio_seq_len + 2 + T
+    assert logits_in.shape[1] == T + cfg.audio_seq_len
+    assert np.isfinite(float(loss_pre)) and np.isfinite(float(loss_in))
+    assert abs(float(loss_pre) - float(loss_in)) > 1e-6  # genuinely different layout

@@ -166,7 +166,7 @@ _SS_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
 
 def write_flac(
     path: str,
-    samples: np.ndarray,  # [n] or [n, ch] int
+    samples: np.ndarray,  # [n] or [n, ch]; float in [-1, 1] or int PCM
     sample_rate: int = 16000,
     bps: int = 16,
     block_size: int = 4096,
@@ -177,6 +177,11 @@ def write_flac(
         samples = samples[:, None]
     n, nch = samples.shape
     assert nch in (1, 2)
+    if np.issubdtype(samples.dtype, np.floating):
+        # float waveform contract matches write_wav: [-1, 1] -> full-scale PCM
+        # (a bare astype would truncate |x|<1 to silence).
+        full = float(2 ** (bps - 1) - 1)
+        samples = np.round(np.clip(samples, -1.0, 1.0) * full)
     samples = samples.astype(np.int64)
 
     header = bytearray(b"fLaC")

@@ -83,6 +83,17 @@ def test_flac_probe(tmp_path, lib):
     assert info.total_samples == 3000
 
 
+def test_flac_float_waveform_roundtrip(tmp_path, lib):
+    """Float [-1,1] input must be scaled to full-scale PCM, not truncated to
+    silence (regression: a bare astype(int) wrote zeros for |x| < 1)."""
+    rng = np.random.default_rng(2)
+    w = (rng.standard_normal(12345) * 0.1).astype(np.float32)
+    p = str(tmp_path / "f.flac")
+    flac_write.write_flac(p, w, 16000)
+    audio, sr = audio_io.read_flac(p)
+    np.testing.assert_allclose(audio[:, 0], np.clip(w, -1, 1), atol=5e-5)
+
+
 def test_wav_roundtrip(tmp_path):
     rng = np.random.default_rng(1)
     x = (rng.uniform(-0.9, 0.9, 8000)).astype(np.float32)

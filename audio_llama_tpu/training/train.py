@@ -162,6 +162,11 @@ def _build_parser():
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax backend, e.g. 'cpu' (env vars are too "
                         "late when jax is pre-imported at interpreter start)")
+    p.add_argument("--profile_steps", type=str, default=None, metavar="N:M",
+                   help="capture a jax.profiler trace over global steps "
+                        "[N, M) into {output_dir}/profile")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN; slow)")
     return p
 
 
@@ -280,6 +285,8 @@ def train(args) -> dict:
 
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
 
     from .. import parallel
@@ -451,6 +458,12 @@ def train(args) -> dict:
                 pass
             yield cur
 
+    profile_window = None
+    if args.profile_steps:
+        lo, hi = (int(x) for x in args.profile_steps.split(":"))
+        profile_window = (lo, hi, os.path.join(args.output_dir, "profile"))
+    profiling_active = False
+
     best_eval = float("inf")
     global_step = start_step
     last_metrics = {}
@@ -462,6 +475,16 @@ def train(args) -> dict:
             break
         train_loader.set_epoch(epoch)
         for batch in prefetched(epoch_batches()):
+            if profile_window is not None:
+                lo, hi, pdir = profile_window
+                if not profiling_active and global_step == lo:
+                    jax.profiler.start_trace(pdir)
+                    profiling_active = True
+                elif profiling_active and global_step >= hi:
+                    jax.block_until_ready(state.trainable)
+                    jax.profiler.stop_trace()
+                    profiling_active = False
+                    logger.info("profiler trace written to %s", pdir)
             state, metrics = get_step(batch)(state, frozen, batch)
             global_step += 1
             tput.update(
@@ -522,6 +545,10 @@ def train(args) -> dict:
             if args.max_steps and global_step >= args.max_steps:
                 done = True
                 break
+
+    if profiling_active:
+        jax.block_until_ready(state.trainable)
+        jax.profiler.stop_trace()
 
     # Final eval + final checkpoint (reference src/train.py:357-363).
     if len(val_loader):

@@ -91,14 +91,35 @@ def process_audio_features(
     log-mel then runs ON-DEVICE, fused into this jitted program) or
     precomputed mels [B, n_mels, F] / [B, 1, n_mels, F] (reference-style
     host featurization).
+
+    Long audio: waveforms longer than one Whisper window (cfg.mel.max_samples,
+    30 s) are encoded as N consecutive windows — [B, N*S] -> windows folded
+    into the batch axis for mel+encoder, then unfolded to [B, N*A, d] encoder
+    frames (the BASELINE.json stretch config's chunked encoding). S must
+    divide the waveform length; the data layer pads to whole windows.
     """
     if audio.ndim == 2:  # waveform -> on-device log-mel
         from ..ops import mel_pallas
 
+        S = cfg.mel.max_samples
+        B, total = audio.shape
+        n_windows = 1
+        if total > S:
+            if total % S != 0:
+                raise ValueError(
+                    f"long audio length {total} must be a multiple of the "
+                    f"{S}-sample window (pad on the host)"
+                )
+            n_windows = total // S
+            audio = audio.reshape(B * n_windows, S)
         if mel_pallas.should_use(cfg.mel):
             mel = mel_pallas.log_mel(audio, cfg.mel)  # fused Pallas kernel
         else:
             mel = mel_ops.log_mel(audio, cfg.mel)
+        if n_windows > 1:
+            enc = whisper_mod.encode(frozen["whisper"], cfg.whisper, mel, compute_dtype)
+            enc = enc.reshape(B, n_windows * enc.shape[1], enc.shape[2])
+            return jax.lax.stop_gradient(enc)
     elif audio.ndim == 4:  # tolerate a [B, 1, n_mels, F] channel dim like the ref
         mel = audio.squeeze(1)
     else:

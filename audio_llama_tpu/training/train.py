@@ -218,12 +218,17 @@ def _build_model(args):
     new_vocab = tokenizer.vocab_size
     llama_params = llama_mod.resize_embeddings(llama_params, new_vocab, llama_cfg)
     llama_cfg = llama_cfg.replace(vocab_size=max(llama_cfg.vocab_size, new_vocab))
+    # One Whisper window is 30 s; --max_audio_length beyond that becomes N
+    # chunked windows (the dataset emits N*30 s waveforms; the model encodes
+    # them window-wise and concatenates encoder frames — models/allm.py).
+    if args.max_audio_length > 30 and args.max_audio_length % 30 != 0:
+        raise ValueError("--max_audio_length beyond 30 must be a multiple of 30")
     cfg = AudioLLMConfig(
         llama=llama_cfg,
         whisper=whisper_cfg,
         mel=MelConfig(
             num_mel_bins=whisper_cfg.num_mel_bins,
-            max_audio_seconds=float(args.max_audio_length),
+            max_audio_seconds=float(min(args.max_audio_length, 30)),
         ),
         lora=lora,
     )
@@ -309,7 +314,9 @@ def train(args) -> dict:
 
     ds_cfg = DatasetConfig(
         text_max_length=args.text_max_length,
-        max_audio_seconds=cfg.mel.max_audio_seconds,
+        max_audio_seconds=float(args.max_audio_length)
+        if not args.toy_model
+        else cfg.mel.max_audio_seconds,
         label_mode=args.label_mode,
         skip_missing_files=args.skip_missing_files,
         use_dummy_audio_for_missing=args.use_dummy_audio,
@@ -414,8 +421,9 @@ def train(args) -> dict:
             )
         return eval_step
 
+    n_windows = max(1, int(args.max_audio_length) // 30) if not args.toy_model else 1
     tokens_per_micro = args.batch_size * (
-        args.text_max_length + cfg.audio_seq_len + 2
+        args.text_max_length + n_windows * cfg.audio_seq_len + 2
     )
     tput = Throughput(
         flops_per_step=_flops_per_step(

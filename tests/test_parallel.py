@@ -106,6 +106,38 @@ def test_sharded_step_matches_single_device():
         )
 
 
+def test_sharded_step_dp_fsdp_tp_matches_single_device():
+    """Full 3-axis mesh (dp=2, fsdp=2, tp=2): ZeRO-style 2D weight sharding
+    + batch over dp*fsdp must still match the single-device update."""
+    cfg, frozen, trainable, batch = _setup(batch=8)
+    opt = optax.adamw(1e-3)
+    sid, eid = 260, 261
+
+    ref_step = jax.jit(
+        base_steps.make_train_step(cfg, opt, sid, eid, compute_dtype=jnp.float32)
+    )
+    ref_state = base_steps.init_train_state(trainable, opt)
+    ref_state, ref_metrics = ref_step(ref_state, frozen, batch)
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    frozen_sh = shd.shard_frozen(mesh, frozen)
+    state = init_sharded_state(mesh, trainable, opt)
+    step = make_sharded_train_step(
+        cfg, opt, mesh, batch, sid, eid, compute_dtype=jnp.float32,
+        donate_state=False,
+    )
+    state, metrics = step(state, frozen_sh, batch)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(state.trainable), jax.tree.leaves(ref_state.trainable)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-4
+        )
+
+
 def test_sharded_step_with_accumulation():
     cfg, frozen, trainable, batch = _setup(batch=4, accum=2)
     opt = optax.adamw(1e-3)

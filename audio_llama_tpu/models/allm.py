@@ -244,16 +244,33 @@ def forward(
     audio_start_id: int,
     audio_end_id: int,
     compute_dtype=jnp.bfloat16,
+    loss_chunk_size: int = 0,
 ):
     """Full multimodal forward. Returns (loss, logits [B, A+2+T, V]).
 
     With batch.audio_features=None this degenerates to a plain text LM step
     (the reference's text-only path, src/models/allm.py:93-96).
+
+    loss_chunk_size > 0 computes the cross-entropy in sequence chunks without
+    materializing the [B, T, V] logits (llama.causal_lm_loss_from_hidden —
+    essential at 3B/128k-vocab scale); logits returned are then None.
     """
     lora = trainable.get("lora")
     if lora is not None:
         lora = lora_mod.with_scaling(lora, cfg.lora)
     if batch.audio_features is None:
+        if loss_chunk_size:
+            _, _, hidden = llama_mod.llama_forward(
+                frozen["llama"], cfg.llama,
+                input_ids=batch.input_ids,
+                attention_mask=batch.attention_mask,
+                lora=lora, compute_dtype=compute_dtype, return_hidden=True,
+            )
+            loss = llama_mod.causal_lm_loss_from_hidden(
+                frozen["llama"], cfg.llama, hidden, batch.labels,
+                loss_chunk_size, compute_dtype,
+            )
+            return loss, None
         logits, _ = llama_mod.llama_forward(
             frozen["llama"],
             cfg.llama,
@@ -288,6 +305,17 @@ def forward(
             compute_dtype,
         )
         labels = extend_labels(batch.labels, audio_embeds.shape[1] + 2)
+    if loss_chunk_size:
+        _, _, hidden = llama_mod.llama_forward(
+            frozen["llama"], cfg.llama,
+            inputs_embeds=combined, attention_mask=combined_mask,
+            lora=lora, compute_dtype=compute_dtype, return_hidden=True,
+        )
+        loss = llama_mod.causal_lm_loss_from_hidden(
+            frozen["llama"], cfg.llama, hidden, labels,
+            loss_chunk_size, compute_dtype,
+        )
+        return loss, None
     logits, _ = llama_mod.llama_forward(
         frozen["llama"],
         cfg.llama,

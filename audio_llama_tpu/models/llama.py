@@ -25,6 +25,7 @@ the hot path.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -217,8 +218,14 @@ def llama_forward(
     lora_scaling = lora["scaling"] if lora is not None else None
 
     def layer_step(carry, scanned):
-        x, = carry
-        (p, lor, cache_kv) = scanned
+        # Carry holds (x, full_k_cache, full_v_cache): the cache is updated
+        # with a per-layer dynamic_update_slice ON THE CARRY, which XLA
+        # aliases in place across the scan's while-loop iterations. Returning
+        # per-layer cache slabs as scan ys instead would re-materialize the
+        # whole [L, B, max_len, Hkv, hd] cache every call — at 3B/2k-ctx
+        # decode that is ~5 GB of pointless HBM traffic per token.
+        x, ck_all, cv_all = carry
+        (p, lor, li) = scanned
         h = rms_norm(x, p["input_ln"].astype(compute_dtype), cfg.rms_norm_eps)
 
         def lb(name):
@@ -238,15 +245,21 @@ def llama_forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        if cache_kv is not None:
-            ck, cv = cache_kv
-            ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, offset, 0, 0))
-            cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, offset, 0, 0))
-            attn_k, attn_v = ck.astype(compute_dtype), cv.astype(compute_dtype)
-            new_cache = (ck, cv)
+        if ck_all is not None:
+            ck_all = lax.dynamic_update_slice(
+                ck_all, k.astype(ck_all.dtype)[None], (li, 0, offset, 0, 0)
+            )
+            cv_all = lax.dynamic_update_slice(
+                cv_all, v.astype(cv_all.dtype)[None], (li, 0, offset, 0, 0)
+            )
+            attn_k = lax.dynamic_index_in_dim(
+                ck_all, li, axis=0, keepdims=False
+            ).astype(compute_dtype)
+            attn_v = lax.dynamic_index_in_dim(
+                cv_all, li, axis=0, keepdims=False
+            ).astype(compute_dtype)
         else:
             attn_k, attn_v = k, v
-            new_cache = None
 
         if use_flash:
             attn = fa.flash_mha(
@@ -264,18 +277,19 @@ def llama_forward(
         u = _linear(h, p["up_proj"], lb("up_proj"), compute_dtype)
         d = _linear(jax.nn.silu(g) * u, p["down_proj"], lb("down_proj"), compute_dtype)
         x = x + d
-        return (x,), new_cache
+        return (x, ck_all, cv_all), None
 
-    # Assemble scanned pytrees: stacked layer params (+ optional stacked lora,
-    # + optional cache slabs).
+    # Assemble scanned pytrees: stacked layer params + optional stacked lora,
+    # with the layer index as xs for cache addressing.
     lora_layers = lora["layers"] if lora is not None else None
-    cache_in = (kv_cache.k, kv_cache.v) if kv_cache is not None else None
+    L = cfg.num_layers
+    if kv_cache is not None:
+        carry0 = (x, kv_cache.k, kv_cache.v)
+    else:
+        carry0 = (x, None, None)
 
-    def scan_body(carry, xs):
-        return layer_step(carry, xs)
-
-    (x,), cache_out = lax.scan(
-        scan_body, (x,), (lp, lora_layers, cache_in)
+    (x, ck_out, cv_out), _ = lax.scan(
+        layer_step, carry0, (lp, lora_layers, jnp.arange(L))
     )
 
     x = rms_norm(x, params["final_ln"].astype(compute_dtype), cfg.rms_norm_eps)
@@ -284,7 +298,7 @@ def llama_forward(
 
     new_cache = None
     if kv_cache is not None:
-        new_cache = KVCache(k=cache_out[0], v=cache_out[1], length=offset + T)
+        new_cache = KVCache(k=ck_out, v=cv_out, length=offset + T)
     if return_hidden:
         return logits, new_cache, x
     return logits, new_cache
@@ -307,6 +321,56 @@ def unembed(params: Params, cfg: LlamaConfig, x: jnp.ndarray, compute_dtype=jnp.
         params["lm_head"].astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
+
+
+def causal_lm_loss_from_hidden(
+    params: Params,
+    cfg: LlamaConfig,
+    hidden: jnp.ndarray,  # [B, T, D] final hidden states (post final_ln)
+    labels: jnp.ndarray,  # [B, T] int32, -100 = ignore
+    chunk_size: int = 256,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Shifted cross-entropy WITHOUT materializing [B, T, V] logits.
+
+    At flagship shapes (B8, T~2014, V=128256) dense f32 logits are ~8 GB —
+    more than the decoder weights. This scans over sequence chunks, computes
+    each chunk's logits + logsumexp + target score under jax.checkpoint (so
+    the backward recomputes the chunk unembedding instead of saving it), and
+    accumulates the masked token losses. Numerically identical to
+    causal_lm_loss(unembed(hidden), labels) up to reduction order.
+    """
+    xs = hidden[:, :-1]
+    ys = labels[:, 1:]
+    B, T, D = xs.shape
+    n_chunks = -(-T // chunk_size)
+    pad = n_chunks * chunk_size - T
+    if pad:
+        xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
+        ys = jnp.pad(ys, ((0, 0), (0, pad)), constant_values=-100)
+
+    @functools.partial(jax.checkpoint, prevent_cse=False)
+    def chunk_loss(xc, yc):
+        logits = unembed(params, cfg, xc, compute_dtype)  # [B, c, V] f32
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        mask = yc != -100
+        safe = jnp.where(mask, yc, 0)
+        tgt = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(mask, lse - tgt, 0.0)
+        return jnp.sum(nll), jnp.sum(mask)
+
+    def body(carry, idx):
+        total, count = carry
+        xc = jax.lax.dynamic_slice_in_dim(xs, idx * chunk_size, chunk_size, 1)
+        yc = jax.lax.dynamic_slice_in_dim(ys, idx * chunk_size, chunk_size, 1)
+        s, n = chunk_loss(xc, yc)
+        return (total + s, count + n), None
+
+    (total, count), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        jnp.arange(n_chunks),
+    )
+    return total / jnp.maximum(count, 1)
 
 
 def causal_lm_loss(

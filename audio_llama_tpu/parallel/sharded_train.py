@@ -96,6 +96,7 @@ def make_sharded_train_step(
     compute_dtype=jnp.bfloat16,
     accum_steps: int = 1,
     donate_state: bool = True,
+    loss_chunk_size: int = 0,
 ):
     """jit-compiled sharded step(state, frozen, batch) -> (state, metrics).
 
@@ -104,7 +105,8 @@ def make_sharded_train_step(
     laid out by jit itself.
     """
     step = base_steps.make_train_step(
-        cfg, optimizer, audio_start_id, audio_end_id, compute_dtype, accum_steps
+        cfg, optimizer, audio_start_id, audio_end_id, compute_dtype, accum_steps,
+        loss_chunk_size=loss_chunk_size,
     )
     batch_sh = sharding.batch_shardings(mesh, batch_template, accum=accum_steps > 1)
     return jax.jit(

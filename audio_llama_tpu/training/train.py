@@ -167,6 +167,10 @@ def _build_parser():
                         "[N, M) into {output_dir}/profile")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN; slow)")
+    p.add_argument("--loss_chunk_size", type=int, default=0,
+                   help="compute cross-entropy in sequence chunks of this "
+                        "size without materializing [B,T,V] logits "
+                        "(recommended 256 for 3B/128k-vocab training)")
     return p
 
 
@@ -408,6 +412,7 @@ def train(args) -> dict:
             step_fns[key] = parallel.make_sharded_train_step(
                 cfg, optimizer, mesh, batch, sid, eid,
                 compute_dtype=compute_dtype, accum_steps=accum,
+                loss_chunk_size=args.loss_chunk_size,
             )
         return step_fns[key]
 

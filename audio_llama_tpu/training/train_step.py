@@ -40,10 +40,12 @@ def init_train_state(trainable: dict, optimizer: optax.GradientTransformation) -
 
 
 def make_loss_fn(cfg: AudioLLMConfig, audio_start_id: int, audio_end_id: int,
-                 compute_dtype=jnp.bfloat16, with_audio: bool = True) -> Callable:
+                 compute_dtype=jnp.bfloat16, with_audio: bool = True,
+                 loss_chunk_size: int = 0) -> Callable:
     def loss_fn(trainable, frozen, batch: allm.AudioLLMBatch):
         loss, _ = allm.forward(
-            frozen, trainable, cfg, batch, audio_start_id, audio_end_id, compute_dtype
+            frozen, trainable, cfg, batch, audio_start_id, audio_end_id,
+            compute_dtype, loss_chunk_size=loss_chunk_size,
         )
         return loss
 
@@ -58,12 +60,14 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
     accum_steps: int = 1,
     with_audio: bool = True,
+    loss_chunk_size: int = 0,
 ):
     """Returns step(state, frozen, batch) -> (state, metrics).
 
     batch leaves are [accum, micro, ...] when accum_steps > 1, else [micro, ...].
     """
-    loss_fn = make_loss_fn(cfg, audio_start_id, audio_end_id, compute_dtype, with_audio)
+    loss_fn = make_loss_fn(cfg, audio_start_id, audio_end_id, compute_dtype,
+                           with_audio, loss_chunk_size)
     grad_fn = jax.value_and_grad(loss_fn)
 
     def step(state: TrainState, frozen: dict, batch: allm.AudioLLMBatch):

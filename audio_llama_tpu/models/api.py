@@ -1,0 +1,156 @@
+"""Object-style convenience facade over the functional core.
+
+The reference exposes a torch `AudioLLM` nn.Module with .forward/.generate/
+.get_trainable_params/.to (reference src/models/allm.py:8-348). The TPU-native
+core is pure functions over pytrees (models/allm.py) — this facade binds
+(config, frozen, trainable, tokenizer) into one object with the familiar
+method surface, for users migrating from the reference. All methods delegate
+to the jitted functional paths; the object holds no other state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import AudioLLMConfig
+
+
+class AudioLLM:
+    """Bound model: config + frozen/trainable pytrees + tokenizer."""
+
+    def __init__(self, cfg: AudioLLMConfig, frozen: dict, trainable: dict, tokenizer):
+        self.cfg = cfg
+        self.frozen = frozen
+        self.trainable = trainable
+        self.tokenizer = tokenizer
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        llama_path: str,
+        whisper_path: str,
+        tokenizer: Optional[str] = None,
+        lora=None,
+        seed: int = 0,
+    ) -> "AudioLLM":
+        """Load frozen bases from local HF checkpoints and init fresh
+        trainables (reference AudioLLM.__init__, src/models/allm.py:8-45)."""
+        import jax
+
+        from ..data.tokenizer import load_tokenizer
+        from . import allm, hf_loader, llama as llama_mod
+
+        tk = load_tokenizer(tokenizer or llama_path)
+        llama_params, llama_cfg = hf_loader.load_llama(llama_path)
+        whisper_params, whisper_cfg = hf_loader.load_whisper_encoder(whisper_path)
+        llama_params = llama_mod.resize_embeddings(llama_params, tk.vocab_size, llama_cfg)
+        llama_cfg = llama_cfg.replace(vocab_size=max(llama_cfg.vocab_size, tk.vocab_size))
+        from ..config import LoraConfig, MelConfig
+
+        cfg = AudioLLMConfig(
+            llama=llama_cfg,
+            whisper=whisper_cfg,
+            mel=MelConfig(num_mel_bins=whisper_cfg.num_mel_bins),
+            lora=lora if lora is not None else LoraConfig(),
+        )
+        trainable = allm.init_trainable(cfg, jax.random.PRNGKey(seed))
+        return cls(cfg, {"llama": llama_params, "whisper": whisper_params}, trainable, tk)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_path: str, **kw) -> "AudioLLM":
+        """Restore trainables (and config) from a training checkpoint
+        (reference load_audio_llm, src/inference.py:13-76)."""
+        from ..inference.cli import load_audio_llm
+
+        cfg, frozen, trainable, tk = load_audio_llm(checkpoint_path, **kw)
+        return cls(cfg, frozen, trainable, tk)
+
+    # -- reference method surface -------------------------------------------
+
+    @property
+    def audio_start_id(self) -> int:
+        return self.tokenizer.token_to_id(self.cfg.audio_start_token)
+
+    @property
+    def audio_end_id(self) -> int:
+        return self.tokenizer.token_to_id(self.cfg.audio_end_token)
+
+    def forward(self, batch, compute_dtype=None):
+        """(loss, logits) on an AudioLLMBatch (reference AudioLLM.forward,
+        src/models/allm.py:47-106)."""
+        import jax.numpy as jnp
+
+        from . import allm
+
+        return allm.forward(
+            self.frozen, self.trainable, self.cfg, batch,
+            self.audio_start_id, self.audio_end_id,
+            compute_dtype or jnp.bfloat16,
+        )
+
+    __call__ = forward
+
+    def generate(
+        self,
+        prompt: str,
+        audio_path: Optional[str] = None,
+        max_new_tokens: int = 256,
+        temperature: float = 0.7,
+        top_p: float = 0.9,
+        greedy: bool = False,
+        seed: int = 0,
+    ) -> str:
+        """Prompt (+ optional audio file) -> generated text (reference
+        AudioLLM.generate, src/models/allm.py:263-348, with the prompt-strip
+        already handled)."""
+        from ..inference.cli import generate_response
+
+        return generate_response(
+            self.cfg, self.frozen, self.trainable, self.tokenizer,
+            prompt=prompt, audio_path=audio_path,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, greedy=greedy, seed=seed,
+        )
+
+    def get_trainable_params(self) -> dict:
+        """The trainable pytree — projector + LoRA only (reference
+        src/models/allm.py:244-249)."""
+        return self.trainable
+
+    def num_trainable_params(self) -> int:
+        from . import allm
+
+        return allm.num_trainable_params(self.trainable)
+
+    def to_mesh(self, mesh) -> "AudioLLM":
+        """Shard the frozen stacks over a device mesh (the TPU analog of the
+        reference's .to(device), src/models/allm.py:251-260)."""
+        from ..parallel import sharding
+
+        return AudioLLM(
+            self.cfg,
+            sharding.shard_frozen(mesh, self.frozen),
+            sharding.shard_trainable(mesh, self.trainable),
+            self.tokenizer,
+        )
+
+    def merge_lora(self) -> "AudioLLM":
+        """Fold LoRA deltas into the frozen weights for zero-overhead decode
+        (no reference analog; see models/lora.py:merge_into_llama)."""
+        from . import lora as lora_mod
+
+        if self.cfg.lora is None or "lora" not in self.trainable:
+            return self
+        merged = dict(self.frozen)
+        merged["llama"] = lora_mod.merge_into_llama(
+            self.frozen["llama"],
+            lora_mod.with_scaling(self.trainable["lora"], self.cfg.lora),
+        )
+        trainable = {k: v for k, v in self.trainable.items() if k != "lora"}
+        return AudioLLM(
+            self.cfg.replace(lora=None), merged, trainable, self.tokenizer
+        )

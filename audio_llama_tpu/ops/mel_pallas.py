@@ -76,7 +76,9 @@ def _basis(cfg: MelConfig):
 
     fbT = np.zeros((_NB_PAD, fb.shape[0]), np.float32)
     fbT[:n_bins] = fb.T  # zero rows beyond n_bins keep the matmul exact
-    return jnp.asarray(C), jnp.asarray(S), jnp.asarray(fbT)
+    # NB: return HOST arrays. jnp.asarray inside a jit trace yields tracers;
+    # caching those here would leak them into every later trace.
+    return C, S, fbT
 
 
 def _kernel(slab_ref, c_ref, s_ref, fb_ref, out_ref):
@@ -123,7 +125,7 @@ def mel_power(audio: jnp.ndarray, cfg: MelConfig, interpret: bool = False) -> jn
         B * n_tiles, Ft + 2, hop
     )
 
-    C, S, fbT = _basis(cfg)
+    C, S, fbT = (jnp.asarray(t) for t in _basis(cfg))
     out = pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((B * n_tiles, Ft, fbT.shape[1]), jnp.float32),

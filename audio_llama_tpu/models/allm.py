@@ -245,6 +245,7 @@ def forward(
     audio_end_id: int,
     compute_dtype=jnp.bfloat16,
     loss_chunk_size: int = 0,
+    remat: bool = False,
 ):
     """Full multimodal forward. Returns (loss, logits [B, A+2+T, V]).
 
@@ -265,6 +266,7 @@ def forward(
                 input_ids=batch.input_ids,
                 attention_mask=batch.attention_mask,
                 lora=lora, compute_dtype=compute_dtype, return_hidden=True,
+                remat=remat,
             )
             loss = llama_mod.causal_lm_loss_from_hidden(
                 frozen["llama"], cfg.llama, hidden, batch.labels,
@@ -278,6 +280,7 @@ def forward(
             attention_mask=batch.attention_mask,
             lora=lora,
             compute_dtype=compute_dtype,
+            remat=remat,
         )
         loss = llama_mod.causal_lm_loss(logits, batch.labels)
         return loss, logits
@@ -310,6 +313,7 @@ def forward(
             frozen["llama"], cfg.llama,
             inputs_embeds=combined, attention_mask=combined_mask,
             lora=lora, compute_dtype=compute_dtype, return_hidden=True,
+            remat=remat,
         )
         loss = llama_mod.causal_lm_loss_from_hidden(
             frozen["llama"], cfg.llama, hidden, labels,
@@ -323,6 +327,7 @@ def forward(
         attention_mask=combined_mask,
         lora=lora,
         compute_dtype=compute_dtype,
+        remat=remat,
     )
     loss = llama_mod.causal_lm_loss(logits, labels)
     return loss, logits

@@ -159,8 +159,13 @@ def llama_forward(
     compute_dtype=jnp.bfloat16,
     return_hidden: bool = False,
     attn_impl: str = "auto",
+    remat: bool = False,
 ):
     """Decoder forward.
+
+    remat=True wraps each scanned layer in jax.checkpoint so the backward
+    pass recomputes layer activations instead of saving them — O(1-layer)
+    activation memory, the standard trade for training deep stacks.
 
     Without kv_cache: full causal self-attention over T positions; returns
     (logits [B, T, V], None).
@@ -288,8 +293,11 @@ def llama_forward(
     else:
         carry0 = (x, None, None)
 
+    step_fn = layer_step
+    if remat:
+        step_fn = jax.checkpoint(layer_step, prevent_cse=False)
     (x, ck_out, cv_out), _ = lax.scan(
-        layer_step, carry0, (lp, lora_layers, jnp.arange(L))
+        step_fn, carry0, (lp, lora_layers, jnp.arange(L))
     )
 
     x = rms_norm(x, params["final_ln"].astype(compute_dtype), cfg.rms_norm_eps)

@@ -97,6 +97,7 @@ def make_sharded_train_step(
     accum_steps: int = 1,
     donate_state: bool = True,
     loss_chunk_size: int = 0,
+    remat: bool = False,
 ):
     """jit-compiled sharded step(state, frozen, batch) -> (state, metrics).
 
@@ -106,7 +107,7 @@ def make_sharded_train_step(
     """
     step = base_steps.make_train_step(
         cfg, optimizer, audio_start_id, audio_end_id, compute_dtype, accum_steps,
-        loss_chunk_size=loss_chunk_size,
+        loss_chunk_size=loss_chunk_size, remat=remat,
     )
     batch_sh = sharding.batch_shardings(mesh, batch_template, accum=accum_steps > 1)
     return jax.jit(

@@ -167,6 +167,9 @@ def _build_parser():
                         "[N, M) into {output_dir}/profile")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN; slow)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize decoder layers in backward "
+                        "(O(1-layer) activation memory; needed at 3B scale)")
     p.add_argument("--loss_chunk_size", type=int, default=0,
                    help="compute cross-entropy in sequence chunks of this "
                         "size without materializing [B,T,V] logits "
@@ -412,7 +415,7 @@ def train(args) -> dict:
             step_fns[key] = parallel.make_sharded_train_step(
                 cfg, optimizer, mesh, batch, sid, eid,
                 compute_dtype=compute_dtype, accum_steps=accum,
-                loss_chunk_size=args.loss_chunk_size,
+                loss_chunk_size=args.loss_chunk_size, remat=args.remat,
             )
         return step_fns[key]
 

@@ -41,11 +41,11 @@ def init_train_state(trainable: dict, optimizer: optax.GradientTransformation) -
 
 def make_loss_fn(cfg: AudioLLMConfig, audio_start_id: int, audio_end_id: int,
                  compute_dtype=jnp.bfloat16, with_audio: bool = True,
-                 loss_chunk_size: int = 0) -> Callable:
+                 loss_chunk_size: int = 0, remat: bool = False) -> Callable:
     def loss_fn(trainable, frozen, batch: allm.AudioLLMBatch):
         loss, _ = allm.forward(
             frozen, trainable, cfg, batch, audio_start_id, audio_end_id,
-            compute_dtype, loss_chunk_size=loss_chunk_size,
+            compute_dtype, loss_chunk_size=loss_chunk_size, remat=remat,
         )
         return loss
 
@@ -61,13 +61,14 @@ def make_train_step(
     accum_steps: int = 1,
     with_audio: bool = True,
     loss_chunk_size: int = 0,
+    remat: bool = False,
 ):
     """Returns step(state, frozen, batch) -> (state, metrics).
 
     batch leaves are [accum, micro, ...] when accum_steps > 1, else [micro, ...].
     """
     loss_fn = make_loss_fn(cfg, audio_start_id, audio_end_id, compute_dtype,
-                           with_audio, loss_chunk_size)
+                           with_audio, loss_chunk_size, remat)
     grad_fn = jax.value_and_grad(loss_fn)
 
     def step(state: TrainState, frozen: dict, batch: allm.AudioLLMBatch):

@@ -89,8 +89,13 @@ def transcribe_batch(
     audio: np.ndarray,  # [B, S]
     max_new_tokens: int = 128,
     seed: int = 0,
+    pad_to: Optional[int] = None,
 ) -> List[str]:
-    """Greedy batched decode; prompts are right-padded to a shared length."""
+    """Greedy batched decode; prompts are right-padded to a shared length.
+
+    Pass pad_to (e.g. the corpus-wide max prompt length) so every batch hits
+    ONE compiled program — per-batch max lengths would recompile each time.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -98,6 +103,8 @@ def transcribe_batch(
 
     encs = [tokenizer.encode(p) for p in prompts]
     T = max(len(ids) for ids, _ in encs)
+    if pad_to is not None:
+        T = max(T, pad_to)
     ids = np.full((len(encs), T), tokenizer.pad_id, np.int32)
     mask = np.zeros((len(encs), T), np.int32)
     for i, (e, m) in enumerate(encs):
@@ -152,6 +159,14 @@ def evaluate_wer(
     refs: List[str] = []
     hyps: List[str] = []
     n = len(entries)
+    # Corpus-wide prompt pad length => one compiled generate program.
+    all_prompts = [
+        prompt_override or e.get(text_key) or "Please transcribe this audio."
+        for e in entries
+    ]
+    pad_to = max(
+        (len(tokenizer.encode(p)[0]) for p in all_prompts), default=8
+    )
     for lo in range(0, n, batch_size):
         chunk = entries[lo : lo + batch_size]
         real = len(chunk)
@@ -169,7 +184,8 @@ def evaluate_wer(
             axis=0,
         )
         texts = transcribe_batch(
-            cfg, frozen, trainable, tokenizer, prompts, audio, max_new_tokens
+            cfg, frozen, trainable, tokenizer, prompts, audio, max_new_tokens,
+            pad_to=pad_to,
         )
         refs.extend(e[response_key] for e in chunk[:real])
         hyps.extend(texts[:real])

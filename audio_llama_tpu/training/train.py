@@ -391,9 +391,19 @@ def train(args) -> dict:
             trainable_template=jax.device_get(state.trainable),
             opt_state_template=jax.device_get(state.opt_state),
         )
+        t_sharded = parallel.sharding.shard_trainable(mesh, t)
+        if o is not None:
+            # Re-place restored optimizer leaves with the same shardings the
+            # fresh sharded state uses (leaf-by-leaf against the template).
+            opt_state = jax.tree_util.tree_map(
+                lambda leaf, tmpl: jax.device_put(np.asarray(leaf), tmpl.sharding),
+                o, state.opt_state,
+            )
+        else:
+            opt_state = state.opt_state
         state = steps_mod.TrainState(
-            trainable=parallel.sharding.shard_trainable(mesh, t),
-            opt_state=jax.device_put(o) if o is not None else state.opt_state,
+            trainable=t_sharded,
+            opt_state=opt_state,
             step=jnp.asarray(start_step, jnp.int32),
         )
         logger.info("resumed from %s at step %d", args.resume_from, start_step)

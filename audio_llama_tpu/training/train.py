@@ -393,12 +393,11 @@ def train(args) -> dict:
         )
         t_sharded = parallel.sharding.shard_trainable(mesh, t)
         if o is not None:
-            # Re-place restored optimizer leaves with the same shardings the
-            # fresh sharded state uses (leaf-by-leaf against the template).
-            opt_state = jax.tree_util.tree_map(
-                lambda leaf, tmpl: jax.device_put(np.asarray(leaf), tmpl.sharding),
-                o, state.opt_state,
-            )
+            # Keep restored optimizer leaves as UNCOMMITTED host arrays: the
+            # first jitted step places them per its own layout. Committing
+            # them up front (device_put) can pin scalars to one device and
+            # clash with mesh-committed trainables.
+            opt_state = jax.tree_util.tree_map(np.asarray, o)
         else:
             opt_state = state.opt_state
         state = steps_mod.TrainState(

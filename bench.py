@@ -181,7 +181,14 @@ def run_train(args):
             return (state, batch)
 
         state, _ = jax.lax.fori_loop(0, n, body, (state, batch))
-        return state.step
+        # Depend on the UPDATED WEIGHTS, not just the step counter — fetching
+        # only state.step lets XLA dead-code-eliminate the entire train step.
+        checksum = sum(
+            jnp.sum(x.astype(jnp.float32)) for x in jax.tree_util.tree_leaves(
+                state.trainable
+            )
+        )
+        return checksum + state.step
 
     int(run_n(state, frozen, batch, 1))  # compile
     n_small, n_large = 2, max(args.iters, 6)

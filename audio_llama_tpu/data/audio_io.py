@@ -104,22 +104,30 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         data = f.read()
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"not a WAV file: {path}")
-    pos, fmt, raw = 12, None, None
+    pos, fmt, raw, fmt_body = 12, None, None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError(f"WAV missing fmt/data chunk: {path}")
     audio_fmt, ch, sr, _, _, bits = fmt
+    if audio_fmt == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first two bytes of
+        # the SubFormat GUID in the fmt extension (1 = PCM, 3 = IEEE float).
+        if fmt_body is not None and len(fmt_body) >= 26:
+            audio_fmt = struct.unpack("<H", fmt_body[24:26])[0]
+        else:
+            audio_fmt = 1  # no extension present: assume PCM
     if audio_fmt == 3 and bits == 32:
         x = np.frombuffer(raw, "<f4").astype(np.float32)
-    elif audio_fmt in (1, 0xFFFE):
+    elif audio_fmt == 1:
         if bits == 16:
             x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
         elif bits == 8:

@@ -203,25 +203,39 @@ def _first(v):
 def collate(
     items: List[Dict[str, Any]], mel_cfg: Optional[MelConfig] = None
 ) -> Dict[str, Any]:
-    """Stack items into a fixed-shape batch.
+    """Stack items into a FIXED-SHAPE batch of len(items).
 
-    Mirrors the reference collate_fn (src/dataset.py:186-204): items whose
-    audio failed to load are dropped; an all-failed batch raises. Returns
-    numpy arrays; 'audio' is [B, S] waveform (mel computed on-device).
+    Reference collate_fn (src/dataset.py:186-204) drops items whose audio
+    failed — but ragged batch sizes break the static-shape contract (XLA
+    recompiles, np.stack under grad accumulation crashes, dp sharding needs
+    divisibility). Here failed-audio items are replaced by a copy of a valid
+    item with ALL labels set to -100, so shapes stay static and the filler
+    contributes zero loss. A batch that is entirely text-only stays
+    text-only (audio=None); an empty batch raises.
     """
+    if not items:
+        raise ValueError("empty batch")
     kept = [it for it in items if it["audio"] is not None]
     text_only = len(kept) == 0
     if text_only:
-        kept = items
-        if not kept:
-            raise ValueError("empty batch")
+        rows = items
+    else:
+        rows = []
+        for it in items:
+            if it["audio"] is not None:
+                rows.append(it)
+            else:
+                filler = dict(kept[0])
+                filler["labels"] = np.full_like(kept[0]["labels"], -100)
+                filler["metadata_dropped"] = it.get("audio_path")
+                rows.append(filler)
     batch = {
-        "input_ids": np.stack([it["input_ids"] for it in kept]),
-        "attention_mask": np.stack([it["attention_mask"] for it in kept]),
-        "labels": np.stack([it["labels"] for it in kept]),
-        "audio": None if text_only else np.stack([it["audio"] for it in kept]),
+        "input_ids": np.stack([it["input_ids"] for it in rows]),
+        "attention_mask": np.stack([it["attention_mask"] for it in rows]),
+        "labels": np.stack([it["labels"] for it in rows]),
+        "audio": None if text_only else np.stack([it["audio"] for it in rows]),
         "metadata": [
-            {"text": it["text"], "audio_path": it["audio_path"]} for it in kept
+            {"text": it["text"], "audio_path": it["audio_path"]} for it in rows
         ],
     }
     return batch

@@ -105,13 +105,17 @@ def create_dataloaders(
     shuffle, (1-val_split)/val_split split, train shuffled / val not. The key
     mapping from dataset_config.json IS honored here (reference bug fixed).
     """
-    cfg = dataset_config
-    if cfg is None:
-        cfg = (
-            DatasetConfig.from_json_file(dataset_config_path)
-            if dataset_config_path
-            else DatasetConfig()
-        )
+    cfg = dataset_config if dataset_config is not None else DatasetConfig()
+    if dataset_config_path:
+        # The file's key mapping wins over the object's defaults — the
+        # trainer passes both (object = shape/policy flags, file = keymap
+        # produced by the corpus builder; reference src/get_librispeech.py:
+        # 319-333). Ignoring the file when an object is present would
+        # recreate the reference's ignored-keymap bug.
+        file_cfg = DatasetConfig.from_json_file(dataset_config_path)
+        cfg.audio_key = file_cfg.audio_key
+        cfg.text_key = file_cfg.text_key
+        cfg.response_key = file_cfg.response_key
 
     with open(data_path) as f:
         data = json.load(f)

@@ -148,12 +148,20 @@ class HFTokenizer:
         ids = enc["input_ids"][0].astype(np.int32)
         mask = enc["attention_mask"][0].astype(np.int32)
         if add_eos:
-            # append eos at the first pad slot (or truncate-replace last).
             n = int(mask.sum())
             if n < len(ids):
+                # padded encoding: place eos in the first pad slot
                 ids[n] = self.eos_id
                 mask[n] = 1
+            elif max_length is None or len(ids) < max_length:
+                # unpadded and not at the cap: APPEND eos (overwriting ids[-1]
+                # here would silently drop the last real token of every
+                # training target — the default concat label path)
+                ids = np.concatenate([ids, [self.eos_id]]).astype(np.int32)
+                mask = np.concatenate([mask, [1]]).astype(np.int32)
             else:
+                # truncated at max_length: replacing the last token is the
+                # only option that keeps the cap
                 ids[-1] = self.eos_id
         return ids, mask
 

@@ -109,7 +109,8 @@ def generate(
         kv_cache=cache, lora=lora, compute_dtype=compute_dtype,
     )
     # Last *real* (non-pad) position per row holds the next-token logits.
-    last_idx = jnp.sum(mask, axis=1).astype(jnp.int32) - 1  # [B]
+    real_len = jnp.sum(mask, axis=1).astype(jnp.int32)  # [B] logical lengths
+    last_idx = real_len - 1  # [B]
     next_logits = jnp.take_along_axis(
         logits, last_idx[:, None, None], axis=1
     )[:, 0]  # [B, V]
@@ -124,11 +125,17 @@ def generate(
     tok0 = sample(next_logits, all_keys[0])
     done0 = tok0 == eos_id
 
-    def step(carry, k):
+    def step(carry, xs):
+        k, i = xs
         cache, tok, done = carry
+        # Logical RoPE position of tok: real prompt length + tokens already
+        # generated (right-pad slots do not advance positions; the cache
+        # mask is slot-causal so this decouples cleanly).
+        positions = (real_len + i)[:, None]
         step_logits, cache = llama_mod.llama_forward(
             frozen["llama"], cfg.llama,
             input_ids=tok[:, None], attention_mask=full_mask,
+            positions=positions,
             kv_cache=cache, lora=lora, compute_dtype=compute_dtype,
         )
         nxt = sample(step_logits[:, 0], k)
@@ -136,7 +143,10 @@ def generate(
         new_done = done | (nxt == eos_id)
         return (cache, nxt, new_done), nxt
 
-    (_, _, done), rest = jax.lax.scan(step, (cache, tok0, done0), all_keys[1:])
+    (_, _, done), rest = jax.lax.scan(
+        step, (cache, tok0, done0),
+        (all_keys[1:], jnp.arange(max_new_tokens - 1)),
+    )
     tokens = jnp.concatenate([tok0[:, None], rest.T], axis=1)  # [B, max_new]
 
     # count tokens up to and including first EOS (or all if none)

@@ -204,10 +204,14 @@ def llama_forward(
     if use_flash:
         bias = None
     elif kv_cache is not None:
-        # Causal w.r.t. absolute positions; also mask out unwritten cache slots.
+        # Causality is over PHYSICAL cache slots (append order), not the
+        # logical `positions` used for RoPE — with right-padded prompts the
+        # logical position of a decode token is smaller than its slot, and
+        # slot-causality keeps earlier decode tokens visible while the
+        # padding mask hides pad slots.
         kpos = jnp.arange(Tk)[None, :]
-        qpos = positions  # [B, T]
-        allowed = kpos[:, None, :] <= qpos[:, :, None]  # [B, T, Tk]
+        qslot = offset + jnp.arange(T)[None, :]  # [1, T] physical
+        allowed = kpos[:, None, :] <= qslot[:, :, None]  # [1, T, Tk]
         written = kpos < (offset + T)
         allowed = allowed & written[:, None, :]
         bias = jnp.where(allowed, 0.0, NEG_INF)

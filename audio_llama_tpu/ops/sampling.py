@@ -19,8 +19,9 @@ def apply_temperature(logits: jnp.ndarray, temperature: float) -> jnp.ndarray:
 
 
 def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Mask all but the k highest logits. k is static."""
-    if k <= 0:
+    """Mask all but the k highest logits. k is static; k <= 0 or k >= vocab
+    disables filtering (the common 'no top-k' idioms)."""
+    if k <= 0 or k >= logits.shape[-1]:
         return logits
     kth = jnp.sort(logits, axis=-1)[..., -k][..., None]
     return jnp.where(logits < kth, NEG_INF, logits)

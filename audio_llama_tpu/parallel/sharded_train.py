@@ -44,27 +44,21 @@ def init_sharded_state(
 
 
 def shard_train_state(mesh, state: base_steps.TrainState) -> base_steps.TrainState:
-    """Re-place an existing (e.g. checkpoint-restored) TrainState on the mesh."""
+    """Re-place an existing (e.g. checkpoint-restored) TrainState on the mesh.
+
+    mu/nu subtrees of the optimizer state mirror the trainable structure and
+    get its shardings; counts/scalars are replicated."""
     t_sh = sharding.shard_trainable(mesh, state.trainable)
-    spec_like = jax.tree_util.tree_map(
-        lambda _: sharding.replicated(mesh), state.opt_state
-    )
-    # mu/nu mirror the trainable structure; re-use its shardings where the
-    # subtree structures line up, replicate the rest (counts, scalars).
     t_shardings = sharding.trainable_shardings(mesh, state.trainable)
-
-    def place(leaf_state):
-        return leaf_state
-
     opt_state = jax.jit(
-        lambda s: s, out_shardings=_opt_state_shardings(mesh, state, t_shardings, spec_like)
+        lambda s: s, out_shardings=_opt_state_shardings(mesh, state, t_shardings)
     )(state.opt_state)
     return base_steps.TrainState(
         trainable=t_sh, opt_state=opt_state, step=jax.device_put(state.step)
     )
 
 
-def _opt_state_shardings(mesh, state, t_shardings, fallback):
+def _opt_state_shardings(mesh, state, t_shardings):
     """Best-effort: subtrees of opt_state whose structure matches the trainable
     tree get its shardings; everything else is replicated."""
     t_struct = jax.tree_util.tree_structure(state.trainable)

@@ -278,14 +278,15 @@ def _flops_per_step(cfg, tokens_per_micro, audio_frames, micros):
     return per_micro * micros
 
 
-def evaluate(eval_step, state, frozen, val_loader, accum=1) -> dict:
-    """Mean val loss + perplexity (reference src/train.py:133-163)."""
+def evaluate(get_eval_step, state, frozen, val_loader, accum=1) -> dict:
+    """Mean val loss + perplexity (reference src/train.py:133-163).
+
+    get_eval_step maps a batch to the matching compiled program (with-audio
+    and text-only batches each get their own)."""
     losses = []
     for np_batch in val_loader:
         batch = _to_batch([np_batch])
-        if batch.audio_features is None:
-            continue  # separate text-only program not worth compiling for eval
-        losses.append(float(eval_step(state.trainable, frozen, batch)))
+        losses.append(float(get_eval_step(batch)(state.trainable, frozen, batch)))
     if not losses:
         return {"eval/loss": float("nan"), "eval/perplexity": float("nan")}
     mean = sum(losses) / len(losses)
@@ -428,15 +429,17 @@ def train(args) -> dict:
             )
         return step_fns[key]
 
-    eval_step = None
+    eval_fns = {}
 
     def get_eval_step(batch):
-        nonlocal eval_step
-        if eval_step is None:
-            eval_step = parallel.make_sharded_eval_step(
+        # Keyed by structure (audio vs text-only) like the train steps: a
+        # template from one structure cannot serve batches of the other.
+        key = batch.audio_features is not None
+        if key not in eval_fns:
+            eval_fns[key] = parallel.make_sharded_eval_step(
                 cfg, mesh, batch, sid, eid, compute_dtype=compute_dtype
             )
-        return eval_step
+        return eval_fns[key]
 
     n_windows = max(1, int(args.max_audio_length) // 30) if not args.toy_model else 1
     tokens_per_micro = args.batch_size * (
@@ -539,8 +542,7 @@ def train(args) -> dict:
                 last_metrics = scalars
 
             if args.eval_steps and global_step % args.eval_steps == 0 and len(val_loader):
-                probe = _to_batch([next(iter(val_loader))])
-                ev = evaluate(get_eval_step(probe), state, frozen, val_loader)
+                ev = evaluate(get_eval_step, state, frozen, val_loader)
                 writer.log(global_step, ev)
                 logger.info(
                     "eval @ %d: loss %.4f ppl %.4f",
@@ -577,8 +579,7 @@ def train(args) -> dict:
 
     # Final eval + final checkpoint (reference src/train.py:357-363).
     if len(val_loader):
-        probe = _to_batch([next(iter(val_loader))])
-        ev = evaluate(get_eval_step(probe), state, frozen, val_loader)
+        ev = evaluate(get_eval_step, state, frozen, val_loader)
         writer.log(global_step, ev)
         logger.info(
             "final eval: loss %.4f ppl %.4f", ev["eval/loss"], ev["eval/perplexity"]

@@ -135,11 +135,15 @@ def test_missing_file_policies(corpus, dcfg):
     ds2 = AudioLLMDataset(bad, audio_root, ByteTokenizer(), cfg2)
     it = ds2[len(entries)]
     assert (it["audio"] == 0).all()
-    # default: item audio becomes None -> dropped by collate
+    # default: item audio becomes None -> collate keeps the batch size STATIC
+    # by substituting a loss-masked copy of a valid item (ragged batches
+    # would break XLA's static shapes / dp divisibility)
     ds3 = AudioLLMDataset(bad, audio_root, ByteTokenizer(), dcfg)
     items = [ds3[i] for i in range(len(ds3))]
     batch = collate(items)
-    assert batch["audio"].shape[0] == len(entries)
+    assert batch["audio"].shape[0] == len(bad)
+    assert (batch["labels"][-1] == -100).all()  # filler contributes no loss
+    assert not (batch["labels"][0] == -100).all()
 
 
 def test_audio_path_prefix_autofix(corpus, dcfg):

@@ -133,6 +133,36 @@ def test_right_padded_prompt_uses_last_real_position(model):
     )
 
 
+def test_right_padded_prompt_full_decode_matches_unpadded(model):
+    """Regression: decode steps must use LOGICAL RoPE positions (real length
+    + generated count), not padded cache slots — with the slot-based mask a
+    padded prompt must reproduce the unpadded generation exactly."""
+    cfg, frozen, trainable = model
+    rng = np.random.default_rng(4)
+    ids_short = rng.integers(3, cfg.llama.vocab_size - 8, (1, 5)).astype(np.int32)
+    pad = 7
+    ids_padded = np.concatenate([ids_short, np.zeros((1, pad), np.int32)], axis=1)
+    mask_padded = np.concatenate(
+        [np.ones((1, 5), np.int32), np.zeros((1, pad), np.int32)], axis=1
+    )
+    kw = dict(
+        max_new_tokens=8, greedy=True, eos_id=-1, pad_id=0, has_audio=False,
+        compute_dtype=jnp.float32, audio_start_id=AUDIO_START,
+        audio_end_id=AUDIO_END,
+    )
+    r_short = gen_mod.generate(
+        frozen, trainable, cfg, jnp.asarray(ids_short),
+        jnp.asarray(np.ones_like(ids_short)), None, jax.random.PRNGKey(0), **kw,
+    )
+    r_padded = gen_mod.generate(
+        frozen, trainable, cfg, jnp.asarray(ids_padded),
+        jnp.asarray(mask_padded), None, jax.random.PRNGKey(0), **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_short.tokens), np.asarray(r_padded.tokens)
+    )
+
+
 def test_top_p_filters_to_greedy_when_tiny():
     logits = jnp.asarray([[2.0, 1.0, 0.5, -1.0]])
     filtered = sampling.apply_top_p(logits, 0.01)

@@ -77,6 +77,24 @@ def test_train_end_to_end(corpus, tmp_path):
     assert all(np.isfinite(losses))
 
 
+def test_training_is_deterministic(corpus, tmp_path):
+    """Same seed -> bit-identical loss trajectory (the jit-level determinism
+    guarantee SURVEY.md §5 calls for in place of race detection)."""
+    import json as _json
+
+    losses = []
+    for run in ("a", "b"):
+        out = str(tmp_path / run)
+        train(_args(corpus, out, ["--max_steps", "3", "--eval_steps", "0"]))
+        lines = [
+            _json.loads(l)
+            for l in open(os.path.join(out, "metrics.jsonl"))
+            if l.strip()
+        ]
+        losses.append([l["train/loss"] for l in lines if "train/loss" in l])
+    assert losses[0] == losses[1]
+
+
 def test_resume_from_checkpoint(corpus, tmp_path):
     out1 = str(tmp_path / "run1")
     r1 = train(_args(corpus, out1, ["--max_steps", "2", "--eval_steps", "0"]))

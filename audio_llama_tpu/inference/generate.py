@@ -107,6 +107,9 @@ def generate(
         frozen["llama"], cfg.llama,
         inputs_embeds=embeds, attention_mask=full_mask,
         kv_cache=cache, lora=lora, compute_dtype=compute_dtype,
+        # Fresh cache: prefill self-attention can run as one flash pass
+        # instead of materializing [B, H, P, total] logits.
+        assume_fresh_cache=True,
     )
     # Last *real* (non-pad) position per row holds the next-token logits.
     real_len = jnp.sum(mask, axis=1).astype(jnp.int32)  # [B] logical lengths

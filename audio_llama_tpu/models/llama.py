@@ -160,6 +160,7 @@ def llama_forward(
     return_hidden: bool = False,
     attn_impl: str = "auto",
     remat: bool = False,
+    assume_fresh_cache: bool = False,
 ):
     """Decoder forward.
 
@@ -192,11 +193,14 @@ def llama_forward(
     inv_freq = rope_for_config(cfg)
     cos, sin = rope_tables(positions, inv_freq)  # [B, T, hd]
 
-    # Full-sequence (training/scoring) path can use flash attention: no
-    # cache, contiguous positions. Decode keeps the XLA path (Tq=1).
+    # Full-sequence paths can use flash attention: training/scoring (no
+    # cache) and PREFILL into a fresh cache (assume_fresh_cache=True promises
+    # cache.length == 0, so self-attention over the T new tokens is the whole
+    # story and K/V are written to the cache separately). Decode keeps the
+    # XLA path (Tq=1).
     from ..ops import flash_attention as fa
 
-    use_flash = kv_cache is None and (
+    use_flash = (kv_cache is None or (assume_fresh_cache and T > 1)) and (
         attn_impl == "flash" or (attn_impl == "auto" and fa.available())
     )
 
@@ -271,9 +275,14 @@ def llama_forward(
             attn_k, attn_v = k, v
 
         if use_flash:
+            # Fresh-cache prefill attends only over the T new tokens (k, v),
+            # never the (empty) cache timeline; slice the mask accordingly.
+            fmask = attention_mask
+            if fmask is not None and fmask.shape[1] != T:
+                fmask = fmask[:, :T]
             attn = fa.flash_mha(
-                q, attn_k, attn_v,
-                mask=attention_mask, causal=True, scale=cfg.head_dim ** -0.5,
+                q, k, v,
+                mask=fmask, causal=True, scale=cfg.head_dim ** -0.5,
             )
         else:
             attn = mha(q, attn_k, attn_v, bias=bias, scale=cfg.head_dim ** -0.5)

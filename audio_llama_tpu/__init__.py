@@ -24,3 +24,20 @@ Top-level subpackages:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences: audio_llama_tpu.AudioLLM, .AudioLLMConfig
+    # (lazy so `import audio_llama_tpu` stays dependency-light).
+    if name == "AudioLLM":
+        from .models.api import AudioLLM
+
+        return AudioLLM
+    if name in (
+        "AudioLLMConfig", "LlamaConfig", "WhisperConfig", "MelConfig",
+        "LoraConfig",
+    ):
+        from . import config
+
+        return getattr(config, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -198,6 +198,10 @@ def run_train(args):
     t0 = time.perf_counter()
     int(run_n(state, frozen, batch, n_large))
     d2 = time.perf_counter() - t0
+    import sys
+
+    print(f"[train timing] d_small({n_small})={d1:.3f}s d_large({n_large})={d2:.3f}s",
+          file=sys.stderr)
     dt = max(d2 - d1, 1e-9)
     steps_per_sec = (n_large - n_small) / dt
     tokens_per_step = B * (T + cfg.audio_seq_len + 2)
@@ -273,6 +277,10 @@ def run_decode(args):
     t0 = time.perf_counter()
     float(decode(params, tok, cache, n_large))
     d2 = time.perf_counter() - t0
+    import sys
+
+    print(f"[decode timing] d_small({n_small})={d1:.3f}s d_large({n_large})={d2:.3f}s",
+          file=sys.stderr)
     dt = max(d2 - d1, 1e-9)
     toks_per_sec = B * (n_large - n_small) / dt
     print(

@@ -112,7 +112,9 @@ def resize_embeddings(params: Params, new_vocab: int, cfg: LlamaConfig) -> Param
 class KVCache(NamedTuple):
     """Static-shape KV ring for jit-compiled decode.
 
-    k/v: [L, B, max_len, Hkv, hd]; length: [] int32 current fill.
+    k/v: [L, B, Hkv, max_len, hd] (head-major: each (batch, head) timeline is
+    a contiguous [max_len, hd] slab, the unit the Pallas decode-attention
+    kernel DMAs); length: [] int32 current fill.
     """
 
     k: jnp.ndarray
@@ -121,7 +123,7 @@ class KVCache(NamedTuple):
 
     @classmethod
     def zeros(cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -181,7 +183,7 @@ def llama_forward(
 
     if kv_cache is not None:
         offset = kv_cache.length
-        Tk = kv_cache.k.shape[2]
+        Tk = kv_cache.k.shape[3]
     else:
         offset = 0
         Tk = T
@@ -204,8 +206,30 @@ def llama_forward(
         attn_impl == "flash" or (attn_impl == "auto" and fa.available())
     )
 
+    # Single-token decode uses the fused Pallas append+attention kernel: the
+    # cache operands are input_output_aliased, so the cache stays in HBM with
+    # only the new row written (no carry double-buffering, no slab copies).
+    from ..ops import decode_attention as da
+
+    use_decode_kernel = (
+        kv_cache is not None
+        and T == 1
+        and not use_flash
+        and (
+            attn_impl == "decode_kernel"
+            or (attn_impl == "auto" and da.available())
+        )
+    )
+    decode_valid = None
+    if use_decode_kernel:
+        kpos = jnp.arange(Tk)[None, :]
+        decode_valid = (kpos <= offset).astype(jnp.int32)
+        decode_valid = jnp.broadcast_to(decode_valid, (B, Tk))
+        if attention_mask is not None:
+            decode_valid = decode_valid * attention_mask.astype(jnp.int32)
+
     # Attention bias over the (possibly cached) key timeline.
-    if use_flash:
+    if use_flash or use_decode_kernel:
         bias = None
     elif kv_cache is not None:
         # Causality is over PHYSICAL cache slots (append order), not the
@@ -258,23 +282,29 @@ def llama_forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        if ck_all is not None:
-            ck_all = lax.dynamic_update_slice(
-                ck_all, k.astype(ck_all.dtype)[None], (li, 0, offset, 0, 0)
+        if use_decode_kernel:
+            attn_flat, ck_all, cv_all = da.decode_attention(
+                q[:, 0], k[:, 0], v[:, 0], ck_all, cv_all,
+                li, offset, decode_valid, cfg.head_dim ** -0.5,
             )
-            cv_all = lax.dynamic_update_slice(
-                cv_all, v.astype(cv_all.dtype)[None], (li, 0, offset, 0, 0)
-            )
+            attn = attn_flat[:, None]  # [B, 1, Hq, hd]
+        elif ck_all is not None:
+            kh = jnp.swapaxes(k, 1, 2).astype(ck_all.dtype)[None]  # [1,B,Hkv,T,hd]
+            vh = jnp.swapaxes(v, 1, 2).astype(cv_all.dtype)[None]
+            ck_all = lax.dynamic_update_slice(ck_all, kh, (li, 0, 0, offset, 0))
+            cv_all = lax.dynamic_update_slice(cv_all, vh, (li, 0, 0, offset, 0))
             attn_k = lax.dynamic_index_in_dim(
                 ck_all, li, axis=0, keepdims=False
-            ).astype(compute_dtype)
+            ).astype(compute_dtype)  # [B, Hkv, Tk, hd]
             attn_v = lax.dynamic_index_in_dim(
                 cv_all, li, axis=0, keepdims=False
             ).astype(compute_dtype)
         else:
             attn_k, attn_v = k, v
 
-        if use_flash:
+        if use_decode_kernel:
+            pass  # attn already computed by the fused kernel above
+        elif use_flash:
             # Fresh-cache prefill attends only over the T new tokens (k, v),
             # never the (empty) cache timeline; slice the mask accordingly.
             fmask = attention_mask
@@ -283,6 +313,11 @@ def llama_forward(
             attn = fa.flash_mha(
                 q, k, v,
                 mask=fmask, causal=True, scale=cfg.head_dim ** -0.5,
+            )
+        elif ck_all is not None:
+            attn = mha(
+                q, attn_k, attn_v, bias=bias, scale=cfg.head_dim ** -0.5,
+                kv_head_major=True,
             )
         else:
             attn = mha(q, attn_k, attn_v, bias=bias, scale=cfg.head_dim ** -0.5)

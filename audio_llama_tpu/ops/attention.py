@@ -25,14 +25,22 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def mha(
     q: jnp.ndarray,  # [B, Tq, Hq, hd]
-    k: jnp.ndarray,  # [B, Tk, Hkv, hd]
-    v: jnp.ndarray,  # [B, Tk, Hkv, hd]
+    k: jnp.ndarray,  # [B, Tk, Hkv, hd]  (or [B, Hkv, Tk, hd] if kv_head_major)
+    v: jnp.ndarray,  # same layout as k
     bias: jnp.ndarray | None = None,  # additive, broadcastable to [B, Hq, Tq, Tk]
     scale: float | None = None,
+    kv_head_major: bool = False,
 ) -> jnp.ndarray:
-    """Grouped-query attention. Returns [B, Tq, Hq, hd] in q.dtype."""
+    """Grouped-query attention. Returns [B, Tq, Hq, hd] in q.dtype.
+
+    kv_head_major=True accepts K/V in the cache layout [B, Hkv, Tk, hd]
+    (contiguous per-head timelines) without transposing them first.
+    """
     B, Tq, Hq, hd = q.shape
-    _, Tk, Hkv, _ = k.shape
+    if kv_head_major:
+        _, Hkv, Tk, _ = k.shape
+    else:
+        _, Tk, Hkv, _ = k.shape
     assert Hq % Hkv == 0, (Hq, Hkv)
     G = Hq // Hkv
     if scale is None:
@@ -40,8 +48,9 @@ def mha(
 
     qg = q.reshape(B, Tq, Hkv, G, hd)
     # logits [B, Hkv, G, Tq, Tk], accumulated in f32 on the MXU.
+    kv_sub = "bhkd" if kv_head_major else "bkhd"
     logits = jnp.einsum(
-        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+        f"bqhgd,{kv_sub}->bhgqk", qg, k, preferred_element_type=jnp.float32
     )
     logits = logits * scale
     if bias is not None:
@@ -54,7 +63,7 @@ def mha(
                 bias = bias.reshape(B, Hkv, G, Tq, Tk)
         logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    out = jnp.einsum(f"bhgqk,{kv_sub}->bqhgd", probs, v)
     return out.reshape(B, Tq, Hq, hd)
 
 

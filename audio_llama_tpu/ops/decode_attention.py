@@ -1,0 +1,170 @@
+"""Pallas decode-attention kernel: fused KV-cache append + single-token GQA.
+
+The XLA decode path (models/llama.py cached branch) expresses the per-token
+cache append as dynamic_update_slice on a scan-carried [L, B, Hkv, max_len,
+hd] cache. XLA double-buffers that carry, which (a) reserves 2x the cache's
+HBM and (b) copies cache bytes every step. This kernel makes the append +
+attention ONE operation whose cache operands are input_output_aliased — the
+cache never leaves HBM and only the appended row is written:
+
+  grid (B, Hkv); per invocation (one batch row, one KV head):
+    DMA   K/V slab [max_len, hd] HBM -> VMEM          (the unavoidable read)
+    patch slab[offset] = new K/V row (VMEM)
+    DMA   the single new row VMEM -> HBM cache        (the only cache write)
+    MXU   logits = q_group @ K^T   [G, max_len] f32
+    VPU   masked softmax (valid = slot-causal & padding mask)
+    MXU   out = probs @ V          [G, hd]
+
+Layer index and cache offset arrive via scalar prefetch so one compiled
+kernel serves every (layer, step). Parity with the XLA path is tested in
+interpret mode (tests/test_decode_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    li_ref,      # [1] scalar prefetch: layer index
+    off_ref,     # [1] scalar prefetch: cache fill offset
+    q_ref,       # [1, 1, G, hd] VMEM
+    knew_ref,    # [1, 1, hd] VMEM
+    vnew_ref,    # [1, 1, hd] VMEM
+    valid_ref,   # [1, max_len] VMEM int32 (1 = attend)
+    ck_any,      # [L, B, Hkv, max_len, hd] HBM (aliased with ck_out)
+    cv_any,      # [L, B, Hkv, max_len, hd] HBM (aliased with cv_out)
+    out_ref,     # [1, 1, G, hd] VMEM
+    ck_out,      # aliased cache out (HBM)
+    cv_out,      # aliased cache out (HBM)
+    k_vmem,      # [max_len, hd] scratch
+    v_vmem,      # [max_len, hd] scratch
+    sems,        # DMA semaphores (4,)
+    *,
+    scale: float,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    li = li_ref[0]
+    off = off_ref[0]
+
+    cp_k = pltpu.make_async_copy(ck_any.at[li, b, h], k_vmem, sems.at[0])
+    cp_v = pltpu.make_async_copy(cv_any.at[li, b, h], v_vmem, sems.at[1])
+    cp_k.start()
+    cp_v.start()
+    cp_k.wait()
+    cp_v.wait()
+
+    # Append the new row in VMEM, then write back ONLY that row.
+    k_vmem[pl.ds(off, 1), :] = knew_ref[0]
+    v_vmem[pl.ds(off, 1), :] = vnew_ref[0]
+    wb_k = pltpu.make_async_copy(
+        k_vmem.at[pl.ds(off, 1), :], ck_out.at[li, b, h, pl.ds(off, 1), :],
+        sems.at[2],
+    )
+    wb_v = pltpu.make_async_copy(
+        v_vmem.at[pl.ds(off, 1), :], cv_out.at[li, b, h, pl.ds(off, 1), :],
+        sems.at[3],
+    )
+    wb_k.start()
+    wb_v.start()
+
+    q = q_ref[0, 0]  # [G, hd]
+    logits = jax.lax.dot_general(
+        q, k_vmem[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [G, max_len]
+    logits = logits * scale
+    valid = valid_ref[0, :]  # [max_len]
+    logits = jnp.where(valid[None, :] > 0, logits, -1e30)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v_vmem.dtype), v_vmem[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [G, hd]
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+    wb_k.wait()
+    wb_v.wait()
+
+
+def decode_attention(
+    q: jnp.ndarray,        # [B, Hq, hd] (single new token per row, rope'd)
+    k_new: jnp.ndarray,    # [B, Hkv, hd]
+    v_new: jnp.ndarray,    # [B, Hkv, hd]
+    cache_k: jnp.ndarray,  # [L, B, Hkv, max_len, hd]
+    cache_v: jnp.ndarray,  # [L, B, Hkv, max_len, hd]
+    layer: jnp.ndarray,    # [] int32
+    offset: jnp.ndarray,   # [] int32 — slot to append at
+    valid: jnp.ndarray,    # [B, max_len] int32, 1 = attend (incl. new slot)
+    scale: float,
+    interpret: bool = False,
+):
+    """Returns (attn [B, Hq, hd], cache_k', cache_v') with the caches updated
+    in place (aliased)."""
+    L, B, Hkv, max_len, hd = cache_k.shape
+    Hq = q.shape[1]
+    G = Hq // Hkv
+    qg = q.reshape(B, Hkv, G, hd)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, hd), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, h, 0)),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, h, 0)),
+            pl.BlockSpec((1, max_len), lambda b, h, *_: (b, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, G, hd), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((max_len, hd), cache_k.dtype),
+            pltpu.VMEM((max_len, hd), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    out, ck, cv = pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, G, hd), q.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ],
+        # input indices INCLUDE the scalar-prefetch args: (li, off, q, knew,
+        # vnew, valid, ck, cv) -> ck=6, cv=7 alias onto outputs 1/2.
+        input_output_aliases={6: 1, 7: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.asarray(offset, jnp.int32).reshape(1),
+        qg,
+        k_new.astype(cache_k.dtype),
+        v_new.astype(cache_v.dtype),
+        valid.astype(jnp.int32),
+        cache_k,
+        cache_v,
+    )
+    return out.reshape(B, Hq, hd), ck, cv
+
+
+def available() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False

@@ -1,0 +1,120 @@
+"""Pallas decode-attention kernel parity vs the XLA cached-decode math
+(interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_llama_tpu.ops.decode_attention import decode_attention
+
+
+def _reference(q, k_new, v_new, ck, cv, layer, offset, valid, scale):
+    """Straight numpy/jnp reimplementation of append + masked GQA."""
+    L, B, Hkv, S, hd = ck.shape
+    Hq = q.shape[1]
+    G = Hq // Hkv
+    ck = ck.at[layer, :, :, offset].set(k_new)
+    cv = cv.at[layer, :, :, offset].set(v_new)
+    k = ck[layer]  # [B, Hkv, S, hd]
+    v = cv[layer]
+    qg = q.reshape(B, Hkv, G, hd)
+    logits = jnp.einsum("bhgd,bhkd->bhgk", qg.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    logits = jnp.where(valid[:, None, None, :] > 0, logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgk,bhkd->bhgd", p, v.astype(jnp.float32))
+    return out.reshape(B, Hq, hd), ck, cv
+
+
+@pytest.mark.parametrize("Hq,Hkv,hd", [(4, 2, 16), (8, 8, 32), (6, 2, 128)])
+def test_kernel_matches_reference(Hq, Hkv, hd):
+    L, B, S = 3, 2, 64
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, Hq, hd).astype(np.float32))
+    k_new = jnp.asarray(rng.randn(B, Hkv, hd).astype(np.float32))
+    v_new = jnp.asarray(rng.randn(B, Hkv, hd).astype(np.float32))
+    ck = jnp.asarray(rng.randn(L, B, Hkv, S, hd).astype(np.float32))
+    cv = jnp.asarray(rng.randn(L, B, Hkv, S, hd).astype(np.float32))
+    layer, offset = 1, 10
+    valid = np.zeros((B, S), np.int32)
+    valid[:, : offset + 1] = 1
+    valid[1, 3:5] = 0  # padding holes
+    valid = jnp.asarray(valid)
+    scale = hd ** -0.5
+
+    ref_out, ref_ck, ref_cv = _reference(
+        q, k_new, v_new, ck, cv, layer, offset, valid, scale
+    )
+    out, ock, ocv = decode_attention(
+        q, k_new, v_new, ck, cv,
+        jnp.int32(layer), jnp.int32(offset), valid, scale, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(ock), np.asarray(ref_ck), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ocv), np.asarray(ref_cv), atol=1e-6)
+
+
+def test_kernel_bf16_cache():
+    L, B, Hkv, S, hd = 2, 1, 2, 32, 64
+    Hq = 4
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(B, Hq, hd).astype(np.float32))
+    k_new = jnp.asarray(rng.randn(B, Hkv, hd).astype(np.float32))
+    v_new = jnp.asarray(rng.randn(B, Hkv, hd).astype(np.float32))
+    ck = jnp.asarray(rng.randn(L, B, Hkv, S, hd)).astype(jnp.bfloat16)
+    cv = jnp.asarray(rng.randn(L, B, Hkv, S, hd)).astype(jnp.bfloat16)
+    valid = jnp.ones((B, S), jnp.int32)
+    ref_out, ref_ck, _ = _reference(
+        q, k_new.astype(jnp.bfloat16), v_new.astype(jnp.bfloat16),
+        ck, cv, 0, 5, valid, hd ** -0.5,
+    )
+    out, ock, _ = decode_attention(
+        q, k_new, v_new, ck, cv, jnp.int32(0), jnp.int32(5), valid,
+        hd ** -0.5, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref_out, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ock, np.float32), np.asarray(ref_ck, np.float32), atol=1e-6
+    )
+
+
+def test_llama_decode_step_kernel_matches_xla():
+    """Full llama_forward single-token decode: fused kernel vs XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from audio_llama_tpu.config import LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+
+    cfg = LlamaConfig.tiny()
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    B, P, total = 2, 10, 16
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, P), 3, 500)
+    mask = np.ones((B, total), np.int32)
+    mask[1, 7:P] = 0
+    mask = jnp.asarray(mask)
+
+    cache0 = lm.KVCache.zeros(cfg, B, total, dtype=jnp.float32)
+    _, cache = lm.llama_forward(
+        params, cfg, input_ids=ids, attention_mask=mask, kv_cache=cache0,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    tok = jnp.asarray([[7], [9]], jnp.int32)
+    ref, ref_cache = lm.llama_forward(
+        params, cfg, input_ids=tok, attention_mask=mask, kv_cache=cache,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, k_cache = lm.llama_forward(
+            params, cfg, input_ids=tok, attention_mask=mask, kv_cache=cache,
+            compute_dtype=jnp.float32, attn_impl="decode_kernel",
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(k_cache.k), np.asarray(ref_cache.k), atol=1e-5
+    )
+    assert int(k_cache.length) == int(ref_cache.length)

@@ -39,8 +39,9 @@ def test_flash_prefill_matches_xla_cached_prefill():
     # differ from layer 1 on: pad-query outputs are garbage-by-contract in
     # both paths (different garbage), and later attention masks those slots.
     valid = np.asarray(mask[:, :P], bool)  # [B, P]
-    fk = np.moveaxis(np.asarray(fl_cache.k)[:, :, :P], 2, -1)  # [L,B,H,hd,P]
-    rk = np.moveaxis(np.asarray(ref_cache.k)[:, :, :P], 2, -1)
+    # cache layout [L, B, Hkv, max_len, hd]: slice slots then move slot last
+    fk = np.moveaxis(np.asarray(fl_cache.k)[:, :, :, :P], 3, -1)  # [L,B,H,hd,P]
+    rk = np.moveaxis(np.asarray(ref_cache.k)[:, :, :, :P], 3, -1)
     sel = np.broadcast_to(valid[None, :, None, None, :], fk.shape)
     np.testing.assert_allclose(fk[sel], rk[sel], atol=2e-5)
     # A decode step from either cache agrees.

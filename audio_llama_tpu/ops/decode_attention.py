@@ -35,9 +35,9 @@ def _kernel(
     li_ref,      # [1] scalar prefetch: layer index
     off_ref,     # [1] scalar prefetch: cache fill offset
     q_ref,       # [1, 1, G, hd] VMEM
-    knew_ref,    # [1, 1, hd] VMEM
-    vnew_ref,    # [1, 1, hd] VMEM
-    valid_ref,   # [1, max_len] VMEM int32 (1 = attend)
+    knew_ref,    # [1, 1, 1, hd] VMEM
+    vnew_ref,    # [1, 1, 1, hd] VMEM
+    valid_ref,   # [1, 1, max_len] VMEM int32 (1 = attend)
     ck_any,      # [L, B, Hkv, max_len, hd] HBM (aliased with ck_out)
     cv_any,      # [L, B, Hkv, max_len, hd] HBM (aliased with cv_out)
     out_ref,     # [1, 1, G, hd] VMEM
@@ -62,8 +62,8 @@ def _kernel(
     cp_v.wait()
 
     # Append the new row in VMEM, then write back ONLY that row.
-    k_vmem[pl.ds(off, 1), :] = knew_ref[0]
-    v_vmem[pl.ds(off, 1), :] = vnew_ref[0]
+    k_vmem[pl.ds(off, 1), :] = knew_ref[0, 0]
+    v_vmem[pl.ds(off, 1), :] = vnew_ref[0, 0]
     wb_k = pltpu.make_async_copy(
         k_vmem.at[pl.ds(off, 1), :], ck_out.at[li, b, h, pl.ds(off, 1), :],
         sems.at[2],
@@ -81,7 +81,7 @@ def _kernel(
         preferred_element_type=jnp.float32,
     )  # [G, max_len]
     logits = logits * scale
-    valid = valid_ref[0, :]  # [max_len]
+    valid = valid_ref[0, 0, :]  # [max_len]
     logits = jnp.where(valid[None, :] > 0, logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
@@ -120,9 +120,12 @@ def decode_attention(
         grid=(B, Hkv),
         in_specs=[
             pl.BlockSpec((1, 1, G, hd), lambda b, h, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, h, 0)),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, h, 0)),
-            pl.BlockSpec((1, max_len), lambda b, h, *_: (b, 0)),
+            # Singleton trailing-block dims must EQUAL their array dims for
+            # the TPU tiling rules, hence the [B, Hkv, 1, hd] / [B, 1, S]
+            # shapes fed below.
+            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, max_len), lambda b, h, *_: (b, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -154,9 +157,9 @@ def decode_attention(
         jnp.asarray(layer, jnp.int32).reshape(1),
         jnp.asarray(offset, jnp.int32).reshape(1),
         qg,
-        k_new.astype(cache_k.dtype),
-        v_new.astype(cache_v.dtype),
-        valid.astype(jnp.int32),
+        k_new.astype(cache_k.dtype)[:, :, None, :],
+        v_new.astype(cache_v.dtype)[:, :, None, :],
+        valid.astype(jnp.int32)[:, None, :],
         cache_k,
         cache_v,
     )

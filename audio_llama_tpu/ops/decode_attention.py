@@ -45,6 +45,8 @@ def _kernel(
     cv_out,      # aliased cache out (HBM)
     k_vmem,      # [max_len, hd] scratch
     v_vmem,      # [max_len, hd] scratch
+    krow,        # [1, hd] scratch (staging for the row write-back)
+    vrow,        # [1, hd] scratch
     sems,        # DMA semaphores (4,)
     *,
     scale: float,
@@ -61,23 +63,30 @@ def _kernel(
     cp_k.wait()
     cp_v.wait()
 
-    # Append the new row in VMEM, then write back ONLY that row.
-    k_vmem[pl.ds(off, 1), :] = knew_ref[0, 0]
-    v_vmem[pl.ds(off, 1), :] = vnew_ref[0, 0]
+    # Write back ONLY the new row (staged via a scratch row: Mosaic cannot
+    # lower a dynamic single-row bf16 VMEM store into the slab, and DMA
+    # straight from an input window is not interpreter-portable; the slab
+    # used for compute is patched with a masked select below instead).
+    krow[:] = knew_ref[0, 0]
+    vrow[:] = vnew_ref[0, 0]
     wb_k = pltpu.make_async_copy(
-        k_vmem.at[pl.ds(off, 1), :], ck_out.at[li, b, h, pl.ds(off, 1), :],
-        sems.at[2],
+        krow, ck_out.at[li, b, h, pl.ds(off, 1), :], sems.at[2]
     )
     wb_v = pltpu.make_async_copy(
-        v_vmem.at[pl.ds(off, 1), :], cv_out.at[li, b, h, pl.ds(off, 1), :],
-        sems.at[3],
+        vrow, cv_out.at[li, b, h, pl.ds(off, 1), :], sems.at[3]
     )
     wb_k.start()
     wb_v.start()
 
+    max_len = k_vmem.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (max_len, 1), 0)
+    is_new = row == off  # [max_len, 1]
+    k_full = jnp.where(is_new, knew_ref[0, 0], k_vmem[:])
+    v_full = jnp.where(is_new, vnew_ref[0, 0], v_vmem[:])
+
     q = q_ref[0, 0]  # [G, hd]
     logits = jax.lax.dot_general(
-        q, k_vmem[:], (((1,), (1,)), ((), ())),
+        q, k_full, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [G, max_len]
     logits = logits * scale
@@ -87,7 +96,7 @@ def _kernel(
     p = jnp.exp(logits - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        p.astype(v_vmem.dtype), v_vmem[:], (((1,), (0,)), ((), ())),
+        p.astype(v_full.dtype), v_full, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [G, hd]
     out_ref[0, 0] = out.astype(out_ref.dtype)
@@ -137,6 +146,8 @@ def decode_attention(
         scratch_shapes=[
             pltpu.VMEM((max_len, hd), cache_k.dtype),
             pltpu.VMEM((max_len, hd), cache_v.dtype),
+            pltpu.VMEM((1, hd), cache_k.dtype),
+            pltpu.VMEM((1, hd), cache_v.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )

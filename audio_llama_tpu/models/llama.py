@@ -123,6 +123,10 @@ class KVCache(NamedTuple):
 
     @classmethod
     def zeros(cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        # Round the timeline up to the 8-sublane tile so the decode kernel
+        # can DMA whole (batch, head) slabs; extra slots are never marked
+        # attendable (masks are zero-padded to the cache length).
+        max_len = -(-max_len // 8) * 8
         shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
         return cls(
             k=jnp.zeros(shape, dtype),
@@ -184,6 +188,11 @@ def llama_forward(
     if kv_cache is not None:
         offset = kv_cache.length
         Tk = kv_cache.k.shape[3]
+        if attention_mask is not None and attention_mask.shape[1] < Tk:
+            # cache timelines are tile-rounded; the extra slots never attend
+            attention_mask = jnp.pad(
+                attention_mask, ((0, 0), (0, Tk - attention_mask.shape[1]))
+            )
     else:
         offset = 0
         Tk = T

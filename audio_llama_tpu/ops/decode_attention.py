@@ -45,8 +45,6 @@ def _kernel(
     cv_out,      # aliased cache out (HBM)
     k_vmem,      # [max_len, hd] scratch
     v_vmem,      # [max_len, hd] scratch
-    krow,        # [1, hd] scratch (staging for the row write-back)
-    vrow,        # [1, hd] scratch
     sems,        # DMA semaphores (4,)
     *,
     scale: float,
@@ -63,26 +61,30 @@ def _kernel(
     cp_k.wait()
     cp_v.wait()
 
-    # Write back ONLY the new row (staged via a scratch row: Mosaic cannot
-    # lower a dynamic single-row bf16 VMEM store into the slab, and DMA
-    # straight from an input window is not interpreter-portable; the slab
-    # used for compute is patched with a masked select below instead).
-    krow[:] = knew_ref[0, 0]
-    vrow[:] = vnew_ref[0, 0]
-    wb_k = pltpu.make_async_copy(
-        krow, ck_out.at[li, b, h, pl.ds(off, 1), :], sems.at[2]
-    )
-    wb_v = pltpu.make_async_copy(
-        vrow, cv_out.at[li, b, h, pl.ds(off, 1), :], sems.at[3]
-    )
-    wb_k.start()
-    wb_v.start()
-
+    # Patch the new row into the slab with a masked select (Mosaic cannot
+    # lower a dynamic single-row bf16 store), write the patched slab back to
+    # scratch, and DMA back ONLY the tile-aligned 8-row window containing the
+    # new row (HBM memrefs are (8,128)-tiled; single-row slices don't lower).
     max_len = k_vmem.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (max_len, 1), 0)
     is_new = row == off  # [max_len, 1]
     k_full = jnp.where(is_new, knew_ref[0, 0], k_vmem[:])
     v_full = jnp.where(is_new, vnew_ref[0, 0], v_vmem[:])
+    k_vmem[:] = k_full
+    v_vmem[:] = v_full
+    off_al = pl.multiple_of((off // 8) * 8, 8)
+    wb_k = pltpu.make_async_copy(
+        k_vmem.at[pl.ds(off_al, 8), :],
+        ck_out.at[li, b, h, pl.ds(off_al, 8), :],
+        sems.at[2],
+    )
+    wb_v = pltpu.make_async_copy(
+        v_vmem.at[pl.ds(off_al, 8), :],
+        cv_out.at[li, b, h, pl.ds(off_al, 8), :],
+        sems.at[3],
+    )
+    wb_k.start()
+    wb_v.start()
 
     q = q_ref[0, 0]  # [G, hd]
     logits = jax.lax.dot_general(
@@ -146,8 +148,6 @@ def decode_attention(
         scratch_shapes=[
             pltpu.VMEM((max_len, hd), cache_k.dtype),
             pltpu.VMEM((max_len, hd), cache_v.dtype),
-            pltpu.VMEM((1, hd), cache_k.dtype),
-            pltpu.VMEM((1, hd), cache_v.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )

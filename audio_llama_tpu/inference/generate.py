@@ -54,15 +54,7 @@ def build_prefix(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cfg", "max_new_tokens", "temperature", "top_p", "top_k", "greedy",
-        "eos_id", "pad_id", "audio_start_id", "audio_end_id", "compute_dtype",
-        "has_audio",
-    ),
-)
-def generate(
+def _generate_impl(
     frozen: dict,
     trainable: Optional[dict],
     cfg: AudioLLMConfig,
@@ -158,3 +150,60 @@ def generate(
     first_eos = jnp.argmax(hit_eos, axis=1)
     num = jnp.where(any_eos, first_eos + 1, max_new_tokens).astype(jnp.int32)
     return GenerateResult(tokens=tokens, num_generated=num)
+
+
+# jit entry point (the implementation is shared with make_dp_generate).
+generate = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "temperature", "top_p", "top_k", "greedy",
+        "eos_id", "pad_id", "audio_start_id", "audio_end_id", "compute_dtype",
+        "has_audio",
+    ),
+)(_generate_impl)
+
+
+def make_dp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
+    """Data-parallel batched generation over a mesh's 'dp' axis.
+
+    Weights are replicated, the batch splits across devices, and each device
+    runs the FULL single-chip generate program locally (shard_map gives every
+    shard local shapes, so the Pallas decode/mel kernels keep working —
+    unlike GSPMD partitioning, which cannot split a pallas_call). The PRNG
+    key is folded with the shard index so sampling stays independent per row
+    group. This is the serving scale-out: throughput scales with dp.
+
+    Returns fn(frozen, trainable, input_ids, attention_mask, audio, key);
+    the batch must divide mesh.shape['dp'].
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if mesh.shape.get("fsdp", 1) != 1 or mesh.shape.get("tp", 1) != 1:
+        raise ValueError("make_dp_generate shards over 'dp' only; use a "
+                         "dp-only mesh for generation")
+
+    def local(frozen, trainable, input_ids, attention_mask, audio, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+        return _generate_impl(
+            frozen, trainable, cfg, input_ids, attention_mask, audio, key,
+            **static_kw,
+        )
+
+    has_audio = static_kw.get("has_audio", True)
+    batch_spec = P("dp")
+    in_specs = (
+        P(),  # frozen (replicated; prefix spec covers the pytree)
+        P(),  # trainable
+        batch_spec,
+        batch_spec,
+        batch_spec if has_audio else None,
+        P(),  # key (same everywhere; folded per shard)
+    )
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=in_specs,
+        out_specs=GenerateResult(tokens=batch_spec, num_generated=batch_spec),
+        check_rep=False,
+    )
+    return jax.jit(fn)

@@ -174,7 +174,8 @@ def make_dp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
     group. This is the serving scale-out: throughput scales with dp.
 
     Returns fn(frozen, trainable, input_ids, attention_mask, audio, key);
-    the batch must divide mesh.shape['dp'].
+    mesh.shape['dp'] must divide the batch. With has_audio=False the audio
+    argument is accepted and ignored (pass None or anything).
     """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
@@ -183,27 +184,39 @@ def make_dp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
         raise ValueError("make_dp_generate shards over 'dp' only; use a "
                          "dp-only mesh for generation")
 
-    def local(frozen, trainable, input_ids, attention_mask, audio, key):
-        key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
-        return _generate_impl(
-            frozen, trainable, cfg, input_ids, attention_mask, audio, key,
-            **static_kw,
-        )
-
     has_audio = static_kw.get("has_audio", True)
     batch_spec = P("dp")
-    in_specs = (
-        P(),  # frozen (replicated; prefix spec covers the pytree)
-        P(),  # trainable
-        batch_spec,
-        batch_spec,
-        batch_spec if has_audio else None,
-        P(),  # key (same everywhere; folded per shard)
-    )
-    fn = shard_map(
+
+    if has_audio:
+        def local(frozen, trainable, input_ids, attention_mask, audio, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+            return _generate_impl(
+                frozen, trainable, cfg, input_ids, attention_mask, audio, key,
+                **static_kw,
+            )
+
+        in_specs = (P(), P(), batch_spec, batch_spec, batch_spec, P())
+    else:
+        def local(frozen, trainable, input_ids, attention_mask, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+            return _generate_impl(
+                frozen, trainable, cfg, input_ids, attention_mask, None, key,
+                **static_kw,
+            )
+
+        in_specs = (P(), P(), batch_spec, batch_spec, P())
+
+    inner = jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=in_specs,
         out_specs=GenerateResult(tokens=batch_spec, num_generated=batch_spec),
         check_rep=False,
-    )
-    return jax.jit(fn)
+    ))
+    if has_audio:
+        return inner
+
+    def fn(frozen, trainable, input_ids, attention_mask, audio=None, key=None):
+        del audio  # ignored in text-only mode
+        return inner(frozen, trainable, input_ids, attention_mask, key)
+
+    return fn

@@ -302,12 +302,17 @@ def llama_forward(
             vh = jnp.swapaxes(v, 1, 2).astype(cv_all.dtype)[None]
             ck_all = lax.dynamic_update_slice(ck_all, kh, (li, 0, 0, offset, 0))
             cv_all = lax.dynamic_update_slice(cv_all, vh, (li, 0, 0, offset, 0))
-            attn_k = lax.dynamic_index_in_dim(
-                ck_all, li, axis=0, keepdims=False
-            ).astype(compute_dtype)  # [B, Hkv, Tk, hd]
-            attn_v = lax.dynamic_index_in_dim(
-                cv_all, li, axis=0, keepdims=False
-            ).astype(compute_dtype)
+            if use_flash:
+                # flash prefill attends over the fresh k/v directly; the
+                # cache timeline is only written, never read here
+                attn_k = attn_v = None
+            else:
+                attn_k = lax.dynamic_index_in_dim(
+                    ck_all, li, axis=0, keepdims=False
+                ).astype(compute_dtype)  # [B, Hkv, Tk, hd]
+                attn_v = lax.dynamic_index_in_dim(
+                    cv_all, li, axis=0, keepdims=False
+                ).astype(compute_dtype)
         else:
             attn_k, attn_v = k, v
 

@@ -72,7 +72,9 @@ def _kernel(
     v_full = jnp.where(is_new, vnew_ref[0, 0], v_vmem[:])
     k_vmem[:] = k_full
     v_vmem[:] = v_full
-    off_al = pl.multiple_of((off // 8) * 8, 8)
+    # clamp so a (buggy) offset past capacity cannot DMA out of bounds
+    off_clamped = jnp.minimum(off, k_vmem.shape[0] - 1)
+    off_al = pl.multiple_of((off_clamped // 8) * 8, 8)
     wb_k = pltpu.make_async_copy(
         k_vmem.at[pl.ds(off_al, 8), :],
         ck_out.at[li, b, h, pl.ds(off_al, 8), :],
@@ -122,6 +124,11 @@ def decode_attention(
     """Returns (attn [B, Hq, hd], cache_k', cache_v') with the caches updated
     in place (aliased)."""
     L, B, Hkv, max_len, hd = cache_k.shape
+    if max_len % 8 != 0:
+        raise ValueError(
+            f"decode_attention needs max_len % 8 == 0 (got {max_len}); build "
+            "caches via KVCache.zeros, which tile-rounds the timeline"
+        )
     Hq = q.shape[1]
     G = Hq // Hkv
     qg = q.reshape(B, Hkv, G, hd)
@@ -178,7 +185,10 @@ def decode_attention(
 
 
 def available() -> bool:
+    """Mosaic (TPU) only — on GPU/CPU the XLA cached path must be used."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        if jax.default_backend() in ("tpu", "axon"):
+            return True
+        return any(d.platform == "tpu" for d in jax.devices())
     except Exception:
         return False

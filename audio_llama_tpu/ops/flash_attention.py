@@ -15,9 +15,10 @@ framework's [B, T, H, hd] layout with:
   - f32 softmax statistics inside the kernel, bf16 in/out (same mixed
     precision recipe as the XLA path).
 
-Used by whisper.encode (non-causal) and llama_forward's full-sequence
-training path (causal + padding). KV-cached decode keeps the XLA path —
-flash brings nothing at Tq=1.
+Used by whisper.encode (non-causal), llama_forward's full-sequence training
+path (causal + padding), and generation PREFILL into a fresh KV cache
+(assume_fresh_cache). Single-token cached decode uses the fused Pallas
+kernel in ops/decode_attention.py (or the XLA path off-TPU).
 """
 
 from __future__ import annotations
@@ -111,8 +112,10 @@ def flash_mha(
 
 
 def available() -> bool:
-    """Flash runs on TPU backends (interpret mode covers tests on CPU)."""
+    """Mosaic (TPU) only — interpret mode covers tests on CPU; GPU uses XLA."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        if jax.default_backend() in ("tpu", "axon"):
+            return True
+        return any(d.platform == "tpu" for d in jax.devices())
     except Exception:
         return False

@@ -187,6 +187,9 @@ def should_use(cfg: MelConfig) -> bool:
     featurizer elsewhere (interpret-mode Pallas on CPU is debug-only slow)."""
     try:
         backend = jax.default_backend()
+        on_tpu = backend in ("tpu", "axon") or any(
+            d.platform == "tpu" for d in jax.devices()
+        )
     except Exception:
         return False
-    return _supports(cfg) and backend not in ("cpu",)
+    return _supports(cfg) and on_tpu

@@ -18,7 +18,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+
+
+def _debug_timing(label, n_small, d1, n_large, d2):
+    print(
+        f"[{label} timing] d_small({n_small})={d1:.3f}s "
+        f"d_large({n_large})={d2:.3f}s",
+        file=sys.stderr,
+    )
 
 
 def main():
@@ -198,10 +207,7 @@ def run_train(args):
     t0 = time.perf_counter()
     int(run_n(state, frozen, batch, n_large))
     d2 = time.perf_counter() - t0
-    import sys
-
-    print(f"[train timing] d_small({n_small})={d1:.3f}s d_large({n_large})={d2:.3f}s",
-          file=sys.stderr)
+    _debug_timing("train", n_small, d1, n_large, d2)
     dt = max(d2 - d1, 1e-9)
     steps_per_sec = (n_large - n_small) / dt
     tokens_per_step = B * (T + cfg.audio_seq_len + 2)
@@ -277,10 +283,7 @@ def run_decode(args):
     t0 = time.perf_counter()
     float(decode(params, tok, cache, n_large))
     d2 = time.perf_counter() - t0
-    import sys
-
-    print(f"[decode timing] d_small({n_small})={d1:.3f}s d_large({n_large})={d2:.3f}s",
-          file=sys.stderr)
+    _debug_timing("decode", n_small, d1, n_large, d2)
     dt = max(d2 - d1, 1e-9)
     toks_per_sec = B * (n_large - n_small) / dt
     print(

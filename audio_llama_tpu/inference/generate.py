@@ -74,6 +74,8 @@ def _generate_impl(
     audio_end_id: int = 0,
     compute_dtype=jnp.bfloat16,
     has_audio: bool = True,
+    tp_axis=None,
+    tp_size: int = 1,
 ) -> GenerateResult:
     """Sampling defaults mirror the reference CLI (temperature 0.7, top_p 0.9,
     max_new_tokens 256; reference src/inference.py:186-194)."""
@@ -94,7 +96,10 @@ def _generate_impl(
         [mask.astype(jnp.int32), jnp.ones((B, max_new_tokens), jnp.int32)], axis=1
     )
 
-    cache = llama_mod.KVCache.zeros(cfg.llama, B, total, dtype=compute_dtype)
+    cache = llama_mod.KVCache.zeros(
+        cfg.llama, B, total, dtype=compute_dtype,
+        kv_heads=cfg.llama.num_kv_heads // tp_size,
+    )
     logits, cache = llama_mod.llama_forward(
         frozen["llama"], cfg.llama,
         inputs_embeds=embeds, attention_mask=full_mask,
@@ -102,6 +107,7 @@ def _generate_impl(
         # Fresh cache: prefill self-attention can run as one flash pass
         # instead of materializing [B, H, P, total] logits.
         assume_fresh_cache=True,
+        tp_axis=tp_axis,
     )
     # Last *real* (non-pad) position per row holds the next-token logits.
     real_len = jnp.sum(mask, axis=1).astype(jnp.int32)  # [B] logical lengths
@@ -132,6 +138,7 @@ def _generate_impl(
             input_ids=tok[:, None], attention_mask=full_mask,
             positions=positions,
             kv_cache=cache, lora=lora, compute_dtype=compute_dtype,
+            tp_axis=tp_axis,
         )
         nxt = sample(step_logits[:, 0], k)
         nxt = jnp.where(done, pad_id, nxt)
@@ -158,9 +165,75 @@ generate = functools.partial(
     static_argnames=(
         "cfg", "max_new_tokens", "temperature", "top_p", "top_k", "greedy",
         "eos_id", "pad_id", "audio_start_id", "audio_end_id", "compute_dtype",
-        "has_audio",
+        "has_audio", "tp_axis", "tp_size",
     ),
 )(_generate_impl)
+
+
+def make_tp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
+    """Tensor-parallel generation over the mesh's 'tp' axis (optionally with
+    'dp' batch sharding on top).
+
+    The frozen Llama stacks enter shard_map pre-sliced per the Megatron
+    column/row specs (parallel/sharding.py) — each shard holds num_heads/tp
+    attention heads and intermediate_size/tp FFN columns, runs the full
+    generate program on its local slice (Pallas decode kernel included, since
+    shapes are local), and the two row-parallel matmuls psum over 'tp'.
+    The Whisper encoder and projector are replicated (a few percent of decode
+    FLOPs). This is the latency scale-out: per-chip weight reads drop by tp.
+
+    Requires num_kv_heads % tp == 0. Returns
+    fn(frozen, trainable, input_ids, attention_mask, audio, key); shard the
+    frozen weights with parallel.sharding.shard_frozen(mesh, frozen) first
+    (or pass host arrays and let jit lay them out).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import sharding as shd
+
+    tp = mesh.shape["tp"]
+    if cfg.llama.num_kv_heads % tp or cfg.llama.num_heads % tp:
+        raise ValueError(
+            f"tp={tp} must divide num_heads={cfg.llama.num_heads} and "
+            f"num_kv_heads={cfg.llama.num_kv_heads}"
+        )
+    has_audio = static_kw.get("has_audio", True)
+    batch_spec = P("dp") if mesh.shape.get("dp", 1) > 1 else P()
+
+    def local(frozen, trainable, input_ids, attention_mask, audio, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+        return _generate_impl(
+            frozen, trainable, cfg, input_ids, attention_mask, audio, key,
+            tp_axis="tp", tp_size=tp, **static_kw,
+        )
+
+    def specs_for(template_frozen, template_trainable):
+        frozen_specs = {
+            "llama": shd.llama_specs(template_frozen["llama"]),
+            "whisper": jax.tree_util.tree_map(
+                lambda _: P(), template_frozen["whisper"]
+            ),
+        }
+        trainable_specs = shd.trainable_specs(template_trainable)
+        return frozen_specs, trainable_specs
+
+    def fn(frozen, trainable, input_ids, attention_mask, audio, key):
+        frozen_specs, trainable_specs = specs_for(frozen, trainable)
+        in_specs = (
+            frozen_specs, trainable_specs, batch_spec, batch_spec,
+            batch_spec if has_audio else P(), P(),
+        )
+        mapped = shard_map(
+            local, mesh=mesh, in_specs=in_specs,
+            out_specs=GenerateResult(tokens=batch_spec, num_generated=batch_spec),
+            check_rep=False,
+        )
+        return jax.jit(mapped)(
+            frozen, trainable, input_ids, attention_mask, audio, key
+        )
+
+    return fn
 
 
 def make_dp_generate(cfg: AudioLLMConfig, mesh, **static_kw):

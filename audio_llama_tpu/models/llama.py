@@ -122,12 +122,16 @@ class KVCache(NamedTuple):
     length: jnp.ndarray
 
     @classmethod
-    def zeros(cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    def zeros(cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+              kv_heads: int | None = None):
         # Round the timeline up to the 8-sublane tile so the decode kernel
         # can DMA whole (batch, head) slabs; extra slots are never marked
         # attendable (masks are zero-padded to the cache length).
+        # kv_heads overrides the head count for tensor-parallel shards
+        # (num_kv_heads / tp local heads per device).
         max_len = -(-max_len // 8) * 8
-        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+        heads = kv_heads if kv_heads is not None else cfg.num_kv_heads
+        shape = (cfg.num_layers, batch, heads, max_len, cfg.head_dim)
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -167,6 +171,7 @@ def llama_forward(
     attn_impl: str = "auto",
     remat: bool = False,
     assume_fresh_cache: bool = False,
+    tp_axis: Optional[str] = None,
 ):
     """Decoder forward.
 
@@ -179,6 +184,12 @@ def llama_forward(
     With kv_cache: appends the T new positions at cache.length and attends over
     the whole cache timeline; returns (logits, updated_cache). attention_mask,
     if given, covers the full cache timeline [B, max_len].
+
+    tp_axis: set when running INSIDE shard_map with Megatron-sharded weights
+    (column-parallel q/k/v/gate/up, row-parallel o/down — parallel/sharding.py
+    specs). Head counts are then derived from the local weight shapes and the
+    two row-parallel matmuls are psum'd over the axis. Embedding/unembedding
+    stay replicated.
     """
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids, compute_dtype)
@@ -285,9 +296,11 @@ def llama_forward(
         q = _linear(h, p["q_proj"], lb("q_proj"), compute_dtype)
         k = _linear(h, p["k_proj"], lb("k_proj"), compute_dtype)
         v = _linear(h, p["v_proj"], lb("v_proj"), compute_dtype)
-        q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
-        k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-        v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        # -1 head counts: under tp_axis the projections are column-sharded,
+        # so each shard sees num_heads/tp local heads.
+        q = q.reshape(B, T, -1, cfg.head_dim)
+        k = k.reshape(B, T, -1, cfg.head_dim)
+        v = v.reshape(B, T, -1, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -335,14 +348,18 @@ def llama_forward(
             )
         else:
             attn = mha(q, attn_k, attn_v, bias=bias, scale=cfg.head_dim ** -0.5)
-        attn = attn.reshape(B, T, cfg.num_heads * cfg.head_dim)
+        attn = attn.reshape(B, T, -1)
         attn = _linear(attn, p["o_proj"], lb("o_proj"), compute_dtype)
+        if tp_axis is not None:  # row-parallel output projection
+            attn = lax.psum(attn, tp_axis)
         x = x + attn
 
         h = rms_norm(x, p["post_attn_ln"].astype(compute_dtype), cfg.rms_norm_eps)
         g = _linear(h, p["gate_proj"], lb("gate_proj"), compute_dtype)
         u = _linear(h, p["up_proj"], lb("up_proj"), compute_dtype)
         d = _linear(jax.nn.silu(g) * u, p["down_proj"], lb("down_proj"), compute_dtype)
+        if tp_axis is not None:  # row-parallel down projection
+            d = lax.psum(d, tp_axis)
         x = x + d
         return (x, ck_all, cv_all), None
 
@@ -365,6 +382,11 @@ def llama_forward(
     x = rms_norm(x, params["final_ln"].astype(compute_dtype), cfg.rms_norm_eps)
 
     logits = unembed(params, cfg, x, compute_dtype)
+    if tp_axis is not None and not cfg.tie_word_embeddings and "lm_head" in params:
+        # untied lm_head is vocab-column-sharded (parallel/sharding.py):
+        # gather the vocab shards so sampling sees full logits. (The tied
+        # flagship path unembeds with the replicated embedding table.)
+        logits = lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
 
     new_cache = None
     if kv_cache is not None:

@@ -173,6 +173,9 @@ class WhisperConfig(_ConfigBase):
     num_mel_bins: int = 128
     max_source_positions: int = 1500  # 30 s * 100 fps / 2 (conv stride)
     layer_norm_eps: float = 1e-5
+    # HF Whisper uses exact (erf) GELU; tanh approximation is faster on the
+    # VPU with ~1e-3 activation deltas — opt-in for throughput.
+    gelu_approx: bool = False
 
     @property
     def head_dim(self) -> int:

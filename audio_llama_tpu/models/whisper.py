@@ -105,14 +105,15 @@ def encode(
     from ..ops import flash_attention as fa
 
     use_flash = attn_impl == "flash" or (attn_impl == "auto" and fa.available())
+    approx = cfg.gelu_approx
     x = mel.astype(compute_dtype)
     x = jax.nn.gelu(
         _conv1d(x, params["conv1"]["w"].astype(compute_dtype), params["conv1"]["b"].astype(compute_dtype), 1),
-        approximate=False,
+        approximate=approx,
     )
     x = jax.nn.gelu(
         _conv1d(x, params["conv2"]["w"].astype(compute_dtype), params["conv2"]["b"].astype(compute_dtype), 2),
-        approximate=False,
+        approximate=approx,
     )
     x = jnp.swapaxes(x, 1, 2)  # [B, T, D]
     B, T, D = x.shape
@@ -142,7 +143,7 @@ def encode(
         h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"], cfg.layer_norm_eps)
         h = jax.nn.gelu(
             h @ p["fc1"]["w"].astype(compute_dtype) + p["fc1"]["b"].astype(compute_dtype),
-            approximate=False,
+            approximate=approx,
         )
         h = h @ p["fc2"]["w"].astype(compute_dtype) + p["fc2"]["b"].astype(compute_dtype)
         x = x + h

@@ -45,6 +45,10 @@ def main():
     ap.add_argument(
         "--tiny", action="store_true", help="toy dims (CI/CPU smoke run)"
     )
+    ap.add_argument(
+        "--fast_gelu", action="store_true",
+        help="tanh-approximate GELU in the encoder (throughput experiment)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -70,6 +74,8 @@ def main():
     else:
         wcfg = WhisperConfig.large_v3_turbo()
         mcfg = MelConfig(num_mel_bins=128)
+    if args.fast_gelu:
+        wcfg = wcfg.replace(gelu_approx=True)
 
     pcfg = AudioLLMConfig(whisper=wcfg, mel=mcfg).projector
     B = args.batch

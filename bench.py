@@ -46,8 +46,10 @@ def main():
         "--tiny", action="store_true", help="toy dims (CI/CPU smoke run)"
     )
     ap.add_argument(
-        "--fast_gelu", action="store_true",
-        help="tanh-approximate GELU in the encoder (throughput experiment)",
+        "--exact_gelu", action="store_true",
+        help="HF-exact erf GELU in the encoder (default: tanh approximation, "
+             "the serving configuration — ~18%% faster, ~1e-3 activation "
+             "deltas; see BASELINE.md)",
     )
     args = ap.parse_args()
 
@@ -74,7 +76,7 @@ def main():
     else:
         wcfg = WhisperConfig.large_v3_turbo()
         mcfg = MelConfig(num_mel_bins=128)
-    if args.fast_gelu:
+    if not args.exact_gelu:
         wcfg = wcfg.replace(gelu_approx=True)
 
     pcfg = AudioLLMConfig(whisper=wcfg, mel=mcfg).projector

@@ -119,6 +119,23 @@ def encode(
     B, T, D = x.shape
     x = x + params["pos_embed"][:T].astype(compute_dtype)
 
+    # Pad the whole stack to flash's tile multiple ONCE (1500 -> 1536) so the
+    # kernel wrapper doesn't copy q/k/v every layer; pad rows live in their
+    # own residual lanes and are masked out of attention via the mask below.
+    T_real = T
+    seg_mask = None
+    if use_flash:
+        from ..ops.flash_attention import _TILE, _round_up
+
+        T_pad = _round_up(T, _TILE)
+        if T_pad != T:
+            x = jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0)))
+            seg_mask = jnp.concatenate(
+                [jnp.ones((B, T), jnp.int32), jnp.zeros((B, T_pad - T), jnp.int32)],
+                axis=1,
+            )
+            T = T_pad
+
     H, hd = cfg.num_heads, cfg.head_dim
 
     def layer_step(carry, p):
@@ -133,7 +150,7 @@ def encode(
         k = k.reshape(B, T, H, hd)
         v = v.reshape(B, T, H, hd)
         if use_flash:
-            attn = fa.flash_mha(q, k, v, causal=False, scale=hd ** -0.5)
+            attn = fa.flash_mha(q, k, v, mask=seg_mask, causal=False, scale=hd ** -0.5)
         else:
             attn = mha(q, k, v, bias=None, scale=hd ** -0.5)
         attn = attn.reshape(B, T, D)
@@ -150,5 +167,7 @@ def encode(
         return (x,), None
 
     (x,), _ = lax.scan(layer_step, (x,), params["layers"])
+    if T_real != T:
+        x = x[:, :T_real]
     x = layer_norm(x, params["ln_post"]["scale"], params["ln_post"]["bias"], cfg.layer_norm_eps)
     return x

@@ -96,3 +96,19 @@ def test_llama_forward_flash_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out)[m], np.asarray(ref)[m], atol=2e-4, rtol=2e-4
     )
+
+
+def test_whisper_encode_flash_matches_xla():
+    """Encoder with hoisted stack padding (flash) vs the XLA path."""
+    from audio_llama_tpu.config import WhisperConfig
+    from audio_llama_tpu.models import whisper as wm
+
+    cfg = WhisperConfig.tiny()  # T=64 -> pads to the 512 tile
+    params = wm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.num_mel_bins, 128)) * 0.5
+    ref = wm.encode(params, cfg, mel, jnp.float32, attn_impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        out = wm.encode(params, cfg, mel, jnp.float32, attn_impl="flash")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )

@@ -208,13 +208,6 @@ def llama_forward(
         offset = 0
         Tk = T
 
-    if positions is None:
-        positions = jnp.arange(T)[None, :] + offset  # [1|B, T]
-        positions = jnp.broadcast_to(positions, (B, T))
-
-    inv_freq = rope_for_config(cfg)
-    cos, sin = rope_tables(positions, inv_freq)  # [B, T, hd]
-
     # Full-sequence paths can use flash attention: training/scoring (no
     # cache) and PREFILL into a fresh cache (assume_fresh_cache=True promises
     # cache.length == 0, so self-attention over the T new tokens is the whole
@@ -225,6 +218,34 @@ def llama_forward(
     use_flash = (kv_cache is None or (assume_fresh_cache and T > 1)) and (
         attn_impl == "flash" or (attn_impl == "auto" and fa.available())
     )
+
+    # Training/scoring under flash: pad the whole stack to the kernel tile
+    # ONCE (e.g. 2014 -> 2048) instead of copying q/k/v in every layer; pad
+    # rows are masked out of attention and sliced off at the end.
+    T_real = T
+    if use_flash and kv_cache is None:
+        T_pad = fa._round_up(T, fa._TILE)
+        if T_pad != T:
+            x = jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0)))
+            base_mask = (
+                attention_mask.astype(jnp.int32)
+                if attention_mask is not None
+                else jnp.ones((B, T), jnp.int32)
+            )
+            attention_mask = jnp.pad(base_mask, ((0, 0), (0, T_pad - T)))
+            if positions is not None:
+                positions = jnp.pad(
+                    positions, ((0, 0), (0, T_pad - T)), mode="edge"
+                )
+            T = T_pad
+            Tk = T
+
+    if positions is None:
+        positions = jnp.arange(T)[None, :] + offset  # [1|B, T]
+        positions = jnp.broadcast_to(positions, (B, T))
+
+    inv_freq = rope_for_config(cfg)
+    cos, sin = rope_tables(positions, inv_freq)  # [B, T, hd]
 
     # Single-token decode uses the fused Pallas append+attention kernel: the
     # cache operands are input_output_aliased, so the cache stays in HBM with
@@ -378,6 +399,9 @@ def llama_forward(
     (x, ck_out, cv_out), _ = lax.scan(
         step_fn, carry0, (lp, lora_layers, jnp.arange(L))
     )
+
+    if T_real != T:  # drop the flash tile-padding rows
+        x = x[:, :T_real]
 
     x = rms_norm(x, params["final_ln"].astype(compute_dtype), cfg.rms_norm_eps)
 

@@ -76,6 +76,7 @@ def _generate_impl(
     has_audio: bool = True,
     tp_axis=None,
     tp_size: int = 1,
+    kv_quant: bool = False,
 ) -> GenerateResult:
     """Sampling defaults mirror the reference CLI (temperature 0.7, top_p 0.9,
     max_new_tokens 256; reference src/inference.py:186-194)."""
@@ -99,6 +100,7 @@ def _generate_impl(
     cache = llama_mod.KVCache.zeros(
         cfg.llama, B, total, dtype=compute_dtype,
         kv_heads=cfg.llama.num_kv_heads // tp_size,
+        quantized=kv_quant,
     )
     logits, cache = llama_mod.llama_forward(
         frozen["llama"], cfg.llama,
@@ -165,7 +167,7 @@ generate = functools.partial(
     static_argnames=(
         "cfg", "max_new_tokens", "temperature", "top_p", "top_k", "greedy",
         "eos_id", "pad_id", "audio_start_id", "audio_end_id", "compute_dtype",
-        "has_audio", "tp_axis", "tp_size",
+        "has_audio", "tp_axis", "tp_size", "kv_quant",
     ),
 )(_generate_impl)
 

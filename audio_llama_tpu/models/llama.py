@@ -115,28 +115,58 @@ class KVCache(NamedTuple):
     k/v: [L, B, Hkv, max_len, hd] (head-major: each (batch, head) timeline is
     a contiguous [max_len, hd] slab, the unit the Pallas decode-attention
     kernel DMAs); length: [] int32 current fill.
+
+    Quantized mode (zeros(quantized=True)): k/v are int8 with per-row scales
+    k_scale/v_scale [L, B, Hkv, max_len] f32 — halves cache HBM (and decode
+    cache-read traffic) for ~1e-2 relative K/V error. Scales are exact to
+    apply post-matmul: q·(int8·s) == (q·int8)·s per key row.
     """
 
     k: jnp.ndarray
     v: jnp.ndarray
     length: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @classmethod
     def zeros(cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
-              kv_heads: int | None = None):
-        # Round the timeline up to the 8-sublane tile so the decode kernel
-        # can DMA whole (batch, head) slabs; extra slots are never marked
-        # attendable (masks are zero-padded to the cache length).
-        # kv_heads overrides the head count for tensor-parallel shards
-        # (num_kv_heads / tp local heads per device).
-        max_len = -(-max_len // 8) * 8
+              kv_heads: int | None = None, quantized: bool = False):
+        # Round the timeline up to the 32-sublane tile (int8's requirement;
+        # also satisfies bf16's 16 and f32's 8) so the decode kernel can DMA
+        # whole (batch, head) slabs; extra slots are never attendable (masks
+        # zero-pad to the cache length). kv_heads overrides the head count
+        # for tensor-parallel shards (num_kv_heads / tp local heads).
+        max_len = -(-max_len // 32) * 32
         heads = kv_heads if kv_heads is not None else cfg.num_kv_heads
         shape = (cfg.num_layers, batch, heads, max_len, cfg.head_dim)
+        if quantized:
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                length=jnp.zeros((), jnp.int32),
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             length=jnp.zeros((), jnp.int32),
         )
+
+
+def quantize_kv_rows(x: jnp.ndarray):
+    """[..., hd] -> (int8 values [..., hd], f32 scales [...]): symmetric
+    per-row max-abs quantization."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
 
 
 # ---------------------------------------------------------------------------
@@ -302,7 +332,7 @@ def llama_forward(
         # per-layer cache slabs as scan ys instead would re-materialize the
         # whole [L, B, max_len, Hkv, hd] cache every call — at 3B/2k-ctx
         # decode that is ~5 GB of pointless HBM traffic per token.
-        x, ck_all, cv_all = carry
+        x, ck_all, cv_all, ks_all, vs_all = carry
         (p, lor, li) = scanned
         h = rms_norm(x, p["input_ln"].astype(compute_dtype), cfg.rms_norm_eps)
 
@@ -325,17 +355,47 @@ def llama_forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+        quantized = ks_all is not None
         if use_decode_kernel:
-            attn_flat, ck_all, cv_all = da.decode_attention(
-                q[:, 0], k[:, 0], v[:, 0], ck_all, cv_all,
-                li, offset, decode_valid, cfg.head_dim ** -0.5,
-            )
+            if quantized:
+                kq, kq_s = quantize_kv_rows(k[:, 0])  # [B,Hkv,hd], [B,Hkv]
+                vq, vq_s = quantize_kv_rows(v[:, 0])
+                attn_flat, ck_all, cv_all = da.decode_attention_quantized(
+                    q[:, 0], kq, vq, ck_all, cv_all,
+                    lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
+                    lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
+                    kq_s, vq_s,
+                    li, offset, decode_valid, cfg.head_dim ** -0.5,
+                )
+                ks_all = lax.dynamic_update_slice(
+                    ks_all, kq_s[None, :, :, None], (li, 0, 0, offset)
+                )
+                vs_all = lax.dynamic_update_slice(
+                    vs_all, vq_s[None, :, :, None], (li, 0, 0, offset)
+                )
+            else:
+                attn_flat, ck_all, cv_all = da.decode_attention(
+                    q[:, 0], k[:, 0], v[:, 0], ck_all, cv_all,
+                    li, offset, decode_valid, cfg.head_dim ** -0.5,
+                )
             attn = attn_flat[:, None]  # [B, 1, Hq, hd]
         elif ck_all is not None:
-            kh = jnp.swapaxes(k, 1, 2).astype(ck_all.dtype)[None]  # [1,B,Hkv,T,hd]
-            vh = jnp.swapaxes(v, 1, 2).astype(cv_all.dtype)[None]
-            ck_all = lax.dynamic_update_slice(ck_all, kh, (li, 0, 0, offset, 0))
-            cv_all = lax.dynamic_update_slice(cv_all, vh, (li, 0, 0, offset, 0))
+            kh = jnp.swapaxes(k, 1, 2)[None]  # [1,B,Hkv,T,hd]
+            vh = jnp.swapaxes(v, 1, 2)[None]
+            if quantized:
+                khq, khs = quantize_kv_rows(kh)
+                vhq, vhs = quantize_kv_rows(vh)
+                ck_all = lax.dynamic_update_slice(ck_all, khq, (li, 0, 0, offset, 0))
+                cv_all = lax.dynamic_update_slice(cv_all, vhq, (li, 0, 0, offset, 0))
+                ks_all = lax.dynamic_update_slice(ks_all, khs, (li, 0, 0, offset))
+                vs_all = lax.dynamic_update_slice(vs_all, vhs, (li, 0, 0, offset))
+            else:
+                ck_all = lax.dynamic_update_slice(
+                    ck_all, kh.astype(ck_all.dtype), (li, 0, 0, offset, 0)
+                )
+                cv_all = lax.dynamic_update_slice(
+                    cv_all, vh.astype(cv_all.dtype), (li, 0, 0, offset, 0)
+                )
             if use_flash:
                 # flash prefill attends over the fresh k/v directly; the
                 # cache timeline is only written, never read here
@@ -347,6 +407,11 @@ def llama_forward(
                 attn_v = lax.dynamic_index_in_dim(
                     cv_all, li, axis=0, keepdims=False
                 ).astype(compute_dtype)
+                if quantized:  # dequantize with per-row scales
+                    k_s = lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False)
+                    v_s = lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False)
+                    attn_k = attn_k * k_s[..., None].astype(compute_dtype)
+                    attn_v = attn_v * v_s[..., None].astype(compute_dtype)
         else:
             attn_k, attn_v = k, v
 
@@ -382,21 +447,21 @@ def llama_forward(
         if tp_axis is not None:  # row-parallel down projection
             d = lax.psum(d, tp_axis)
         x = x + d
-        return (x, ck_all, cv_all), None
+        return (x, ck_all, cv_all, ks_all, vs_all), None
 
     # Assemble scanned pytrees: stacked layer params + optional stacked lora,
     # with the layer index as xs for cache addressing.
     lora_layers = lora["layers"] if lora is not None else None
     L = cfg.num_layers
     if kv_cache is not None:
-        carry0 = (x, kv_cache.k, kv_cache.v)
+        carry0 = (x, kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale)
     else:
-        carry0 = (x, None, None)
+        carry0 = (x, None, None, None, None)
 
     step_fn = layer_step
     if remat:
         step_fn = jax.checkpoint(layer_step, prevent_cse=False)
-    (x, ck_out, cv_out), _ = lax.scan(
+    (x, ck_out, cv_out, ks_out, vs_out), _ = lax.scan(
         step_fn, carry0, (lp, lora_layers, jnp.arange(L))
     )
 
@@ -414,7 +479,10 @@ def llama_forward(
 
     new_cache = None
     if kv_cache is not None:
-        new_cache = KVCache(k=ck_out, v=cv_out, length=offset + T)
+        new_cache = KVCache(
+            k=ck_out, v=cv_out, length=offset + T,
+            k_scale=ks_out, v_scale=vs_out,
+        )
     if return_hidden:
         return logits, new_cache, x
     return logits, new_cache

@@ -118,3 +118,78 @@ def test_llama_decode_step_kernel_matches_xla():
         np.asarray(k_cache.k), np.asarray(ref_cache.k), atol=1e-5
     )
     assert int(k_cache.length) == int(ref_cache.length)
+
+
+def test_quantized_cache_xla_path_close_to_bf16():
+    """int8 KV cache through llama_forward (XLA path): prefill+decode stays
+    close to the unquantized result (per-row max-abs quantization)."""
+    from audio_llama_tpu.config import LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+
+    cfg = LlamaConfig.tiny()
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    B, P, total = 2, 10, 18
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, P), 3, 500)
+    mask = jnp.ones((B, total), jnp.int32)
+
+    def run(quantized):
+        cache = lm.KVCache.zeros(
+            cfg, B, total, dtype=jnp.float32, quantized=quantized
+        )
+        Tk = cache.k.shape[3]
+        m = jnp.pad(mask, ((0, 0), (0, Tk - total)))
+        logits, cache = lm.llama_forward(
+            params, cfg, input_ids=ids, attention_mask=m, kv_cache=cache,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+        d, _ = lm.llama_forward(
+            params, cfg, input_ids=tok, attention_mask=m, kv_cache=cache,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        return logits, d
+
+    ref_l, ref_d = run(False)
+    q_l, q_d = run(True)
+    # int8 per-row quantization: small relative error, same argmax mostly
+    assert np.max(np.abs(np.asarray(q_l) - np.asarray(ref_l))) < 0.15
+    assert np.max(np.abs(np.asarray(q_d) - np.asarray(ref_d))) < 0.15
+
+
+def test_quantized_decode_kernel_matches_xla_quantized():
+    """Fused int8 kernel vs the XLA quantized path (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from audio_llama_tpu.config import LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+
+    cfg = LlamaConfig.tiny()
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    B, P, total = 2, 10, 20
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, P), 3, 500)
+    cache0 = lm.KVCache.zeros(cfg, B, total, dtype=jnp.float32, quantized=True)
+    Tk = cache0.k.shape[3]
+    mask = jnp.ones((B, Tk), jnp.int32)
+    _, cache = lm.llama_forward(
+        params, cfg, input_ids=ids, attention_mask=mask, kv_cache=cache0,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    tok = jnp.asarray([[7], [9]], jnp.int32)
+    ref, ref_cache = lm.llama_forward(
+        params, cfg, input_ids=tok, attention_mask=mask, kv_cache=cache,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, k_cache = lm.llama_forward(
+            params, cfg, input_ids=tok, attention_mask=mask, kv_cache=cache,
+            compute_dtype=jnp.float32, attn_impl="decode_kernel",
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-3, rtol=5e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(k_cache.k), np.asarray(ref_cache.k)
+    )
+    np.testing.assert_allclose(
+        np.asarray(k_cache.k_scale), np.asarray(ref_cache.k_scale), atol=1e-6
+    )

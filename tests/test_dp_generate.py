@@ -48,3 +48,27 @@ def test_dp_generate_rejects_tp_mesh(model):
     mesh = make_mesh(MeshConfig(dp=4, fsdp=1, tp=2), devices=jax.devices()[:8])
     with pytest.raises(ValueError, match="dp-only"):
         gen.make_dp_generate(cfg, mesh, greedy=True)
+
+
+def test_generate_kv_quant_close_to_bf16(model):
+    """End-to-end generation with the int8 KV cache: same greedy tokens as
+    the full-precision cache on the toy model (logit gaps >> quant noise)."""
+    cfg, frozen, trainable = model
+    B, T = 2, 10
+    rng = np.random.RandomState(3)
+    ids = jnp.asarray(rng.randint(3, 250, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+    audio = jnp.asarray(rng.randn(B, cfg.mel.max_samples).astype(np.float32) * 0.1)
+    static = dict(
+        max_new_tokens=6, greedy=True, eos_id=-1, pad_id=0,
+        audio_start_id=260, audio_end_id=261, compute_dtype=jnp.float32,
+        has_audio=True,
+    )
+    key = jax.random.PRNGKey(0)
+    ref = gen.generate(frozen, trainable, cfg, ids, mask, audio, key, **static)
+    out = gen.generate(
+        frozen, trainable, cfg, ids, mask, audio, key, kv_quant=True, **static
+    )
+    # int8 K/V noise is ~1e-2 relative; random-model logit margins dominate.
+    agree = np.mean(np.asarray(out.tokens) == np.asarray(ref.tokens))
+    assert agree >= 0.8, agree

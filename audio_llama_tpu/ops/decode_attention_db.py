@@ -1,0 +1,172 @@
+"""Double-buffered variant of the decode-attention kernel.
+
+Same math and in-place cache semantics as ops/decode_attention.py, but the
+grid is flattened to (B*Hkv,) and each invocation prefetches the NEXT
+(batch, head) K/V slabs while computing the current one — the slab DMA
+(~0.5 MB x2 per invocation) hides behind the [G, max_len] matmul+softmax
+instead of serializing in front of it (the guide's double-buffering pattern).
+
+Kept separate from the simple kernel so the straightforward version remains
+the readable reference; both are parity-tested against the same XLA math.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    li_ref, off_ref,
+    q_ref,       # [1, 1, G, hd]
+    knew_ref,    # [1, 1, 1, hd]
+    vnew_ref,    # [1, 1, 1, hd]
+    valid_ref,   # [1, 1, max_len]
+    ck_any, cv_any,
+    out_ref, ck_out, cv_out,
+    k_db,        # [2, max_len, hd] scratch (double buffer)
+    v_db,
+    sems,        # DMA semaphores (2, 2) -> [slot, k/v]
+    wsems,       # write-back semaphores (2,)
+    *,
+    scale: float,
+    n_heads: int,
+):
+    i = pl.program_id(0)  # flattened (b * Hkv + h)
+    n = pl.num_programs(0)
+    li = li_ref[0]
+    off = off_ref[0]
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def slab_dma(idx, s):
+        b = idx // n_heads
+        h = jax.lax.rem(idx, n_heads)
+        return (
+            pltpu.make_async_copy(ck_any.at[li, b, h], k_db.at[s], sems.at[s, 0]),
+            pltpu.make_async_copy(cv_any.at[li, b, h], v_db.at[s], sems.at[s, 1]),
+        )
+
+    # Warm-up: the first invocation starts its own slab DMA.
+    @pl.when(i == 0)
+    def _():
+        ka, va = slab_dma(0, 0)
+        ka.start()
+        va.start()
+
+    # Prefetch the next invocation's slabs before waiting on ours.
+    @pl.when(i + 1 < n)
+    def _():
+        kn, vn = slab_dma(i + 1, nxt)
+        kn.start()
+        vn.start()
+
+    ka, va = slab_dma(i, slot)
+    ka.wait()
+    va.wait()
+
+    max_len = k_db.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (max_len, 1), 0)
+    is_new = row == off
+    k_full = jnp.where(is_new, knew_ref[0, 0], k_db[slot])
+    v_full = jnp.where(is_new, vnew_ref[0, 0], v_db[slot])
+    k_db[slot] = k_full
+    v_db[slot] = v_full
+    off_clamped = jnp.minimum(off, max_len - 1)
+    off_al = pl.multiple_of((off_clamped // 8) * 8, 8)
+    b = i // n_heads
+    h = jax.lax.rem(i, n_heads)
+    wb_k = pltpu.make_async_copy(
+        k_db.at[slot, pl.ds(off_al, 8), :],
+        ck_out.at[li, b, h, pl.ds(off_al, 8), :], wsems.at[0],
+    )
+    wb_v = pltpu.make_async_copy(
+        v_db.at[slot, pl.ds(off_al, 8), :],
+        cv_out.at[li, b, h, pl.ds(off_al, 8), :], wsems.at[1],
+    )
+    wb_k.start()
+    wb_v.start()
+
+    q = q_ref[0, 0]
+    logits = jax.lax.dot_general(
+        q, k_full, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    valid = valid_ref[0, 0, :]
+    logits = jnp.where(valid[None, :] > 0, logits, -1e30)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v_full.dtype), v_full, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+    wb_k.wait()
+    wb_v.wait()
+
+
+def decode_attention_db(
+    q, k_new, v_new, cache_k, cache_v, layer, offset, valid, scale,
+    interpret: bool = False,
+):
+    """Drop-in for decode_attention with cross-step DMA/compute overlap."""
+    L, B, Hkv, max_len, hd = cache_k.shape
+    if max_len % 8 != 0:
+        raise ValueError(f"max_len % 8 != 0 ({max_len})")
+    Hq = q.shape[1]
+    G = Hq // Hkv
+    qg = q.reshape(B * Hkv, 1, G, hd)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B * Hkv,),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, hd), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hd), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hd), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, max_len), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, G, hd), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, max_len, hd), cache_k.dtype),
+            pltpu.VMEM((2, max_len, hd), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    # valid is per-batch-row: replicate per head on the host side of the call
+    valid_bh = jnp.repeat(valid.astype(jnp.int32), Hkv, axis=0)[:, None, :]
+    out, ck, cv = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, n_heads=Hkv),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * Hkv, 1, G, hd), q.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ],
+        input_output_aliases={6: 1, 7: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.asarray(offset, jnp.int32).reshape(1),
+        qg,
+        k_new.astype(cache_k.dtype).reshape(B * Hkv, 1, 1, hd),
+        v_new.astype(cache_v.dtype).reshape(B * Hkv, 1, 1, hd),
+        valid_bh,
+        cache_k,
+        cache_v,
+    )
+    return out.reshape(B, Hq, hd), ck, cv

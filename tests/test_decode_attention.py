@@ -193,3 +193,30 @@ def test_quantized_decode_kernel_matches_xla_quantized():
     np.testing.assert_allclose(
         np.asarray(k_cache.k_scale), np.asarray(ref_cache.k_scale), atol=1e-6
     )
+
+
+def test_double_buffered_kernel_matches_simple():
+    from audio_llama_tpu.ops.decode_attention_db import decode_attention_db
+
+    L, B, Hkv, S, hd = 3, 2, 2, 64, 32
+    Hq = 4
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(B, Hq, hd).astype(np.float32))
+    k_new = jnp.asarray(rng.randn(B, Hkv, hd).astype(np.float32))
+    v_new = jnp.asarray(rng.randn(B, Hkv, hd).astype(np.float32))
+    ck = jnp.asarray(rng.randn(L, B, Hkv, S, hd).astype(np.float32))
+    cv = jnp.asarray(rng.randn(L, B, Hkv, S, hd).astype(np.float32))
+    valid = np.zeros((B, S), np.int32)
+    valid[:, :12] = 1
+    valid = jnp.asarray(valid)
+    ref_out, ref_ck, ref_cv = decode_attention(
+        q, k_new, v_new, ck, cv, jnp.int32(1), jnp.int32(11), valid,
+        hd ** -0.5, interpret=True,
+    )
+    out, ock, ocv = decode_attention_db(
+        q, k_new, v_new, ck, cv, jnp.int32(1), jnp.int32(11), valid,
+        hd ** -0.5, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ock), np.asarray(ref_ck), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ocv), np.asarray(ref_cv), atol=1e-6)

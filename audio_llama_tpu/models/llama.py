@@ -358,9 +358,13 @@ def llama_forward(
         quantized = ks_all is not None
         if use_decode_kernel:
             if quantized:
+                from ..ops.decode_attention_db import (
+                    decode_attention_quantized_db,
+                )
+
                 kq, kq_s = quantize_kv_rows(k[:, 0])  # [B,Hkv,hd], [B,Hkv]
                 vq, vq_s = quantize_kv_rows(v[:, 0])
-                attn_flat, ck_all, cv_all = da.decode_attention_quantized(
+                attn_flat, ck_all, cv_all = decode_attention_quantized_db(
                     q[:, 0], kq, vq, ck_all, cv_all,
                     lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
                     lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
@@ -374,7 +378,9 @@ def llama_forward(
                     vs_all, vq_s[None, :, :, None], (li, 0, 0, offset)
                 )
             else:
-                attn_flat, ck_all, cv_all = da.decode_attention(
+                from ..ops.decode_attention_db import decode_attention_db
+
+                attn_flat, ck_all, cv_all = decode_attention_db(
                     q[:, 0], k[:, 0], v[:, 0], ck_all, cv_all,
                     li, offset, decode_valid, cfg.head_dim ** -0.5,
                 )

@@ -111,6 +111,172 @@ def _kernel(
     wb_v.wait()
 
 
+def _kernel_quantized(
+    li_ref, off_ref,
+    q_ref, knew_ref, vnew_ref,
+    ks_new_ref,  # [1, 1, 1, 1] f32
+    vs_new_ref,
+    ks_ref,      # [1, 1, 1, max_len] f32
+    vs_ref,
+    valid_ref,
+    ck_any, cv_any,
+    out_ref, ck_out, cv_out,
+    k_db, v_db, sems, wsems,
+    *,
+    scale: float,
+    n_heads: int,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    li = li_ref[0]
+    off = off_ref[0]
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def slab_dma(idx, s):
+        b = idx // n_heads
+        h = jax.lax.rem(idx, n_heads)
+        return (
+            pltpu.make_async_copy(ck_any.at[li, b, h], k_db.at[s], sems.at[s, 0]),
+            pltpu.make_async_copy(cv_any.at[li, b, h], v_db.at[s], sems.at[s, 1]),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        ka, va = slab_dma(0, 0)
+        ka.start()
+        va.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        kn, vn = slab_dma(i + 1, nxt)
+        kn.start()
+        vn.start()
+
+    ka, va = slab_dma(i, slot)
+    ka.wait()
+    va.wait()
+
+    max_len = k_db.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (max_len, 1), 0)
+    is_new = row == off
+    k_full = jnp.where(is_new, knew_ref[0, 0], k_db[slot])
+    v_full = jnp.where(is_new, vnew_ref[0, 0], v_db[slot])
+    k_db[slot] = k_full
+    v_db[slot] = v_full
+    off_clamped = jnp.minimum(off, max_len - 1)
+    off_al = pl.multiple_of((off_clamped // 32) * 32, 32)  # int8 tile
+    b = i // n_heads
+    h = jax.lax.rem(i, n_heads)
+    wb_k = pltpu.make_async_copy(
+        k_db.at[slot, pl.ds(off_al, 32), :],
+        ck_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[0],
+    )
+    wb_v = pltpu.make_async_copy(
+        v_db.at[slot, pl.ds(off_al, 32), :],
+        cv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[1],
+    )
+    wb_k.start()
+    wb_v.start()
+
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+    is_new_r = row1 == off
+    k_s = jnp.where(is_new_r, ks_new_ref[0, 0], ks_ref[0, 0])
+    v_s = jnp.where(is_new_r, vs_new_ref[0, 0], vs_ref[0, 0])
+
+    q = q_ref[0, 0]
+    cdt = q_ref.dtype
+    logits = jax.lax.dot_general(
+        q, k_full.astype(cdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * (k_s * scale)
+    valid = valid_ref[0, 0, :]
+    logits = jnp.where(valid[None, :] > 0, logits, -1e30)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    pv = (p * v_s).astype(cdt)
+    out = jax.lax.dot_general(
+        pv, v_full.astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+    wb_k.wait()
+    wb_v.wait()
+
+
+def decode_attention_quantized_db(
+    q, k_new_q, v_new_q, cache_k, cache_v,
+    k_scales, v_scales, k_new_scale, v_new_scale,
+    layer, offset, valid, scale, interpret: bool = False,
+):
+    """Double-buffered int8 variant (same contract as
+    decode_attention.decode_attention_quantized)."""
+    L, B, Hkv, max_len, hd = cache_k.shape
+    if max_len % 32 != 0:
+        raise ValueError(f"max_len % 32 != 0 ({max_len})")
+    Hq = q.shape[1]
+    G = Hq // Hkv
+    BH = B * Hkv
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(BH,),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, hd), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hd), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hd), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, max_len), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, max_len), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, max_len), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, G, hd), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, max_len, hd), jnp.int8),
+            pltpu.VMEM((2, max_len, hd), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, ck, cv = pl.pallas_call(
+        functools.partial(_kernel_quantized, scale=scale, n_heads=Hkv),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, 1, G, hd), q.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ],
+        # (li, off, q, knew, vnew, ks_new, vs_new, ks, vs, valid, ck, cv)
+        input_output_aliases={10: 1, 11: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.asarray(offset, jnp.int32).reshape(1),
+        q.reshape(BH, 1, G, hd),
+        k_new_q.reshape(BH, 1, 1, hd),
+        v_new_q.reshape(BH, 1, 1, hd),
+        k_new_scale.astype(jnp.float32).reshape(BH, 1, 1, 1),
+        v_new_scale.astype(jnp.float32).reshape(BH, 1, 1, 1),
+        k_scales.astype(jnp.float32).reshape(BH, 1, 1, max_len),
+        v_scales.astype(jnp.float32).reshape(BH, 1, 1, max_len),
+        jnp.repeat(valid.astype(jnp.int32), Hkv, axis=0)[:, None, :],
+        cache_k,
+        cache_v,
+    )
+    return out.reshape(B, Hq, hd), ck, cv
+
+
 def decode_attention_db(
     q, k_new, v_new, cache_k, cache_v, layer, offset, valid, scale,
     interpret: bool = False,

@@ -184,10 +184,13 @@ def make_tp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
     The Whisper encoder and projector are replicated (a few percent of decode
     FLOPs). This is the latency scale-out: per-chip weight reads drop by tp.
 
-    Requires num_kv_heads % tp == 0. Returns
-    fn(frozen, trainable, input_ids, attention_mask, audio, key); shard the
-    frozen weights with parallel.sharding.shard_frozen(mesh, frozen) first
-    (or pass host arrays and let jit lay them out).
+    Requires num_kv_heads % tp == 0 and an fsdp-free mesh. Returns
+    fn(frozen, trainable, input_ids, attention_mask, audio, key). Pre-place
+    weights with parallel.sharding.shard_frozen_for_generation(mesh, frozen)
+    (llama tp-sharded, whisper replicated — plain shard_frozen would
+    tp-shard the encoder, which these in_specs keep replicated), or pass
+    host arrays and let jit lay them out. The jitted program is built once
+    on first call and cached.
     """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
@@ -199,6 +202,12 @@ def make_tp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
         raise ValueError(
             f"tp={tp} must divide num_heads={cfg.llama.num_heads} and "
             f"num_kv_heads={cfg.llama.num_kv_heads}"
+        )
+    if mesh.shape.get("fsdp", 1) != 1:
+        raise ValueError(
+            "make_tp_generate needs fsdp=1: the fsdp axis shards weight "
+            "contraction dims, which is incompatible with the replicated "
+            "activations inside shard_map"
         )
     has_audio = static_kw.get("has_audio", True)
     batch_spec = P("dp") if mesh.shape.get("dp", 1) > 1 else P()
@@ -220,18 +229,30 @@ def make_tp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
         trainable_specs = shd.trainable_specs(template_trainable)
         return frozen_specs, trainable_specs
 
+    cache = {}
+
     def fn(frozen, trainable, input_ids, attention_mask, audio, key):
-        frozen_specs, trainable_specs = specs_for(frozen, trainable)
-        in_specs = (
-            frozen_specs, trainable_specs, batch_spec, batch_spec,
-            batch_spec if has_audio else P(), P(),
+        # Build shard_map + jit ONCE (keyed by weight-tree structure): a
+        # fresh jit per call would recompile the whole prefill+decode
+        # program every time (minutes per compile on remote TPU).
+        key_struct = (
+            jax.tree_util.tree_structure(frozen),
+            jax.tree_util.tree_structure(trainable),
         )
-        mapped = shard_map(
-            local, mesh=mesh, in_specs=in_specs,
-            out_specs=GenerateResult(tokens=batch_spec, num_generated=batch_spec),
-            check_rep=False,
-        )
-        return jax.jit(mapped)(
+        if key_struct not in cache:
+            frozen_specs, trainable_specs = specs_for(frozen, trainable)
+            in_specs = (
+                frozen_specs, trainable_specs, batch_spec, batch_spec,
+                batch_spec if has_audio else P(), P(),
+            )
+            cache[key_struct] = jax.jit(shard_map(
+                local, mesh=mesh, in_specs=in_specs,
+                out_specs=GenerateResult(
+                    tokens=batch_spec, num_generated=batch_spec
+                ),
+                check_rep=False,
+            ))
+        return cache[key_struct](
             frozen, trainable, input_ids, attention_mask, audio, key
         )
 

@@ -10,7 +10,7 @@ cache never leaves HBM and only the appended row is written:
   grid (B, Hkv); per invocation (one batch row, one KV head):
     DMA   K/V slab [max_len, hd] HBM -> VMEM          (the unavoidable read)
     patch slab[offset] = new K/V row (VMEM)
-    DMA   the single new row VMEM -> HBM cache        (the only cache write)
+    DMA   the 32-row aligned window back to HBM       (the only cache write)
     MXU   logits = q_group @ K^T   [G, max_len] f32
     VPU   masked softmax (valid = slot-causal & padding mask)
     MXU   out = probs @ V          [G, hd]
@@ -72,17 +72,19 @@ def _kernel(
     v_full = jnp.where(is_new, vnew_ref[0, 0], v_vmem[:])
     k_vmem[:] = k_full
     v_vmem[:] = v_full
-    # clamp so a (buggy) offset past capacity cannot DMA out of bounds
+    # clamp so a (buggy) offset past capacity cannot DMA out of bounds;
+    # 32-row windows satisfy every dtype's HBM sublane tile (f32 8, bf16 16,
+    # int8 32) — KVCache.zeros rounds timelines to 32.
     off_clamped = jnp.minimum(off, k_vmem.shape[0] - 1)
-    off_al = pl.multiple_of((off_clamped // 8) * 8, 8)
+    off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
     wb_k = pltpu.make_async_copy(
-        k_vmem.at[pl.ds(off_al, 8), :],
-        ck_out.at[li, b, h, pl.ds(off_al, 8), :],
+        k_vmem.at[pl.ds(off_al, 32), :],
+        ck_out.at[li, b, h, pl.ds(off_al, 32), :],
         sems.at[2],
     )
     wb_v = pltpu.make_async_copy(
-        v_vmem.at[pl.ds(off_al, 8), :],
-        cv_out.at[li, b, h, pl.ds(off_al, 8), :],
+        v_vmem.at[pl.ds(off_al, 32), :],
+        cv_out.at[li, b, h, pl.ds(off_al, 32), :],
         sems.at[3],
     )
     wb_k.start()
@@ -124,9 +126,9 @@ def decode_attention(
     """Returns (attn [B, Hq, hd], cache_k', cache_v') with the caches updated
     in place (aliased)."""
     L, B, Hkv, max_len, hd = cache_k.shape
-    if max_len % 8 != 0:
+    if max_len % 32 != 0:
         raise ValueError(
-            f"decode_attention needs max_len % 8 == 0 (got {max_len}); build "
+            f"decode_attention needs max_len % 32 == 0 (got {max_len}); build "
             "caches via KVCache.zeros, which tile-rounds the timeline"
         )
     Hq = q.shape[1]

@@ -77,16 +77,17 @@ def _kernel(
     k_db[slot] = k_full
     v_db[slot] = v_full
     off_clamped = jnp.minimum(off, max_len - 1)
-    off_al = pl.multiple_of((off_clamped // 8) * 8, 8)
+    # 32-row window covers every dtype's HBM sublane tile (bf16 needs 16)
+    off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
     b = i // n_heads
     h = jax.lax.rem(i, n_heads)
     wb_k = pltpu.make_async_copy(
-        k_db.at[slot, pl.ds(off_al, 8), :],
-        ck_out.at[li, b, h, pl.ds(off_al, 8), :], wsems.at[0],
+        k_db.at[slot, pl.ds(off_al, 32), :],
+        ck_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[0],
     )
     wb_v = pltpu.make_async_copy(
-        v_db.at[slot, pl.ds(off_al, 8), :],
-        cv_out.at[li, b, h, pl.ds(off_al, 8), :], wsems.at[1],
+        v_db.at[slot, pl.ds(off_al, 32), :],
+        cv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[1],
     )
     wb_k.start()
     wb_v.start()
@@ -283,8 +284,8 @@ def decode_attention_db(
 ):
     """Drop-in for decode_attention with cross-step DMA/compute overlap."""
     L, B, Hkv, max_len, hd = cache_k.shape
-    if max_len % 8 != 0:
-        raise ValueError(f"max_len % 8 != 0 ({max_len})")
+    if max_len % 32 != 0:
+        raise ValueError(f"max_len % 32 != 0 ({max_len})")
     Hq = q.shape[1]
     G = Hq // Hkv
     qg = q.reshape(B * Hkv, 1, G, hd)

@@ -155,6 +155,21 @@ def shard_frozen(mesh: Mesh, frozen: dict) -> dict:
     return jax.tree_util.tree_map(jax.device_put, frozen, sh)
 
 
+def shard_frozen_for_generation(mesh: Mesh, frozen: dict) -> dict:
+    """Placement for make_tp_generate: llama tp-sharded per the Megatron
+    specs, whisper REPLICATED (generation's shard_map keeps the encoder
+    replicated; plain shard_frozen would tp-shard it and force an all-gather
+    per call)."""
+    llama_sh = _to_shardings(mesh, llama_specs(frozen["llama"]))
+    out = {
+        "llama": jax.tree_util.tree_map(jax.device_put, frozen["llama"], llama_sh),
+        "whisper": jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated(mesh)), frozen["whisper"]
+        ),
+    }
+    return out
+
+
 def shard_trainable(mesh: Mesh, trainable: dict) -> dict:
     sh = trainable_shardings(mesh, trainable)
     return jax.tree_util.tree_map(jax.device_put, trainable, sh)

@@ -220,3 +220,33 @@ def test_double_buffered_kernel_matches_simple():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
     np.testing.assert_allclose(np.asarray(ock), np.asarray(ref_ck), atol=1e-6)
     np.testing.assert_allclose(np.asarray(ocv), np.asarray(ref_cv), atol=1e-6)
+
+
+def test_quantized_db_kernel_matches_simple_quantized():
+    """The double-buffered int8 kernel must match the simple int8 kernel
+    (which stays as the readable parity reference)."""
+    from audio_llama_tpu.models.llama import quantize_kv_rows
+    from audio_llama_tpu.ops.decode_attention import decode_attention_quantized
+    from audio_llama_tpu.ops.decode_attention_db import (
+        decode_attention_quantized_db,
+    )
+
+    L, B, Hkv, S, hd = 3, 2, 2, 64, 32
+    Hq = 4
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(B, Hq, hd).astype(np.float32))
+    k_new, ks_new = quantize_kv_rows(jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32))
+    v_new, vs_new = quantize_kv_rows(jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32))
+    ckf, ks = quantize_kv_rows(jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32))
+    cvf, vs = quantize_kv_rows(jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32))
+    valid = np.zeros((B, S), np.int32)
+    valid[:, :20] = 1
+    valid = jnp.asarray(valid)
+    args = (q, k_new, v_new, ckf, cvf, ks[1], vs[1], ks_new, vs_new,
+            jnp.int32(1), jnp.int32(19), valid, hd ** -0.5)
+    ref = decode_attention_quantized(*args, interpret=True)
+    out = decode_attention_quantized_db(*args, interpret=True)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-5
+        )

@@ -46,6 +46,11 @@ def main():
         "--tiny", action="store_true", help="toy dims (CI/CPU smoke run)"
     )
     ap.add_argument(
+        "--int8_encoder", action="store_true",
+        help="W8A8 int8 encoder matmuls (2x MXU peak; validate WER on real "
+             "weights before serving with this)",
+    )
+    ap.add_argument(
         "--kv_quant", action="store_true",
         help="int8 KV cache in decode mode (halves cache HBM; enables larger "
              "batches at 3B dims)",
@@ -98,10 +103,20 @@ def main():
     pparams = jax.jit(lambda k: proj_mod.init_params(pcfg, k))(kp)
     audio = jax.random.normal(ka, (B, mcfg.max_samples), jnp.float32) * 0.1
 
-    def encode_once(wparams, pparams, audio):
-        mel = mel_ops.log_mel(audio, mcfg)
-        enc = whisper_mod.encode(wparams, wcfg, mel, jnp.bfloat16)
-        return proj_mod.project(pparams, enc, jnp.bfloat16)
+    if args.int8_encoder:
+        from audio_llama_tpu.models import whisper_int8 as w8
+
+        wparams = jax.jit(w8.quantize_encoder)(wparams)
+
+        def encode_once(wparams, pparams, audio):
+            mel = mel_ops.log_mel(audio, mcfg)
+            enc = w8.encode_int8(wparams, wcfg, mel, jnp.bfloat16)
+            return proj_mod.project(pparams, enc, jnp.bfloat16)
+    else:
+        def encode_once(wparams, pparams, audio):
+            mel = mel_ops.log_mel(audio, mcfg)
+            enc = whisper_mod.encode(wparams, wcfg, mel, jnp.bfloat16)
+            return proj_mod.project(pparams, enc, jnp.bfloat16)
 
     @jax.jit
     def encode_loop(wparams, pparams, audio, n):

@@ -1,0 +1,33 @@
+"""W8A8 int8 encoder: output stays close to the bf16/f32 encoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_llama_tpu.config import WhisperConfig
+from audio_llama_tpu.models import whisper as wm
+from audio_llama_tpu.models import whisper_int8 as w8
+
+
+def test_int8_encoder_close_to_f32():
+    cfg = WhisperConfig.tiny()
+    params = wm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.num_mel_bins, 128)) * 0.5
+    ref = np.asarray(wm.encode(params, cfg, mel, jnp.float32, attn_impl="xla"))
+    qp = w8.quantize_encoder(params)
+    out = np.asarray(w8.encode_int8(qp, cfg, mel, jnp.float32, attn_impl="xla"))
+    rel = np.abs(out - ref) / (np.abs(ref).mean() + 1e-6)
+    # W8A8 with per-channel weights + per-row activations: small relative error
+    assert rel.mean() < 0.03, rel.mean()
+    assert rel.max() < 0.5, rel.max()
+
+
+def test_quantize_encoder_structure():
+    cfg = WhisperConfig.tiny()
+    params = wm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qp = w8.quantize_encoder(params)
+    for name in w8._QUANT_TARGETS:
+        assert qp["layers"][name]["w_q"].dtype == jnp.int8
+        assert "w" not in qp["layers"][name]
+    # untouched parts intact
+    assert qp["conv1"]["w"].dtype == params["conv1"]["w"].dtype

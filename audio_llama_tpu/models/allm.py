@@ -117,15 +117,25 @@ def process_audio_features(
         else:
             mel = mel_ops.log_mel(audio, cfg.mel)
         if n_windows > 1:
-            enc = whisper_mod.encode(frozen["whisper"], cfg.whisper, mel, compute_dtype)
+            enc = _encode(frozen["whisper"], cfg.whisper, mel, compute_dtype)
             enc = enc.reshape(B, n_windows * enc.shape[1], enc.shape[2])
             return jax.lax.stop_gradient(enc)
     elif audio.ndim == 4:  # tolerate a [B, 1, n_mels, F] channel dim like the ref
         mel = audio.squeeze(1)
     else:
         mel = audio
-    enc = whisper_mod.encode(frozen["whisper"], cfg.whisper, mel, compute_dtype)
+    enc = _encode(frozen["whisper"], cfg.whisper, mel, compute_dtype)
     return jax.lax.stop_gradient(enc)
+
+
+def _encode(wparams: dict, wcfg, mel, compute_dtype):
+    """Dispatch to the W8A8 encoder when the params were quantized
+    (models.whisper_int8.quantize_encoder), else the bf16 encoder."""
+    if "w_q" in wparams["layers"]["q_proj"]:
+        from . import whisper_int8 as w8
+
+        return w8.encode_int8(wparams, wcfg, mel, compute_dtype)
+    return whisper_mod.encode(wparams, wcfg, mel, compute_dtype)
 
 
 def combine_text_and_audio_embeddings(

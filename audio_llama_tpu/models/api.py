@@ -138,6 +138,15 @@ class AudioLLM:
             self.tokenizer,
         )
 
+    def quantize_encoder(self) -> "AudioLLM":
+        """W8A8 int8 encoder for serving throughput (validate WER first);
+        the audio path auto-dispatches on the quantized param layout."""
+        from . import whisper_int8 as w8
+
+        frozen = dict(self.frozen)
+        frozen["whisper"] = w8.quantize_encoder(frozen["whisper"])
+        return AudioLLM(self.cfg, frozen, self.trainable, self.tokenizer)
+
     def merge_lora(self) -> "AudioLLM":
         """Fold LoRA deltas into the frozen weights for zero-overhead decode
         (no reference analog; see models/lora.py:merge_into_llama)."""

@@ -31,3 +31,32 @@ def test_quantize_encoder_structure():
         assert "w" not in qp["layers"][name]
     # untouched parts intact
     assert qp["conv1"]["w"].dtype == params["conv1"]["w"].dtype
+
+
+def test_quantized_encoder_through_model_path():
+    """allm.process_audio_features auto-dispatches on quantized params; the
+    AudioLLM facade exposes it as .quantize_encoder()."""
+    from audio_llama_tpu.config import AudioLLMConfig
+    from audio_llama_tpu.data.tokenizer import ByteTokenizer
+    from audio_llama_tpu.models import allm
+    from audio_llama_tpu.models.api import AudioLLM
+
+    cfg = AudioLLMConfig.tiny()
+    tk = ByteTokenizer()
+    cfg = cfg.replace(llama=cfg.llama.replace(vocab_size=max(tk.vocab_size, 384)))
+    kf, kt = jax.random.split(jax.random.PRNGKey(0))
+    model = AudioLLM(
+        cfg, allm.init_frozen(cfg, kf, dtype=jnp.float32),
+        allm.init_trainable(cfg, kt), tk,
+    )
+    rng = np.random.RandomState(0)
+    batch = allm.AudioLLMBatch(
+        input_ids=jnp.asarray(rng.randint(3, 250, (1, 8)), jnp.int32),
+        attention_mask=jnp.ones((1, 8), jnp.int32),
+        audio_features=jnp.asarray(rng.randn(1, cfg.mel.max_samples), jnp.float32) * 0.1,
+        labels=jnp.asarray(rng.randint(3, 250, (1, 8)), jnp.int32),
+    )
+    loss_ref, _ = model(batch, compute_dtype=jnp.float32)
+    q = model.quantize_encoder()
+    loss_q, _ = q(batch, compute_dtype=jnp.float32)
+    assert abs(float(loss_q) - float(loss_ref)) < 0.1

@@ -220,6 +220,9 @@ def main(argv=None):
     p.add_argument("--prompt", type=str, default=None,
                    help="override per-entry instruction text")
     p.add_argument("--toy_model", action="store_true")
+    p.add_argument("--int8_encoder", action="store_true",
+                   help="evaluate with the W8A8 encoder (the command to run "
+                        "before serving with bench --int8_encoder)")
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--output", type=str, default=None, help="write metrics JSON here")
     args = p.parse_args(argv)
@@ -239,6 +242,11 @@ def main(argv=None):
         tokenizer=args.tokenizer,
         toy_model=args.toy_model,
     )
+    if args.int8_encoder:
+        from ..models import whisper_int8 as w8
+
+        frozen = dict(frozen)
+        frozen["whisper"] = w8.quantize_encoder(frozen["whisper"])
     with open(args.data_path) as f:
         entries = json.load(f)
     if isinstance(entries, dict) and "examples" in entries:

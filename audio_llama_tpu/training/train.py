@@ -157,6 +157,11 @@ def _build_parser():
     p.add_argument("--label_mode", type=str, default="concat",
                    choices=["concat", "reference"],
                    help="'reference' replicates the reference's label semantics")
+    p.add_argument("--splice_mode", type=str, default="prepend",
+                   choices=["prepend", "inplace"],
+                   help="'prepend' = reference behavior (audio block before "
+                        "all text); 'inplace' = splice at the <audio> "
+                        "placeholder (the reference's documented intent)")
     p.add_argument("--max_samples", type=int, default=0, help="0 = all data")
     p.add_argument("--val_split", type=float, default=0.1)
     p.add_argument("--platform", type=str, default=None,
@@ -215,6 +220,7 @@ def _build_model(args):
                 max_audio_seconds=min(args.max_audio_length, 1.28),
             ),
             lora=LoraConfig(rank=4, alpha=8) if lora else None,
+            splice_mode=args.splice_mode,
         )
         frozen = allm.init_frozen(cfg, jax.random.PRNGKey(args.seed))
         return cfg, frozen, tokenizer, 2
@@ -238,6 +244,7 @@ def _build_model(args):
             max_audio_seconds=float(min(args.max_audio_length, 30)),
         ),
         lora=lora,
+        splice_mode=args.splice_mode,
     )
     return cfg, {"llama": llama_params, "whisper": whisper_params}, tokenizer, 2
 

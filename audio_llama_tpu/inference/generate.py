@@ -42,12 +42,25 @@ def build_prefix(
     audio_end_id: int,
     compute_dtype=jnp.bfloat16,
 ):
-    """(combined_embeds, combined_mask) for the prompt (+ optional audio)."""
+    """(combined_embeds, combined_mask) for the prompt (+ optional audio).
+
+    Honors cfg.splice_mode so generation lays the audio block out exactly the
+    way the checkpoint was trained ('prepend' reference-compat default or
+    'inplace' at the <audio> placeholder)."""
     if audio_features is None:
         embeds = llama_mod.embed_tokens(frozen["llama"], input_ids, compute_dtype)
         return embeds, attention_mask
     enc = allm.process_audio_features(frozen, cfg, audio_features, compute_dtype)
     audio_embeds = proj_mod.project(trainable["projector"], enc, compute_dtype)
+    if cfg.splice_mode == "inplace":
+        text_embeds = llama_mod.embed_tokens(
+            frozen["llama"], input_ids, compute_dtype
+        )
+        embeds, mask, _ = allm.splice_inplace(
+            text_embeds, audio_embeds, input_ids, attention_mask, None,
+            audio_start_id,
+        )
+        return embeds, mask
     return allm.combine_text_and_audio_embeddings(
         frozen, trainable, cfg, input_ids, attention_mask, audio_embeds,
         audio_start_id, audio_end_id, compute_dtype,

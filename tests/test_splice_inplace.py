@@ -87,3 +87,52 @@ def test_forward_inplace_mode_runs_and_differs_from_prepend():
     assert logits_in.shape[1] == T + cfg.audio_seq_len
     assert np.isfinite(float(loss_pre)) and np.isfinite(float(loss_in))
     assert abs(float(loss_pre) - float(loss_in)) > 1e-6  # genuinely different layout
+
+
+def test_generate_honors_inplace_splice():
+    """Generation must lay out audio the way the checkpoint was trained."""
+    from audio_llama_tpu.inference import generate as gen
+
+    cfg = AudioLLMConfig.tiny()
+    kf, kt = jax.random.split(jax.random.PRNGKey(0))
+    frozen = allm.init_frozen(cfg, kf, dtype=jnp.float32)
+    trainable = allm.init_trainable(cfg, kt)
+    sid, eid = 260, 261
+    rng = np.random.RandomState(0)
+    T = 10
+    ids = rng.randint(3, 250, (1, T)).astype(np.int32)
+    ids[:, 3] = sid
+    ids[:, 4] = eid
+    ids = jnp.asarray(ids)
+    mask = jnp.ones((1, T), jnp.int32)
+    audio = jnp.asarray(rng.randn(1, cfg.mel.max_samples), jnp.float32) * 0.1
+    static = dict(
+        max_new_tokens=5, greedy=True, eos_id=-1, pad_id=0,
+        audio_start_id=sid, audio_end_id=eid, compute_dtype=jnp.float32,
+        has_audio=True,
+    )
+    key = jax.random.PRNGKey(0)
+    cfg_in = cfg.replace(splice_mode="inplace")
+    r_in = gen.generate(frozen, trainable, cfg_in, ids, mask, audio, key, **static)
+    r_in2 = gen.generate(frozen, trainable, cfg_in, ids, mask, audio, key, **static)
+    np.testing.assert_array_equal(np.asarray(r_in.tokens), np.asarray(r_in2.tokens))
+
+    # build_prefix must actually produce the inplace layout: T + A positions
+    # (audio inserted inside the prompt) vs prepend's A + 2 + T.
+    A = cfg.audio_seq_len
+    emb_in, mask_in = gen.build_prefix(
+        frozen, trainable, cfg_in, ids, mask, audio, sid, eid, jnp.float32
+    )
+    assert emb_in.shape[1] == T + A
+    emb_pre, _ = gen.build_prefix(
+        frozen, trainable, cfg, ids, mask, audio, sid, eid, jnp.float32
+    )
+    assert emb_pre.shape[1] == A + 2 + T
+    # audio block sits right after the <audio> token (position 3)
+    from audio_llama_tpu.models import projector as proj_mod
+
+    enc = allm.process_audio_features(frozen, cfg_in, audio, jnp.float32)
+    audio_emb = proj_mod.project(trainable["projector"], enc, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(emb_in[:, 4 : 4 + A]), np.asarray(audio_emb), atol=1e-5
+    )

@@ -99,3 +99,34 @@ def test_decode_skips_specials(hf_tok_dir):
     ids, _ = tk.encode("transcribe this audio", add_bos=False, add_eos=True)
     out = tk.decode(ids, skip_special_tokens=True)
     assert "transcribe" in out and "</s>" not in out
+
+
+def test_dataset_concat_labels_with_hf_tokenizer(hf_tok_dir, tmp_path):
+    """Production data path: HF tokenizer + concat label mode — prompt masked,
+    response supervised, EOS present at the end of the response."""
+    import numpy as np
+
+    from audio_llama_tpu.data.audio_io import write_wav
+    from audio_llama_tpu.data.dataset import AudioLLMDataset, DatasetConfig
+    from audio_llama_tpu.data.tokenizer import HFTokenizer
+
+    tk = HFTokenizer(hf_tok_dir)
+    write_wav(str(tmp_path / "a.wav"),
+              (np.random.RandomState(0).randn(4000) * 0.05).astype(np.float32),
+              16000)
+    entries = [{"audio_paths": "a.wav",
+                "text": "transcribe this audio",
+                "response": "the quick brown fox"}]
+    cfg = DatasetConfig(text_max_length=16, max_audio_seconds=0.5,
+                        label_mode="concat")
+    ds = AudioLLMDataset(entries, str(tmp_path), tk, cfg)
+    it = ds[0]
+    labels = it["labels"]
+    mask = it["attention_mask"]
+    n = int(mask.sum())
+    prompt_len = len(tk.encode("transcribe this audio", pad_to_max=False)[0])
+    # prompt positions masked; response supervised; ends with EOS
+    assert (labels[:prompt_len] == -100).all()
+    assert (labels[prompt_len:n] != -100).all()
+    assert labels[n - 1] == tk.eos_id
+    assert it["input_ids"][n - 1] == tk.eos_id

@@ -121,3 +121,30 @@ def test_load_audio_mono_mixdown(tmp_path, lib):
     out = audio_io.load_audio(p, target_sr=16000, mono=True)
     expected = (left + right).astype(np.float64) / 2.0 / 32768.0
     np.testing.assert_allclose(out, expected, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "corruption",
+    ["truncated_half", "truncated_header", "empty", "garbage", "bad_magic", "bitflips"],
+)
+def test_flac_decoder_rejects_corrupt_input(tmp_path, lib, corruption):
+    """The native decoder must raise (never crash) on malformed files — a
+    segfault in the ctypes decoder would take down a whole training run."""
+    valid = str(tmp_path / "v.flac")
+    flac_write.write_flac(
+        valid, (np.random.default_rng(0).standard_normal(8000) * 0.1).astype(np.float32),
+        16000,
+    )
+    data = open(valid, "rb").read()
+    payloads = {
+        "truncated_half": data[: len(data) // 2],
+        "truncated_header": data[:20],
+        "empty": b"",
+        "garbage": bytes(np.random.default_rng(1).integers(0, 256, 4096, dtype=np.uint8)),
+        "bad_magic": b"XLaC" + data[4:],
+        "bitflips": bytes(b ^ (0xFF if i % 997 == 0 else 0) for i, b in enumerate(data)),
+    }
+    p = str(tmp_path / f"{corruption}.flac")
+    open(p, "wb").write(payloads[corruption])
+    with pytest.raises(Exception):
+        audio_io.read_flac(p)

@@ -26,3 +26,32 @@ def test_dryrun_multichip_8():
 
 def test_dryrun_multichip_2():
     graft.dryrun_multichip(2)
+
+
+def test_dryrun_multichip_driver_context():
+    """Replicate the driver exactly: fresh interpreter, NO conftest, no
+    XLA_FLAGS device-count override — dryrun_multichip must self-provision
+    its 8 virtual devices (round-1 regression: MULTICHIP_r01 rc=1)."""
+    import subprocess
+
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    flags = " ".join(
+        f for f in flags.split() if "xla_force_host_platform_device_count" not in f
+    )
+    if flags:
+        env["XLA_FLAGS"] = flags
+    else:
+        env.pop("XLA_FLAGS", None)
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"driver-context dryrun failed rc={proc.returncode}\n"
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    )
+    assert "ok" in proc.stdout

@@ -98,6 +98,7 @@ def create_dataloaders(
     dataset_config: Optional[DatasetConfig] = None,
     dataset_config_path: Optional[str] = None,
     max_samples: Optional[int] = None,
+    val_batch_size: Optional[int] = None,
 ) -> Tuple[DataLoader, DataLoader, DatasetConfig]:
     """JSON -> (train_loader, val_loader, dataset_config).
 
@@ -139,8 +140,13 @@ def create_dataloaders(
         train_ds, batch_size, shuffle=True, seed=seed, drop_last=True,
         num_workers=num_workers,
     )
+    # Static-shape eval: clamp to the dataset and drop ragged tails only
+    # when at least one full batch exists (jitted eval steps are compiled
+    # per batch shape).
+    vbs = min(val_batch_size or batch_size, max(len(val_ds), 1))
     val = DataLoader(
-        val_ds, batch_size, shuffle=False, seed=seed, drop_last=False,
+        val_ds, vbs, shuffle=False, seed=seed,
+        drop_last=len(val_ds) >= vbs,
         num_workers=num_workers,
     )
     return train, val, cfg

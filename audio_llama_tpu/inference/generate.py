@@ -226,7 +226,10 @@ def make_tp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
     batch_spec = P("dp") if mesh.shape.get("dp", 1) > 1 else P()
 
     def local(frozen, trainable, input_ids, attention_mask, audio, key):
-        key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+        # batch_spec tolerates meshes without a 'dp' axis; the per-shard key
+        # fold must too (axis_index on an absent axis fails at trace time).
+        if "dp" in mesh.axis_names:
+            key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
         return _generate_impl(
             frozen, trainable, cfg, input_ids, attention_mask, audio, key,
             tp_axis="tp", tp_size=tp, **static_kw,

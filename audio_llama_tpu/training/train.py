@@ -152,7 +152,11 @@ def _build_parser():
     # TPU-native extensions
     p.add_argument("--mesh_dp", type=int, default=-1)
     p.add_argument("--mesh_fsdp", type=int, default=1)
-    p.add_argument("--mesh_tp", type=int, default=1)
+    p.add_argument(
+        "--mesh_tp", type=int, default=1,
+        help="tensor-parallel width; -1 = auto (largest power-of-two "
+        "dividing both the device count and the KV-head count, capped at 8)",
+    )
     p.add_argument("--resume_from", type=str, default=None)
     p.add_argument("--label_mode", type=str, default="concat",
                    choices=["concat", "reference"],
@@ -258,13 +262,37 @@ def _to_batch(accum_group):
         arrs = [b[key] for b in accum_group]
         return np.stack(arrs) if len(arrs) > 1 else arrs[0]
 
-    has_audio = all(b["audio"] is not None for b in accum_group)
+    flags = [b["audio"] is not None for b in accum_group]
+    if any(flags) and not all(flags):
+        # Silently dropping audio would train audio rows without their
+        # conditioning; the trainer groups microbatches by modality upstream
+        # (group_by_modality), so reaching here is a bug.
+        raise ValueError(
+            "accumulation group mixes audio and text-only microbatches"
+        )
+    has_audio = flags[0]
     return AudioLLMBatch(
         input_ids=stack("input_ids"),
         attention_mask=stack("attention_mask"),
         audio_features=stack("audio") if has_audio else None,
         labels=stack("labels"),
     )
+
+
+def group_by_modality(batches, accum):
+    """Yield accumulation groups of `accum` collated microbatches, grouped so
+    every group is modality-uniform (all-audio or all-text-only). The jitted
+    train step is compiled per structure; mixing would either recompile per
+    group or (round-1 bug) silently drop the audio features of a group whose
+    other members are text-only. Ragged per-modality tails at epoch end are
+    dropped, matching drop_last batch semantics."""
+    groups = {True: [], False: []}
+    for np_batch in batches:
+        g = groups[np_batch["audio"] is not None]
+        g.append(np_batch)
+        if len(g) == accum:
+            yield _to_batch(g)
+            g.clear()
 
 
 def _flops_per_step(cfg, tokens_per_micro, audio_frames, micros):
@@ -290,13 +318,18 @@ def evaluate(get_eval_step, state, frozen, val_loader, accum=1) -> dict:
 
     get_eval_step maps a batch to the matching compiled program (with-audio
     and text-only batches each get their own)."""
-    losses = []
+    # Accumulate the per-batch losses ON DEVICE and fetch one scalar at the
+    # end: through the remote-TPU tunnel every float() is a ~30 ms round
+    # trip, so fetching per batch makes eval transfer-bound.
+    total, n = None, 0
     for np_batch in val_loader:
         batch = _to_batch([np_batch])
-        losses.append(float(get_eval_step(batch)(state.trainable, frozen, batch)))
-    if not losses:
+        loss = get_eval_step(batch)(state.trainable, frozen, batch)
+        total = loss if total is None else total + loss
+        n += 1
+    if n == 0:
         return {"eval/loss": float("nan"), "eval/perplexity": float("nan")}
-    mean = sum(losses) / len(losses)
+    mean = float(total) / n
     return {"eval/loss": mean, "eval/perplexity": math.exp(min(mean, 30.0))}
 
 
@@ -347,10 +380,8 @@ def train(args) -> dict:
         dataset_config=ds_cfg,
         dataset_config_path=args.dataset_config,
         max_samples=args.max_samples or None,
+        val_batch_size=args.eval_batch_size,
     )
-    # Static-shape eval: full batches only.
-    val_loader.batch_size = min(args.eval_batch_size, max(len(val_loader.dataset), 1))
-    val_loader.drop_last = len(val_loader.dataset) >= val_loader.batch_size
 
     accum = max(1, args.grad_accum_steps)
     steps_per_epoch = max(len(train_loader) // accum, 1)
@@ -367,6 +398,11 @@ def train(args) -> dict:
 
     n_dev = len(jax.devices())
     fsdp, tp = args.mesh_fsdp, args.mesh_tp
+    if tp == -1:
+        tp = parallel.best_mesh_shape(
+            max(n_dev // fsdp, 1), model_heads=cfg.llama.num_kv_heads
+        ).tp
+        logger.info("auto tensor-parallel width: tp=%d", tp)
     if args.mesh_dp == -1:
         # Auto: the largest dp that divides both the per-step batch and the
         # devices left after fsdp×tp. Unused devices are left out of the mesh.
@@ -472,12 +508,7 @@ def train(args) -> dict:
         return jax.device_put(batch, batch_shardings[key])
 
     def epoch_batches():
-        group = []
-        for np_batch in train_loader:
-            group.append(np_batch)
-            if len(group) == accum:
-                yield _to_batch(group)
-                group = []
+        return group_by_modality(train_loader, accum)
 
     def prefetched(it):
         it = iter(it)
@@ -525,7 +556,8 @@ def train(args) -> dict:
             tput.update(
                 steps=1,
                 tokens=tokens_per_micro * accum,
-                audio_sec=args.batch_size * accum * cfg.mel.max_audio_seconds
+                audio_sec=args.batch_size * accum * n_windows
+                * cfg.mel.max_audio_seconds
                 if batch.audio_features is not None
                 else 0.0,
             )

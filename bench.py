@@ -284,6 +284,9 @@ def run_decode(args):
         logits, cache = lm.llama_forward(
             params, cfg, input_ids=ids, kv_cache=cache,
             compute_dtype=jnp.bfloat16,
+            # Match the production generation prefill (flash path); without
+            # it the warmup materializes [B, H, P, total] attention logits.
+            assume_fresh_cache=True,
         )
         return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 

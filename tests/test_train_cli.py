@@ -111,3 +111,34 @@ def test_resume_from_checkpoint(corpus, tmp_path):
         )
     )
     assert r2["steps"] == 3  # continued from step 2, ran 1 more
+
+
+def test_group_by_modality_keeps_audio():
+    """Round-1 advisor bug: a text-only microbatch in an accumulation group
+    silently discarded the audio of its groupmates. Groups must now be
+    modality-uniform."""
+    import numpy as np
+    import pytest
+    from audio_llama_tpu.training.train import _to_batch, group_by_modality
+
+    def mk(has_audio, tag):
+        return {
+            "input_ids": np.full((2, 4), tag, np.int32),
+            "attention_mask": np.ones((2, 4), np.int32),
+            "audio": np.ones((2, 8), np.float32) * tag if has_audio else None,
+            "labels": np.ones((2, 4), np.int32),
+        }
+
+    # audio, text, audio, text, audio, audio -> one text group never fills,
+    # two audio pairs
+    stream = [mk(True, 1), mk(False, 2), mk(True, 3), mk(False, 4),
+              mk(True, 5), mk(True, 6)]
+    groups = list(group_by_modality(stream, accum=2))
+    audio_groups = [g for g in groups if g.audio_features is not None]
+    text_groups = [g for g in groups if g.audio_features is None]
+    assert len(audio_groups) == 2 and len(text_groups) == 1
+    for g in audio_groups:
+        assert g.audio_features.shape == (2, 2, 8)  # [accum, B, ...]
+
+    with pytest.raises(ValueError, match="mixes audio"):
+        _to_batch([mk(True, 1), mk(False, 2)])

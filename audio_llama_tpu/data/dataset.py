@@ -32,6 +32,7 @@ import numpy as np
 
 from ..config import MelConfig
 from . import audio_io
+from .tokenizer import AUDIO_END_TOKEN, AUDIO_START_TOKEN
 
 logger = logging.getLogger(__name__)
 
@@ -51,6 +52,13 @@ class DatasetConfig:
     label_mode: str = "concat"  # 'concat' | 'reference'
     skip_missing_files: bool = False
     use_dummy_audio_for_missing: bool = False
+    # Insert '<audio></audio>' at the front of prompts that have audio but no
+    # placeholder yet. Required for splice_mode='inplace' to be usable
+    # end-to-end: the in-place splice inserts the audio block after the first
+    # <audio> token, so prompts must actually contain one (round-1 gap:
+    # nothing ever put the placeholder in, and inplace silently degraded to
+    # front placement without delimiters).
+    audio_placeholder: bool = False
 
     @classmethod
     def from_json_file(cls, path: str) -> "DatasetConfig":
@@ -171,10 +179,12 @@ class AudioLLMDataset:
         e = self.entries[idx]
         text = e.get(self.cfg.text_key, "") or ""
         response = e.get(self.cfg.response_key, "") or ""
+        rel = e.get(self.cfg.audio_key)
+        if self.cfg.audio_placeholder and rel and AUDIO_START_TOKEN not in text:
+            text = f"{AUDIO_START_TOKEN}{AUDIO_END_TOKEN} {text}"
         ids, mask, labels = self._process_text(text, response)
 
         audio = None
-        rel = e.get(self.cfg.audio_key)
         audio_path = None
         if rel:
             audio_path = _first(rel)

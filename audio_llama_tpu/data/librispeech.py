@@ -211,16 +211,22 @@ def generate_examples(
     output_path: str,
     limit: Optional[int] = None,
     seed: int = 42,
+    audio_placeholder: bool = False,
 ) -> List[Dict]:
     """Shuffle, cap at limit, attach a random instruction template per item
-    (reference src/get_librispeech.py:240-272)."""
+    (reference src/get_librispeech.py:240-272). With audio_placeholder the
+    prompts carry a literal '<audio></audio>' marker so splice_mode='inplace'
+    training splices the audio block at the placeholder position."""
     rng = random.Random(seed)
     examples = list(metadata)
     rng.shuffle(examples)
     if limit and limit < len(examples):
         examples = examples[:limit]
     for item in examples:
-        item["text"] = rng.choice(INSTRUCTION_TEMPLATES)
+        text = rng.choice(INSTRUCTION_TEMPLATES)
+        if audio_placeholder:
+            text = f"<audio></audio> {text}"
+        item["text"] = text
     with open(output_path, "w", encoding="utf-8") as f:
         json.dump(examples, f, ensure_ascii=False, indent=2)
     logger.info("wrote %d examples to %s", len(examples), output_path)
@@ -278,6 +284,7 @@ def build(
     limit: Optional[int] = None,
     parallel: int = 4,
     seed: int = 42,
+    audio_placeholder: bool = False,
 ) -> List[Dict]:
     """Full pipeline; returns the generated examples."""
     os.makedirs(output_dir, exist_ok=True)
@@ -292,7 +299,8 @@ def build(
     with open(os.path.join(output_dir, "metadata.json"), "w", encoding="utf-8") as f:
         json.dump(metadata, f, ensure_ascii=False, indent=2)
     examples = generate_examples(
-        metadata, os.path.join(output_dir, "examples.json"), limit, seed
+        metadata, os.path.join(output_dir, "examples.json"), limit, seed,
+        audio_placeholder=audio_placeholder,
     )
     create_dataset_stats(examples, output_dir)
     create_dataset_config(output_dir)
@@ -311,11 +319,15 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--parallel", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--audio_placeholder", action="store_true",
+                   help="bake '<audio></audio>' into prompts (for "
+                        "splice_mode='inplace' training)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     build(
         args.output_dir, args.subsets, args.extract_dir, args.download,
         args.limit, args.parallel, args.seed,
+        audio_placeholder=args.audio_placeholder,
     )
 
 

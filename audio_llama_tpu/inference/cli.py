@@ -119,6 +119,16 @@ def generate_response(
 
     from . import generate as gen
 
+    if (
+        audio_path
+        and cfg.splice_mode == "inplace"
+        and cfg.audio_start_token not in prompt
+    ):
+        # In-place splice inserts the audio block at the <audio> placeholder;
+        # mirror the training-side dataset insertion so generation sees the
+        # same delimiter-bracketed layout it was trained on.
+        prompt = f"{cfg.audio_start_token}{cfg.audio_end_token} {prompt}"
+
     ids, mask = tokenizer.encode(prompt)
     input_ids = jnp.asarray(ids[None, :], jnp.int32)
     attention_mask = jnp.asarray(mask[None, :], jnp.int32)

@@ -166,6 +166,10 @@ def _build_parser():
                    help="'prepend' = reference behavior (audio block before "
                         "all text); 'inplace' = splice at the <audio> "
                         "placeholder (the reference's documented intent)")
+    p.add_argument("--audio_placeholder", type=int, default=-1,
+                   choices=[-1, 0, 1],
+                   help="insert '<audio></audio>' into audio prompts that "
+                        "lack one; -1 = auto (on iff --splice_mode inplace)")
     p.add_argument("--max_samples", type=int, default=0, help="0 = all data")
     p.add_argument("--val_split", type=float, default=0.1)
     p.add_argument("--platform", type=str, default=None,
@@ -368,6 +372,9 @@ def train(args) -> dict:
         label_mode=args.label_mode,
         skip_missing_files=args.skip_missing_files,
         use_dummy_audio_for_missing=args.use_dummy_audio,
+        audio_placeholder=(args.splice_mode == "inplace")
+        if args.audio_placeholder == -1
+        else bool(args.audio_placeholder),
     )
     train_loader, val_loader, ds_cfg = create_dataloaders(
         args.data_path,

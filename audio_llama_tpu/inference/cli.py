@@ -178,6 +178,12 @@ def parse_args(argv=None):
     p.add_argument("--toy_model", action="store_true")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax backend, e.g. 'cpu'")
+    p.add_argument(
+        "--int8_decoder", action="store_true",
+        help="weight-only int8 frozen Llama (halves decode HBM traffic; "
+             "models/llama_int8.py). LoRA deltas are merged into the bf16 "
+             "weights first so serving sees zero LoRA overhead.",
+    )
     return p.parse_args(argv)
 
 
@@ -196,6 +202,18 @@ def main(argv=None):
         toy_model=args.toy_model,
         seed=args.seed,
     )
+    if args.int8_decoder:
+        from ..models import llama_int8 as l8
+        from ..models import lora as lora_mod
+
+        if cfg.lora is not None and "lora" in trainable:
+            frozen = dict(frozen)
+            frozen["llama"] = lora_mod.merge_into_llama(
+                frozen["llama"],
+                lora_mod.with_scaling(trainable["lora"], cfg.lora),
+            )
+            trainable = {k: v for k, v in trainable.items() if k != "lora"}
+        frozen["llama"] = l8.quantize_llama(frozen["llama"])
     text = generate_response(
         cfg, frozen, trainable, tk,
         prompt=args.prompt,

@@ -147,6 +147,19 @@ class AudioLLM:
         frozen["whisper"] = w8.quantize_encoder(frozen["whisper"])
         return AudioLLM(self.cfg, frozen, self.trainable, self.tokenizer)
 
+    def quantize_decoder(self, include_embed: bool = True) -> "AudioLLM":
+        """Weight-only int8 (W8A16) frozen Llama for decode serving — halves
+        the per-step HBM weight stream that bounds decode throughput (see
+        models/llama_int8.py). LoRA overlays keep working; for zero-overhead
+        serving call merge_lora() FIRST (merging needs bf16 weights)."""
+        from . import llama_int8 as l8
+
+        frozen = dict(self.frozen)
+        frozen["llama"] = l8.quantize_llama(
+            frozen["llama"], include_embed=include_embed
+        )
+        return AudioLLM(self.cfg, frozen, self.trainable, self.tokenizer)
+
     def merge_lora(self) -> "AudioLLM":
         """Fold LoRA deltas into the frozen weights for zero-overhead decode
         (no reference analog; see models/lora.py:merge_into_llama)."""

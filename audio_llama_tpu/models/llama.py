@@ -88,6 +88,11 @@ def resize_embeddings(params: Params, new_vocab: int, cfg: LlamaConfig) -> Param
     <audio>/</audio> (reference src/train.py:230, src/inference.py:44-46). New
     rows are initialized to the mean of existing rows (deterministic).
     """
+    if "scale" in params["embed"]:
+        raise ValueError(
+            "resize_embeddings on a weight-only-int8 tree: resize first, "
+            "then models.llama_int8.quantize_llama"
+        )
     emb = params["embed"]["weight"]
     old_vocab = emb.shape[0]
     if new_vocab <= old_vocab:
@@ -178,8 +183,17 @@ def _linear(x, w, lora_branch, compute_dtype):
 
     The frozen matmul runs in compute dtype on the MXU; the LoRA branch is two
     skinny matmuls (rank-r) — negligible FLOPs, fused by XLA.
+
+    w may be a weight-only-int8 dict {'w_q' int8, 'w_s' f32 per-out-channel}
+    from models.llama_int8.quantize_llama: the int8 tiles upcast to compute
+    dtype inside the matmul fusion (HBM streams int8 — half the bytes, the
+    decode bottleneck) and the column scales apply to the f32-accumulated
+    output exactly: x @ (q * s_col) == (x @ q) * s_col.
     """
-    y = x @ w.astype(compute_dtype)
+    if isinstance(w, dict):
+        y = (x @ w["w_q"].astype(compute_dtype)) * w["w_s"].astype(compute_dtype)
+    else:
+        y = x @ w.astype(compute_dtype)
     if lora_branch is not None:
         a, b, scaling = lora_branch
         y = y + (x @ a.astype(compute_dtype)) @ b.astype(compute_dtype) * scaling
@@ -496,19 +510,42 @@ def llama_forward(
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray, compute_dtype=jnp.bfloat16):
     """Token-embedding lookup (reference: llama.model.model.embed_tokens,
-    src/models/allm.py:64)."""
-    return params["embed"]["weight"][input_ids].astype(compute_dtype)
+    src/models/allm.py:64).
+
+    Handles the weight-only-int8 embed ({'weight' int8 [V, D], 'scale' f32
+    [V]}, models.llama_int8): gather int8 rows, then apply the per-row scale
+    — exact (each gathered row is scaled by its own factor)."""
+    emb = params["embed"]
+    rows = emb["weight"][input_ids].astype(compute_dtype)
+    if "scale" in emb:
+        rows = rows * emb["scale"][input_ids][..., None].astype(compute_dtype)
+    return rows
 
 
 def unembed(params: Params, cfg: LlamaConfig, x: jnp.ndarray, compute_dtype=jnp.bfloat16):
-    """Project hidden states to vocab logits (tied or untied head). f32 out."""
+    """Project hidden states to vocab logits (tied or untied head). f32 out.
+
+    Quantized trees (models.llama_int8): the tied table's per-row scales
+    become per-vocab-logit scales (exact); an untied lm_head carries
+    per-vocab-column scales."""
     if cfg.tie_word_embeddings or "lm_head" not in params:
-        w = params["embed"]["weight"].astype(compute_dtype)  # [V, D]
-        return jnp.einsum("btd,vd->btv", x, w, preferred_element_type=jnp.float32)
+        emb = params["embed"]
+        w = emb["weight"].astype(compute_dtype)  # [V, D]
+        logits = jnp.einsum("btd,vd->btv", x, w, preferred_element_type=jnp.float32)
+        if "scale" in emb:
+            logits = logits * emb["scale"][None, None, :]
+        return logits
+    head = params["lm_head"]
+    if isinstance(head, dict):
+        logits = jnp.einsum(
+            "btd,dv->btv", x, head["w_q"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits * head["w_s"][None, None, :]
     return jnp.einsum(
         "btd,dv->btv",
         x,
-        params["lm_head"].astype(compute_dtype),
+        head.astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
 

@@ -51,6 +51,11 @@ def main():
              "weights before serving with this)",
     )
     ap.add_argument(
+        "--int8_weights", action="store_true",
+        help="weight-only int8 frozen decoder in decode mode (halves the "
+             "per-step HBM weight stream; see models/llama_int8.py)",
+    )
+    ap.add_argument(
         "--kv_quant", action="store_true",
         help="int8 KV cache in decode mode (halves cache HBM; enables larger "
              "batches at 3B dims)",
@@ -269,9 +274,16 @@ def run_decode(args):
     prefill_len = 64 if args.tiny else 2014  # audio 1502 + text 512
     max_len = prefill_len + args.iters + 8
 
-    params = jax.jit(
-        lambda k: lm.init_params(cfg, k, dtype=jnp.bfloat16)
-    )(jax.random.PRNGKey(0))
+    if args.int8_weights:
+        from audio_llama_tpu.models import llama_int8 as l8
+
+        params = jax.jit(
+            lambda k: l8.quantize_llama(lm.init_params(cfg, k, dtype=jnp.bfloat16))
+        )(jax.random.PRNGKey(0))
+    else:
+        params = jax.jit(
+            lambda k: lm.init_params(cfg, k, dtype=jnp.bfloat16)
+        )(jax.random.PRNGKey(0))
     ids = jax.random.randint(
         jax.random.PRNGKey(1), (B, prefill_len), 3, cfg.vocab_size - 8
     )

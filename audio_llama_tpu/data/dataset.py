@@ -175,6 +175,14 @@ class AudioLLMDataset:
         mask[:n] = 1
         return full_ids, mask, labels
 
+    def entry_has_audio(self, idx: int) -> bool:
+        """Metadata-only modality probe (no IO): does the entry carry an
+        audio path? Multi-host loaders vote over the GLOBAL batch with this
+        so every process builds the same batch structure (data/loader.py).
+        Decode failures can still yield audio=None per item — collate's
+        force_audio path fills those deterministically."""
+        return bool(self.entries[idx].get(self.cfg.audio_key))
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         e = self.entries[idx]
         text = e.get(self.cfg.text_key, "") or ""
@@ -211,7 +219,10 @@ def _first(v):
 
 
 def collate(
-    items: List[Dict[str, Any]], mel_cfg: Optional[MelConfig] = None
+    items: List[Dict[str, Any]],
+    mel_cfg: Optional[MelConfig] = None,
+    force_audio: Optional[bool] = None,
+    audio_samples: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Stack items into a FIXED-SHAPE batch of len(items).
 
@@ -222,14 +233,34 @@ def collate(
     item with ALL labels set to -100, so shapes stay static and the filler
     contributes zero loss. A batch that is entirely text-only stays
     text-only (audio=None); an empty batch raises.
+
+    force_audio (multi-host loaders): pin the batch structure to the GLOBAL
+    batch's metadata vote so every process compiles the same program. When
+    True but this process's slice has no decodable audio item, rows become
+    zero-audio fillers (audio_samples long) with all-(-100) labels — the same
+    zero-loss semantics those items get in a single-process mixed batch.
     """
     if not items:
         raise ValueError("empty batch")
     kept = [it for it in items if it["audio"] is not None]
-    text_only = len(kept) == 0
+    if force_audio is None:
+        text_only = len(kept) == 0
+    else:
+        if not force_audio and kept:
+            raise ValueError(
+                "force_audio=False but the local slice has audio items — the "
+                "global metadata vote can never under-count audio entries"
+            )
+        text_only = not force_audio
     if text_only:
         rows = items
     else:
+        if not kept:
+            if audio_samples is None:
+                raise ValueError("force_audio without audio_samples")
+            template = dict(items[0])
+            template["audio"] = np.zeros(audio_samples, np.float32)
+            kept = [template]
         rows = []
         for it in items:
             if it["audio"] is not None:

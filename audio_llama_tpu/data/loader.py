@@ -32,7 +32,17 @@ class DataLoader:
         drop_last: bool = True,
         num_workers: int = 4,
         prefetch: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """process_index/process_count: multi-host data sharding. batch_size
+        stays the GLOBAL batch size; every process computes the identical
+        seeded global batch index list and loads only its contiguous
+        batch_size/process_count row slice (parallel/distributed.py assembles
+        the global device batch). Batch MODALITY (audio vs text-only) is
+        decided from metadata over the GLOBAL index list so all processes
+        compile/run the same program structure even when a local slice is
+        all-text in a mixed batch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -41,6 +51,19 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self._epoch = 0
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
+        if self.process_count > 1:
+            if batch_size % self.process_count:
+                raise ValueError(
+                    f"global batch_size {batch_size} must be divisible by "
+                    f"process_count {self.process_count}"
+                )
+            if not drop_last:
+                raise ValueError(
+                    "multi-process loading requires drop_last=True (ragged "
+                    "final batches cannot be split evenly across hosts)"
+                )
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -64,7 +87,18 @@ class DataLoader:
         return out
 
     def _build(self, batch_idx: List[int]) -> Dict[str, Any]:
-        return collate([self.dataset[i] for i in batch_idx])
+        if self.process_count == 1:
+            return collate([self.dataset[i] for i in batch_idx])
+        # Metadata-only modality vote over the GLOBAL batch (no IO): all
+        # processes agree on batch structure without communicating.
+        force_audio = any(self.dataset.entry_has_audio(i) for i in batch_idx)
+        lbs = self.batch_size // self.process_count
+        local = batch_idx[self.process_index * lbs : (self.process_index + 1) * lbs]
+        return collate(
+            [self.dataset[i] for i in local],
+            force_audio=force_audio,
+            audio_samples=self.dataset.cfg.max_samples,
+        )
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         batches = self._batches()
@@ -99,6 +133,8 @@ def create_dataloaders(
     dataset_config_path: Optional[str] = None,
     max_samples: Optional[int] = None,
     val_batch_size: Optional[int] = None,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Tuple[DataLoader, DataLoader, DatasetConfig]:
     """JSON -> (train_loader, val_loader, dataset_config).
 
@@ -139,15 +175,20 @@ def create_dataloaders(
     train = DataLoader(
         train_ds, batch_size, shuffle=True, seed=seed, drop_last=True,
         num_workers=num_workers,
+        process_index=process_index, process_count=process_count,
     )
     # Static-shape eval: clamp to the dataset and drop ragged tails only
     # when at least one full batch exists (jitted eval steps are compiled
     # per batch shape).
     vbs = min(val_batch_size or batch_size, max(len(val_ds), 1))
+    if process_count > 1:
+        # global val batches must split evenly across hosts
+        vbs = max(vbs - vbs % process_count, process_count)
     val = DataLoader(
         val_ds, vbs, shuffle=False, seed=seed,
-        drop_last=len(val_ds) >= vbs,
+        drop_last=len(val_ds) >= vbs or process_count > 1,
         num_workers=num_workers,
+        process_index=process_index, process_count=process_count,
     )
     return train, val, cfg
 

@@ -9,6 +9,7 @@ collectives XLA derives from the sharding annotations (GSPMD) and routes over
 ICI.
 """
 
+from . import distributed
 from .mesh import MeshConfig, make_mesh, best_mesh_shape
 from .sharding import (
     batch_specs,

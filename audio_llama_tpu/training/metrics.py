@@ -97,6 +97,17 @@ class MetricsWriter:
             self._wandb.finish()
 
 
+class NullWriter:
+    """No-op MetricsWriter stand-in for non-coordinator hosts in multi-host
+    runs (parallel/distributed.py): only process 0 touches disk/wandb."""
+
+    def log(self, step: int, scalars: dict):
+        pass
+
+    def close(self):
+        pass
+
+
 class Throughput:
     """Windowed tokens/sec, audio-sec/sec, and MFU counters."""
 

@@ -183,6 +183,19 @@ def _build_parser():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize decoder layers in backward "
                         "(O(1-layer) activation memory; needed at 3B scale)")
+    # Multi-host (SURVEY §2 stretch config: dp across a v5e-16 slice).
+    # One trainer process per host; see parallel/distributed.py for the
+    # launch recipe. batch_size stays the GLOBAL batch size.
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed (multi-host SPMD); on "
+                        "TPU pods coordinator/rank auto-detect, elsewhere "
+                        "pass the three flags below")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0's coordination service")
+    p.add_argument("--num_processes", type=int, default=0,
+                   help="total trainer processes (0 = auto-detect)")
+    p.add_argument("--process_id", type=int, default=-1,
+                   help="this process's rank (-1 = auto-detect)")
     p.add_argument("--loss_chunk_size", type=int, default=0,
                    help="compute cross-entropy in sequence chunks of this "
                         "size without materializing [B,T,V] logits "
@@ -317,18 +330,20 @@ def _flops_per_step(cfg, tokens_per_micro, audio_frames, micros):
     return per_micro * micros
 
 
-def evaluate(get_eval_step, state, frozen, val_loader, accum=1) -> dict:
+def evaluate(get_eval_step, state, frozen, val_loader, accum=1, put_fn=None) -> dict:
     """Mean val loss + perplexity (reference src/train.py:133-163).
 
     get_eval_step maps a batch to the matching compiled program (with-audio
-    and text-only batches each get their own)."""
+    and text-only batches each get their own). put_fn (multi-host): assembles
+    this process's local rows into the global device batch."""
     # Accumulate the per-batch losses ON DEVICE and fetch one scalar at the
     # end: through the remote-TPU tunnel every float() is a ~30 ms round
     # trip, so fetching per batch makes eval transfer-bound.
     total, n = None, 0
     for np_batch in val_loader:
         batch = _to_batch([np_batch])
-        loss = get_eval_step(batch)(state.trainable, frozen, batch)
+        dev_batch = put_fn(batch) if put_fn is not None else batch
+        loss = get_eval_step(batch)(state.trainable, frozen, dev_batch)
         total = loss if total is None else total + loss
         n += 1
     if n == 0:
@@ -352,8 +367,18 @@ def train(args) -> dict:
     from ..models import allm
     from ..training import checkpoint as ckpt
     from ..training import train_step as steps_mod
-    from .metrics import MetricsWriter, Throughput, setup_logging
+    from .metrics import MetricsWriter, NullWriter, Throughput, setup_logging
     from .optim import cosine_schedule_with_warmup, make_optimizer
+
+    if getattr(args, "distributed", False):
+        proc_idx, proc_count = parallel.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    else:
+        proc_idx, proc_count = parallel.distributed.process_info()
+    is_coord = proc_idx == 0
 
     set_seed(args.seed)
     setup_logging(args.output_dir)
@@ -388,6 +413,8 @@ def train(args) -> dict:
         dataset_config_path=args.dataset_config,
         max_samples=args.max_samples or None,
         val_batch_size=args.eval_batch_size,
+        process_index=proc_idx,
+        process_count=proc_count,
     )
 
     accum = max(1, args.grad_accum_steps)
@@ -430,6 +457,20 @@ def train(args) -> dict:
     if used < n_dev:
         logger.warning("mesh uses %d of %d devices", used, n_dev)
     logger.info("mesh: %s", mesh)
+    if proc_count > 1:
+        if args.batch_size % (dp * fsdp):
+            raise ValueError(
+                f"multi-host: global batch_size {args.batch_size} must "
+                f"divide dp*fsdp={dp * fsdp}"
+            )
+        if len(val_loader) and val_loader.batch_size % (dp * fsdp):
+            # the replicated-eval fallback needs full batches on every host,
+            # but multi-host loaders only hold per-process rows
+            raise ValueError(
+                f"multi-host: eval batch size {val_loader.batch_size} must "
+                f"be a multiple of dp*fsdp={dp * fsdp} "
+                "(set --eval_batch_size accordingly)"
+            )
     frozen = parallel.sharding.shard_frozen(mesh, frozen)
     trainable = allm.init_trainable(cfg, jax.random.PRNGKey(args.seed + 1))
     logger.info("trainable params: %s", f"{allm.num_trainable_params(trainable):,}")
@@ -458,13 +499,15 @@ def train(args) -> dict:
         )
         logger.info("resumed from %s at step %d", args.resume_from, start_step)
 
+    # Only the coordinator writes metrics/checkpoints; other hosts run the
+    # same SPMD programs but stay silent on disk.
     writer = MetricsWriter(
         args.output_dir,
         use_tensorboard=not args.no_tensorboard,
         use_wandb=args.use_wandb,
         wandb_project=args.wandb_project,
         wandb_config=vars(args),
-    )
+    ) if is_coord else NullWriter()
 
     # Two compiled programs: with-audio and text-only batches.
     step_fns = {}
@@ -512,7 +555,27 @@ def train(args) -> dict:
             batch_shardings[key] = parallel.sharding.batch_shardings(
                 mesh, batch, accum=accum > 1
             )
+        if proc_count > 1:
+            # each host holds only its rows; assemble the global array
+            return parallel.distributed.make_global_batch(
+                batch, batch_shardings[key]
+            )
         return jax.device_put(batch, batch_shardings[key])
+
+    eval_shardings = {}
+
+    def eval_put(batch):
+        # eval batches are single micros ([B, ...], never accum-stacked)
+        key = batch.audio_features is not None
+        if key not in eval_shardings:
+            eval_shardings[key] = parallel.sharding.batch_shardings(
+                mesh, batch, accum=False
+            )
+        if proc_count > 1:
+            return parallel.distributed.make_global_batch(
+                batch, eval_shardings[key]
+            )
+        return batch  # single-process: jit in_shardings place host arrays
 
     def epoch_batches():
         return group_by_modality(train_loader, accum)
@@ -588,14 +651,16 @@ def train(args) -> dict:
                 last_metrics = scalars
 
             if args.eval_steps and global_step % args.eval_steps == 0 and len(val_loader):
-                ev = evaluate(get_eval_step, state, frozen, val_loader)
+                ev = evaluate(
+                    get_eval_step, state, frozen, val_loader, put_fn=eval_put
+                )
                 writer.log(global_step, ev)
                 logger.info(
                     "eval @ %d: loss %.4f ppl %.4f",
                     global_step, ev["eval/loss"], ev["eval/perplexity"],
                 )
                 last_metrics.update(ev)
-                if ev["eval/loss"] < best_eval:
+                if ev["eval/loss"] < best_eval and is_coord:
                     best_eval = ev["eval/loss"]
                     ckpt.save_checkpoint(
                         args.output_dir,
@@ -606,7 +671,7 @@ def train(args) -> dict:
                         best=True,
                     )
 
-            if args.save_steps and global_step % args.save_steps == 0:
+            if args.save_steps and global_step % args.save_steps == 0 and is_coord:
                 ckpt.save_checkpoint(
                     args.output_dir,
                     trainable=jax.device_get(state.trainable),
@@ -625,7 +690,7 @@ def train(args) -> dict:
 
     # Final eval + final checkpoint (reference src/train.py:357-363).
     if len(val_loader):
-        ev = evaluate(get_eval_step, state, frozen, val_loader)
+        ev = evaluate(get_eval_step, state, frozen, val_loader, put_fn=eval_put)
         writer.log(global_step, ev)
         logger.info(
             "final eval: loss %.4f ppl %.4f", ev["eval/loss"], ev["eval/perplexity"]
@@ -638,7 +703,7 @@ def train(args) -> dict:
         step=global_step, epoch=args.num_epochs - 1, model_cfg=cfg,
         args=vars(args), dataset_config=ds_cfg.__dict__,
         final=True,
-    )
+    ) if is_coord else None
     writer.close()
     logger.info(
         "done: %d steps in %.1fs; final checkpoint %s",

@@ -98,13 +98,19 @@ def encode(
     The reference equivalent returns `last_hidden_state`
     (reference src/models/allm.py:214-219).
 
-    attn_impl: 'auto' (flash on TPU backends, XLA elsewhere) | 'flash' | 'xla'.
-    Flash avoids the [B, H, T, T] f32 logits round-trip to HBM that dominates
-    encoder time at T=1500.
+    attn_impl: 'auto' (the two-pass encoder kernel on TPU backends, XLA
+    elsewhere) | 'enc_kernel' | 'flash' (stock online-softmax kernel) |
+    'xla'. The encoder kernel (ops/enc_attention.py) beats stock flash ~2x
+    at whisper geometry (VPU-bound softmax; see its docstring); both kernels
+    avoid the [B, H, T, T] f32 logits round-trip that dominates the XLA path.
     """
+    from ..ops import enc_attention as ea
     from ..ops import flash_attention as fa
 
-    use_flash = attn_impl == "flash" or (attn_impl == "auto" and fa.available())
+    use_kernel = attn_impl in ("enc_kernel", "enc_kernel_interpret") or (
+        attn_impl == "auto" and fa.available()
+    )
+    use_flash = not use_kernel and attn_impl == "flash"
     approx = cfg.gelu_approx
     x = mel.astype(compute_dtype)
     x = jax.nn.gelu(
@@ -119,21 +125,24 @@ def encode(
     B, T, D = x.shape
     x = x + params["pos_embed"][:T].astype(compute_dtype)
 
-    # Pad the whole stack to flash's tile multiple ONCE (1500 -> 1536) so the
+    # Pad the whole stack to the kernel tile ONCE (1500 -> 1536) so the
     # kernel wrapper doesn't copy q/k/v every layer; pad rows live in their
-    # own residual lanes and are masked out of attention via the mask below.
+    # own residual lanes and are masked out of attention (statically for the
+    # encoder kernel, via SegmentIds for stock flash).
     T_real = T
     seg_mask = None
-    if use_flash:
+    if use_flash or use_kernel:
         from ..ops.flash_attention import _TILE, _round_up
 
-        T_pad = _round_up(T, _TILE)
+        T_pad = _round_up(T, 128 if use_kernel else _TILE)
         if T_pad != T:
             x = jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0)))
-            seg_mask = jnp.concatenate(
-                [jnp.ones((B, T), jnp.int32), jnp.zeros((B, T_pad - T), jnp.int32)],
-                axis=1,
-            )
+            if use_flash:
+                seg_mask = jnp.concatenate(
+                    [jnp.ones((B, T), jnp.int32),
+                     jnp.zeros((B, T_pad - T), jnp.int32)],
+                    axis=1,
+                )
             T = T_pad
 
     H, hd = cfg.num_heads, cfg.head_dim
@@ -149,7 +158,14 @@ def encode(
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, H, hd)
         v = v.reshape(B, T, H, hd)
-        if use_flash:
+        if use_kernel:
+            attn = ea.enc_attention(
+                q, k, v,
+                valid_len=T_real if T_real != T else None,
+                scale=hd ** -0.5,
+                interpret=attn_impl == "enc_kernel_interpret",
+            )
+        elif use_flash:
             attn = fa.flash_mha(q, k, v, mask=seg_mask, causal=False, scale=hd ** -0.5)
         else:
             attn = mha(q, k, v, bias=None, scale=hd ** -0.5)

@@ -81,10 +81,14 @@ def encode_int8(
 ) -> jnp.ndarray:
     """W8A8 twin of whisper.encode over quantize_encoder(params)."""
     from . import whisper as wm
+    from ..ops import enc_attention as ea
     from ..ops import flash_attention as fa
     from ..ops.attention import mha
 
-    use_flash = attn_impl == "flash" or (attn_impl == "auto" and fa.available())
+    use_kernel = attn_impl in ("enc_kernel", "enc_kernel_interpret") or (
+        attn_impl == "auto" and fa.available()
+    )
+    use_flash = not use_kernel and attn_impl == "flash"
     approx = cfg.gelu_approx
     x = mel.astype(compute_dtype)
     x = jax.nn.gelu(
@@ -103,14 +107,15 @@ def encode_int8(
 
     T_real = T
     seg_mask = None
-    if use_flash:
-        T_pad = fa._round_up(T, fa._TILE)
+    if use_flash or use_kernel:
+        T_pad = fa._round_up(T, 128 if use_kernel else fa._TILE)
         if T_pad != T:
             x = jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0)))
-            seg_mask = jnp.concatenate(
-                [jnp.ones((B, T), jnp.int32),
-                 jnp.zeros((B, T_pad - T), jnp.int32)], axis=1,
-            )
+            if use_flash:
+                seg_mask = jnp.concatenate(
+                    [jnp.ones((B, T), jnp.int32),
+                     jnp.zeros((B, T_pad - T), jnp.int32)], axis=1,
+                )
             T = T_pad
 
     H, hd = cfg.num_heads, cfg.head_dim
@@ -128,7 +133,14 @@ def encode_int8(
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, H, hd)
         v = v.reshape(B, T, H, hd)
-        if use_flash:
+        if use_kernel:
+            attn = ea.enc_attention(
+                q, k, v,
+                valid_len=T_real if T_real != T else None,
+                scale=hd ** -0.5,
+                interpret=attn_impl == "enc_kernel_interpret",
+            )
+        elif use_flash:
             attn = fa.flash_mha(q, k, v, mask=seg_mask, causal=False, scale=hd ** -0.5)
         else:
             attn = mha(q, k, v, bias=None, scale=hd ** -0.5)

@@ -1,0 +1,217 @@
+"""Encoder attention kernel: non-causal, short-sequence, hd-64-aware.
+
+Why not the stock flash kernel: the breakdown (experiments/enc_breakdown.py,
+BASELINE.md round 2) showed whisper-encoder attention is VPU-bound, not
+MXU-bound — at B8/H20/T1536/hd64 the stock online-softmax kernel runs
+~35 TF/s (2.8 ms/layer) while the surrounding projections hit 192 TF/s.
+Online softmax pays for its streaming generality with extra elementwise
+passes over the [bq, bk] score tiles (running-max updates, accumulator
+rescales, segment-id masking), and at T=1536 the whole key timeline fits in
+VMEM — streaming buys nothing.
+
+This kernel exploits the encoder's static shape instead:
+
+  - one grid step per (batch·head, q-block): K and V stay resident in VMEM
+    across the q-blocks of a (b, h) pair (Mosaic skips re-fetch when the
+    block index is unchanged);
+  - TWO-PASS softmax over the full [bq, T] score matrix in VMEM — exactly
+    one max-reduce and one fused subtract+exp elementwise pass; no running
+    rescaling;
+  - compile-time padding: the valid key length is STATIC (1500 of 1536), so
+    masking is a constant [1, T] f32 bias row added inside the exp chain —
+    no segment-id tensors, comparisons, or selects;
+  - the softmax DENOMINATOR rides the PV matmul: V gets a ones column
+    appended in VMEM, so `P @ [V | 1]` yields both the output and the row
+    sums in one MXU pass (output lanes 64->65 round to the same 128-lane
+    MXU tile — the sum is literally free) and the VPU never runs a
+    [bq, T] sum-reduce.
+
+The remaining ~50% MXU underutilization on Q·K^T (contraction dim 64 vs the
+128-deep systolic array) is inherent to hd=64; Q·K^T is ~18% of encoder
+FLOPs, so the ceiling loss is ~9% — acceptable against a 2x kernel win.
+
+Gradients: not defined — the ONLY consumers are the frozen Whisper encoder
+(reference src/models/base.py:22-24 keeps it under no_grad; our training
+path treats encoder output as a constant w.r.t. trainables, so autodiff
+never differentiates through this op). Llama training/prefill keep using
+ops/flash_attention.py (causal + custom VJP).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def _kernel_v2(q_ref, k_ref, v_ref, kn_ref, o_ref, *, n_valid, chunk):
+    """Bounded-shift streaming softmax — no max pass, no online rescaling.
+
+    softmax(s) == softmax(s - c) for any per-row constant c; numerical
+    stability only needs c >= row-max. Cauchy-Schwarz gives a FREE bound:
+    s_ij = q_i . k_j <= ||q_i||_2 * max_j ||k_j||_2  (q pre-scaled). Using
+    that bound instead of the true max removes the [bq, T] max-reduce pass
+    entirely and — unlike flash's running max — never rescales the output
+    accumulator, so the kernel streams k/v chunks with a single fused
+    (sub, exp, cast) elementwise chain per score element. The bound is loose
+    by the best-alignment angle (layernormed encoder heads: a few nats), so
+    exp stays comfortably inside f32/bf16 range; an all-underflow row would
+    need ~90 nats of looseness and is guarded by the where() below.
+
+    Padding: keys >= n_valid (STATIC) live in the last chunk; only that
+    chunk pays a mask-multiply.
+    """
+    q = q_ref[0]  # [bq, hd] pre-scaled
+    kn = kn_ref[0]  # [1, 1] f32: max_j ||k_j||
+    qn = jnp.sqrt(
+        jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    )  # [bq, 1]
+    bound = qn * kn[0, 0]
+    T, hd = k_ref.shape[1], q.shape[1]
+    n_chunks = T // chunk
+    acc = jnp.zeros((q.shape[0], hd + 1), jnp.float32)
+    for j in range(n_chunks):  # static; Mosaic overlaps MXU/VPU across chunks
+        kj = k_ref[0, j * chunk : (j + 1) * chunk]
+        vj = v_ref[0, j * chunk : (j + 1) * chunk]
+        s = jax.lax.dot_general(
+            q, kj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, chunk]
+        p = jnp.exp(s - bound)
+        if (j + 1) * chunk > n_valid:  # only the padded tail pays a mask
+            col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + j * chunk
+            p = jnp.where(col < n_valid, p, 0.0)
+        v_ext = jnp.concatenate(
+            [vj, jnp.ones((chunk, 1), vj.dtype)], axis=1
+        )  # ones column: P @ [V | 1] -> output and row-sum in one MXU pass
+        acc = acc + jax.lax.dot_general(
+            p.astype(vj.dtype), v_ext, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    l = acc[:, hd:]
+    out = jnp.where(l > 0, acc[:, :hd] / jnp.where(l > 0, l, 1.0), 0.0)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, exp_dtype):
+    q = q_ref[0]  # [bq, hd]
+    k = k_ref[0]  # [T, hd]
+    v = v_ref[0]  # [T, hd]
+    # scores on the MXU; contraction over hd (64: accepted half-util, see
+    # module docstring)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, T]
+    s = s + bias_ref[0][None, :]  # static padding bias (0 / NEG)
+    m = jnp.max(s, axis=1, keepdims=True)
+    # fused subtract+exp chain; optional bf16 exp (inputs are <= 0 so bf16's
+    # range is safe; P is cast to bf16 for the MXU anyway)
+    p = jnp.exp((s - m).astype(exp_dtype)).astype(v.dtype)
+    # ones column -> P @ [V | 1] gives output AND row sums in one MXU pass
+    v_ext = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
+    o = jax.lax.dot_general(
+        p, v_ext, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, hd+1]
+    hd = v.shape[1]
+    out = o[:, :hd] / o[:, hd:]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pick_block_q(t: int) -> int:
+    for b in (512, 256, 128):
+        if t % b == 0:
+            return b
+    return t
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "valid_len", "scale", "block_q", "exp_dtype", "interpret", "algo",
+    ),
+)
+def enc_attention(
+    q: jnp.ndarray,  # [B, T, H, hd]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    valid_len: Optional[int] = None,  # STATIC: keys >= valid_len are padding
+    scale: Optional[float] = None,
+    block_q: int = 0,  # 0 = auto
+    exp_dtype=jnp.float32,
+    interpret: bool = False,
+    algo: str = "bounded",  # 'bounded' (streaming, no max pass) | 'twopass'
+) -> jnp.ndarray:
+    """Full non-causal self-attention, [B, T, H, hd] in/out.
+
+    Semantically equals ops.attention.mha with a shared right-padding mask
+    (keys/queries at positions >= valid_len padded); padded-query rows return
+    garbage by the same contract as flash_mha. T must be a multiple of 128
+    (whisper's stack is padded to the 512 tile already).
+
+    algo='bounded' replaces the softmax max-reduce with a Cauchy-Schwarz
+    upper bound (see _kernel_v2) — exact up to float rounding, one fewer
+    VPU pass per score element, and streams k/v chunks; 'twopass' is the
+    classical max/exp/sum kernel (_kernel).
+    """
+    B, T, H, hd = q.shape
+    if T % 128:
+        raise ValueError(f"enc_attention: T={T} must be a multiple of 128")
+    if scale is None:
+        scale = hd ** -0.5
+    bq = block_q or _pick_block_q(T)
+
+    # head-major for clean [T, hd] tiles; fold the scale into q (one cheap
+    # elementwise op that XLA fuses into the projection producing q)
+    qh = jnp.swapaxes(q * jnp.asarray(scale, q.dtype), 1, 2).reshape(B * H, T, hd)
+    kh = jnp.swapaxes(k, 1, 2).reshape(B * H, T, hd)
+    vh = jnp.swapaxes(v, 1, 2).reshape(B * H, T, hd)
+
+    nvalid = T if valid_len is None else int(valid_len)
+    grid = (B * H, T // bq)
+
+    if algo == "bounded":
+        kn = jnp.sqrt(
+            jnp.max(jnp.sum(kh.astype(jnp.float32) ** 2, axis=-1), axis=-1)
+        ).reshape(B * H, 1, 1)  # max_j ||k_j|| per (b, h); fused by XLA
+        chunk = 512 if T % 512 == 0 else T
+        out = pl.pallas_call(
+            functools.partial(_kernel_v2, n_valid=nvalid, chunk=chunk),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, hd), lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, T, hd), lambda bh, qi: (bh, 0, 0)),
+                pl.BlockSpec((1, T, hd), lambda bh, qi: (bh, 0, 0)),
+                pl.BlockSpec((1, 1, 1), lambda bh, qi: (bh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, hd), lambda bh, qi: (bh, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((B * H, T, hd), q.dtype),
+            interpret=interpret,
+        )(qh, kh, vh, kn)
+        return jnp.swapaxes(out.reshape(B, H, T, hd), 1, 2)
+
+    bias = np.zeros((1, T), np.float32)
+    bias[:, nvalid:] = NEG
+    bias = jnp.asarray(bias)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, exp_dtype=exp_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, T, hd), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, T, hd), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, T), lambda bh, qi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, hd), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, hd), q.dtype),
+        interpret=interpret,
+    )(qh, kh, vh, bias)
+
+    return jnp.swapaxes(out.reshape(B, H, T, hd), 1, 2)

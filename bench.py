@@ -61,6 +61,14 @@ def main():
              "batches at 3B dims)",
     )
     ap.add_argument(
+        "--accum", type=int, default=1,
+        help="grad-accumulation microbatches in train mode",
+    )
+    ap.add_argument(
+        "--no_remat", action="store_true",
+        help="disable decoder layer rematerialization in train mode",
+    )
+    ap.add_argument(
         "--exact_gelu", action="store_true",
         help="HF-exact erf GELU in the encoder (default: tanh approximation, "
              "the serving configuration — ~18%% faster, ~1e-3 activation "
@@ -195,14 +203,20 @@ def run_train(args):
     vocab = cfg.llama.vocab_size
     sid, eid = vocab - 2, vocab - 1
 
+    accum = max(1, args.accum)
     kf, kt, kb = jax.random.split(jax.random.PRNGKey(0), 3)
     frozen = jax.jit(lambda k: allm.init_frozen(cfg, k, dtype=jnp.bfloat16))(kf)
     trainable = jax.jit(lambda k: allm.init_trainable(cfg, k))(kt)
+
+    def mk(key, shape, lo, hi):
+        return jax.random.randint(key, shape, lo, hi)
+
+    bshape = (accum, B) if accum > 1 else (B,)
     batch = allm.AudioLLMBatch(
-        input_ids=jax.random.randint(kb, (B, T), 3, vocab - 8),
-        attention_mask=jnp.ones((B, T), jnp.int32),
-        audio_features=jax.random.normal(kb, (B, cfg.mel.max_samples)) * 0.1,
-        labels=jax.random.randint(kb, (B, T), 3, vocab - 8),
+        input_ids=mk(kb, (*bshape, T), 3, vocab - 8),
+        attention_mask=jnp.ones((*bshape, T), jnp.int32),
+        audio_features=jax.random.normal(kb, (*bshape, cfg.mel.max_samples)) * 0.1,
+        labels=mk(kb, (*bshape, T), 3, vocab - 8),
     )
     optimizer = optax.chain(
         optax.clip_by_global_norm(2.0), optax.adamw(2e-5, weight_decay=0.01)
@@ -210,7 +224,9 @@ def run_train(args):
     state = steps_mod.init_train_state(trainable, optimizer)
     step = steps_mod.make_train_step(
         cfg, optimizer, sid, eid, compute_dtype=jnp.bfloat16,
-        loss_chunk_size=0 if args.tiny else 512, remat=not args.tiny,
+        accum_steps=accum,
+        loss_chunk_size=0 if args.tiny else 512,
+        remat=(not args.tiny) and not args.no_remat,
     )
 
     @jax.jit
@@ -243,7 +259,13 @@ def run_train(args):
     _debug_timing("train", n_small, d1, n_large, d2)
     dt = max(d2 - d1, 1e-9)
     steps_per_sec = (n_large - n_small) / dt
-    tokens_per_step = B * (T + cfg.audio_seq_len + 2)
+    tokens_per_micro = B * (T + cfg.audio_seq_len + 2)
+    tokens_per_step = tokens_per_micro * accum
+
+    from audio_llama_tpu.training.train import _flops_per_step
+
+    flops = _flops_per_step(cfg, tokens_per_micro, B * cfg.audio_seq_len, accum)
+    peak = 197e12  # v5e bf16 peak
     print(
         json.dumps(
             {
@@ -251,6 +273,8 @@ def run_train(args):
                 "value": round(steps_per_sec * tokens_per_step, 2),
                 "unit": "tokens/sec",
                 "vs_baseline": 0.0,  # reference logged no throughput numbers
+                "mfu": round(steps_per_sec * flops / peak, 4),
+                "batch": B, "accum": accum, "remat": not args.no_remat,
             }
         )
     )

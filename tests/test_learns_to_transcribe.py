@@ -1,0 +1,102 @@
+"""The end-to-end correctness capstone (VERDICT round-1 item 6): prove the
+full pipeline LEARNS TO TRANSCRIBE, not just that loss goes down.
+
+Synthetic deterministic corpus: each clip is a pure tone whose frequency
+encodes a digit word; the PROMPT IS IDENTICAL for every clip, so the only
+way to drive WER below the untrained baseline is to condition generation on
+the audio path (mel -> frozen whisper -> projector -> splice -> llama+LoRA).
+Train a few hundred steps with the real trainer CLI, reload the checkpoint
+through the real inference loader, and score with the real WER harness."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from audio_llama_tpu.data.audio_io import write_wav
+
+WORDS = ["zero", "one", "two", "three"]
+SR = 16000
+
+
+def _tone(digit: int, seconds: float = 0.9) -> np.ndarray:
+    t = np.arange(int(SR * seconds)) / SR
+    f = 350.0 * (digit + 1)
+    return (0.3 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def tone_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tones")
+    audio_dir = root / "audio"
+    audio_dir.mkdir()
+    entries = []
+    for i in range(64):
+        digit = i % 4
+        rel = f"tone_{i}.wav"
+        write_wav(str(audio_dir / rel), _tone(digit), SR)
+        entries.append(
+            {
+                "text": "Transcribe the audio.",
+                "audio_paths": rel,
+                "response": WORDS[digit],
+            }
+        )
+    data_path = root / "tones.json"
+    data_path.write_text(json.dumps(entries))
+    return str(data_path), str(audio_dir), entries
+
+
+@pytest.mark.slow
+def test_pipeline_learns_to_transcribe(tone_corpus, tmp_path):
+    from audio_llama_tpu.eval.wer import evaluate_wer
+    from audio_llama_tpu.inference.cli import load_audio_llm
+    from audio_llama_tpu.training.train import parse_args, train
+
+    data_path, audio_dir, entries = tone_corpus
+    out = str(tmp_path / "run")
+    args = parse_args(
+        [
+            "--data_path", data_path,
+            "--audio_dir", audio_dir,
+            "--output_dir", out,
+            "--toy_model", "--tokenizer", "byte",
+            "--batch_size", "8", "--eval_batch_size", "8",
+            "--grad_accum_steps", "1",
+            "--num_epochs", "40", "--max_steps", "280",
+            "--learning_rate", "3e-3", "--warmup_steps", "10",
+            "--val_split", "0.125",
+            "--eval_steps", "0", "--save_steps", "0", "--log_steps", "50",
+            "--num_workers", "2", "--no_tensorboard",
+            "--compute_dtype", "float32",
+            "--seed", "3",
+        ]
+    )
+    result = train(args)
+    assert result["steps"] >= 200
+
+    # score a class-balanced subset (generation is the slow part on CPU)
+    eval_entries = [e for i, e in enumerate(entries) if i < 16]
+
+    cfg, frozen, trainable, tk = load_audio_llm(
+        result["final_checkpoint"], toy_model=True, seed=3
+    )
+    trained = evaluate_wer(
+        cfg, frozen, trainable, tk, eval_entries, audio_dir,
+        batch_size=8, max_new_tokens=8,
+    )
+
+    cfg0, frozen0, untrained0, tk0 = load_audio_llm(None, toy_model=True, seed=3)
+    cfg0 = cfg  # same config/tokenizer family as the trained run
+    untrained = evaluate_wer(
+        cfg, frozen, untrained0, tk, eval_entries, audio_dir,
+        batch_size=8, max_new_tokens=8,
+    )
+
+    # untrained byte-level babble is ~always wrong; training must drive WER
+    # far below it — this can only happen via audio conditioning, because
+    # every prompt is identical.
+    assert untrained["wer"] > 0.7, untrained
+    assert trained["wer"] < 0.3, (trained, untrained)
+    assert trained["wer"] < untrained["wer"] * 0.5

@@ -18,6 +18,7 @@ everything is static-shape (3000 mel frames -> 1500 states).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -92,6 +93,7 @@ def encode(
     mel: jnp.ndarray,  # [B, n_mels, T_mel] log-mel features
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
+    attn_algo: str = "twopass",  # flipped to the fastest TPU-validated variant by bench
 ) -> jnp.ndarray:
     """Frozen encoder forward -> [B, T_mel//2, d_model].
 
@@ -111,6 +113,15 @@ def encode(
         attn_impl == "auto" and fa.available()
     )
     use_flash = not use_kernel and attn_impl == "flash"
+
+    if use_kernel:
+        # fused single-read/single-write LN kernel (ops/ln_pallas.py)
+        from ..ops.ln_pallas import layer_norm_pallas
+
+        _interp = attn_impl == "enc_kernel_interpret"
+        ln = functools.partial(layer_norm_pallas, interpret=_interp)
+    else:
+        ln = layer_norm
     approx = cfg.gelu_approx
     x = mel.astype(compute_dtype)
     x = jax.nn.gelu(
@@ -149,7 +160,7 @@ def encode(
 
     def layer_step(carry, p):
         (x,) = carry
-        h = layer_norm(
+        h = ln(
             x, p["attn_ln"]["scale"], p["attn_ln"]["bias"], cfg.layer_norm_eps
         )
         q = h @ p["q_proj"]["w"].astype(compute_dtype) + p["q_proj"]["b"].astype(compute_dtype)
@@ -164,6 +175,7 @@ def encode(
                 valid_len=T_real if T_real != T else None,
                 scale=hd ** -0.5,
                 interpret=attn_impl == "enc_kernel_interpret",
+                algo=attn_algo,
             )
         elif use_flash:
             attn = fa.flash_mha(q, k, v, mask=seg_mask, causal=False, scale=hd ** -0.5)
@@ -173,7 +185,7 @@ def encode(
         attn = attn @ p["out_proj"]["w"].astype(compute_dtype) + p["out_proj"]["b"].astype(compute_dtype)
         x = x + attn
 
-        h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"], cfg.layer_norm_eps)
+        h = ln(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"], cfg.layer_norm_eps)
         h = jax.nn.gelu(
             h @ p["fc1"]["w"].astype(compute_dtype) + p["fc1"]["b"].astype(compute_dtype),
             approximate=approx,

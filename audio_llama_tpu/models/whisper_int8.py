@@ -78,6 +78,7 @@ def encode_int8(
     mel: jnp.ndarray,
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
+    attn_algo: str = "twopass",  # flipped to the fastest TPU-validated variant by bench
 ) -> jnp.ndarray:
     """W8A8 twin of whisper.encode over quantize_encoder(params)."""
     from . import whisper as wm
@@ -139,6 +140,7 @@ def encode_int8(
                 valid_len=T_real if T_real != T else None,
                 scale=hd ** -0.5,
                 interpret=attn_impl == "enc_kernel_interpret",
+                algo=attn_algo,
             )
         elif use_flash:
             attn = fa.flash_mha(q, k, v, mask=seg_mask, causal=False, scale=hd ** -0.5)

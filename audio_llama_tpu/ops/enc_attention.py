@@ -99,6 +99,46 @@ def _kernel_v2(q_ref, k_ref, v_ref, kn_ref, o_ref, *, n_valid, chunk):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _kernel_v3(q_ref, k_ref, v_ref, kn_ref, o_ref, *, n_valid, chunk):
+    """Transpose-free variant: blocks come straight from the model's
+    [B, T, H, hd] layout (grid over batch × head-group × q-block), the head
+    loop runs INSIDE the kernel over VMEM-resident K/V, and each head runs
+    the same bounded-shift streaming softmax as _kernel_v2. Eliminates the
+    four [B,T,H,hd] <-> [B,H,T,hd] HBM relayouts per layer that every
+    kernel-layout wrapper (including stock flash) pays; per-head VMEM
+    re-slicing replaces HBM traffic with far cheaper on-chip copies."""
+    Hg = q_ref.shape[2]
+    T = k_ref.shape[1]
+    hd = q_ref.shape[3]
+    n_chunks = T // chunk
+    for h in range(Hg):
+        q = q_ref[0, :, h, :]  # [bq, hd] pre-scaled
+        qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True))
+        bound = qn * kn_ref[0, 0, h]
+        acc = jnp.zeros((q.shape[0], hd + 1), jnp.float32)
+        for j in range(n_chunks):
+            kj = k_ref[0, j * chunk : (j + 1) * chunk, h, :]
+            vj = v_ref[0, j * chunk : (j + 1) * chunk, h, :]
+            s = jax.lax.dot_general(
+                q, kj, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = jnp.exp(s - bound)
+            if (j + 1) * chunk > n_valid:
+                col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + j * chunk
+                p = jnp.where(col < n_valid, p, 0.0)
+            v_ext = jnp.concatenate(
+                [vj, jnp.ones((chunk, 1), vj.dtype)], axis=1
+            )
+            acc = acc + jax.lax.dot_general(
+                p.astype(vj.dtype), v_ext, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        l = acc[:, hd:]
+        out = jnp.where(l > 0, acc[:, :hd] / jnp.where(l > 0, l, 1.0), 0.0)
+        o_ref[0, :, h, :] = out.astype(o_ref.dtype)
+
+
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, exp_dtype):
     q = q_ref[0]  # [bq, hd]
     k = k_ref[0]  # [T, hd]
@@ -174,6 +214,34 @@ def enc_attention(
     vh = jnp.swapaxes(v, 1, 2).reshape(B * H, T, hd)
 
     nvalid = T if valid_len is None else int(valid_len)
+
+    if algo == "v3":
+        # transpose-free: blocks straight from [B, T, H, hd]; all H heads
+        # resident per block (H is the second-minor dim, so partial head
+        # blocks would break sublane tiling — whisper's H=20 fits VMEM)
+        qs = q * jnp.asarray(scale, q.dtype)
+        kn = jnp.sqrt(
+            jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=-1), axis=1)
+        ).reshape(B, 1, H)
+        chunk = 512 if T % 512 == 0 else T
+        out = pl.pallas_call(
+            functools.partial(_kernel_v3, n_valid=nvalid, chunk=chunk),
+            grid=(B, T // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, H, hd), lambda b, qi: (b, qi, 0, 0)),
+                pl.BlockSpec((1, T, H, hd), lambda b, qi: (b, 0, 0, 0)),
+                pl.BlockSpec((1, T, H, hd), lambda b, qi: (b, 0, 0, 0)),
+                pl.BlockSpec((1, 1, H), lambda b, qi: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, H, hd), lambda b, qi: (b, qi, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, T, H, hd), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(qs, k, v, kn)
+        return out
+
     grid = (B * H, T // bq)
 
     if algo == "bounded":

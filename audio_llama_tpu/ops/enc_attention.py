@@ -99,26 +99,29 @@ def _kernel_v2(q_ref, k_ref, v_ref, kn_ref, o_ref, *, n_valid, chunk):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _kernel_v3(q_ref, k_ref, v_ref, kn_ref, o_ref, *, n_valid, chunk):
-    """Transpose-free variant: blocks come straight from the model's
-    [B, T, H, hd] layout (grid over batch × head-group × q-block), the head
-    loop runs INSIDE the kernel over VMEM-resident K/V, and each head runs
-    the same bounded-shift streaming softmax as _kernel_v2. Eliminates the
-    four [B,T,H,hd] <-> [B,H,T,hd] HBM relayouts per layer that every
-    kernel-layout wrapper (including stock flash) pays; per-head VMEM
-    re-slicing replaces HBM traffic with far cheaper on-chip copies."""
-    Hg = q_ref.shape[2]
+def _kernel_v3(q_ref, k_ref, v_ref, kn_ref, o_ref, *, n_valid, chunk, n_heads):
+    """Transpose-free variant: [B, T, D] blocks straight from the projection
+    outputs (grid over batch × q-block), heads carved out of the lane
+    dimension INSIDE the kernel (static 64-lane slices — on-chip relayouts
+    instead of the four [B,T,H,hd] <-> [B,H,T,hd] HBM round trips every
+    kernel-layout wrapper, including stock flash, pays per layer). The
+    unrolled head loop also hands the scheduler ~20 independent
+    QK-softmax-PV chains, so MXU matmuls of one head can overlap VPU
+    softmax of another. Each head runs the bounded-shift softmax of
+    _kernel_v2. Output is [bq, D] — exactly the layout the out-projection
+    consumes, so the model-side head merge is free."""
     T = k_ref.shape[1]
-    hd = q_ref.shape[3]
+    hd = q_ref.shape[2] // n_heads
     n_chunks = T // chunk
-    for h in range(Hg):
-        q = q_ref[0, :, h, :]  # [bq, hd] pre-scaled
+    outs = []
+    for h in range(n_heads):
+        q = q_ref[0, :, h * hd : (h + 1) * hd]  # [bq, hd] pre-scaled
         qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True))
         bound = qn * kn_ref[0, 0, h]
         acc = jnp.zeros((q.shape[0], hd + 1), jnp.float32)
         for j in range(n_chunks):
-            kj = k_ref[0, j * chunk : (j + 1) * chunk, h, :]
-            vj = v_ref[0, j * chunk : (j + 1) * chunk, h, :]
+            kj = k_ref[0, j * chunk : (j + 1) * chunk, h * hd : (h + 1) * hd]
+            vj = v_ref[0, j * chunk : (j + 1) * chunk, h * hd : (h + 1) * hd]
             s = jax.lax.dot_general(
                 q, kj, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -136,7 +139,8 @@ def _kernel_v3(q_ref, k_ref, v_ref, kn_ref, o_ref, *, n_valid, chunk):
             )
         l = acc[:, hd:]
         out = jnp.where(l > 0, acc[:, :hd] / jnp.where(l > 0, l, 1.0), 0.0)
-        o_ref[0, :, h, :] = out.astype(o_ref.dtype)
+        outs.append(out.astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=1)  # [bq, D]
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, exp_dtype):
@@ -216,31 +220,35 @@ def enc_attention(
     nvalid = T if valid_len is None else int(valid_len)
 
     if algo == "v3":
-        # transpose-free: blocks straight from [B, T, H, hd]; all H heads
-        # resident per block (H is the second-minor dim, so partial head
-        # blocks would break sublane tiling — whisper's H=20 fits VMEM)
-        qs = q * jnp.asarray(scale, q.dtype)
+        # transpose-free: [B, T, D] blocks (the projections' natural layout);
+        # heads are static 64-lane slices inside the kernel
+        D = H * hd
+        qs = (q * jnp.asarray(scale, q.dtype)).reshape(B, T, D)
         kn = jnp.sqrt(
             jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=-1), axis=1)
         ).reshape(B, 1, H)
+        k3 = k.reshape(B, T, D)
+        v3 = v.reshape(B, T, D)
         chunk = 512 if T % 512 == 0 else T
         out = pl.pallas_call(
-            functools.partial(_kernel_v3, n_valid=nvalid, chunk=chunk),
+            functools.partial(
+                _kernel_v3, n_valid=nvalid, chunk=chunk, n_heads=H
+            ),
             grid=(B, T // bq),
             in_specs=[
-                pl.BlockSpec((1, bq, H, hd), lambda b, qi: (b, qi, 0, 0)),
-                pl.BlockSpec((1, T, H, hd), lambda b, qi: (b, 0, 0, 0)),
-                pl.BlockSpec((1, T, H, hd), lambda b, qi: (b, 0, 0, 0)),
+                pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0)),
+                pl.BlockSpec((1, T, D), lambda b, qi: (b, 0, 0)),
+                pl.BlockSpec((1, T, D), lambda b, qi: (b, 0, 0)),
                 pl.BlockSpec((1, 1, H), lambda b, qi: (b, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, bq, H, hd), lambda b, qi: (b, qi, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, T, H, hd), q.dtype),
+            out_specs=pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(qs, k, v, kn)
-        return out
+        )(qs, k3, v3, kn)
+        return out.reshape(B, T, H, hd)
 
     grid = (B * H, T // bq)
 

@@ -17,7 +17,7 @@ def _rand(key, *shape):
 import pytest
 
 
-@pytest.mark.parametrize("algo", ["bounded", "twopass"])
+@pytest.mark.parametrize("algo", ["bounded", "twopass", "v3"])
 def test_full_matches_xla(algo):
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     B, T, H, hd = 2, 128, 4, 32
@@ -38,11 +38,12 @@ def test_valid_len_matches_masked_xla():
     )
     ref = mha(q, k, v, bias=padding_bias(mask))
     out = enc_attention(q, k, v, valid_len=valid, interpret=True)
-    out2 = enc_attention(q, k, v, valid_len=valid, interpret=True, algo="twopass")
-    np.testing.assert_allclose(
-        np.asarray(out2)[:, :valid], np.asarray(ref)[:, :valid],
-        atol=2e-5, rtol=2e-5,
-    )
+    for algo in ("twopass", "v3"):
+        out2 = enc_attention(q, k, v, valid_len=valid, interpret=True, algo=algo)
+        np.testing.assert_allclose(
+            np.asarray(out2)[:, :valid], np.asarray(ref)[:, :valid],
+            atol=2e-5, rtol=2e-5,
+        )
     # padded-query rows are garbage by contract; compare real rows only
     np.testing.assert_allclose(
         np.asarray(out)[:, :valid], np.asarray(ref)[:, :valid],

@@ -90,7 +90,9 @@ def main():
                 print(json.dumps({"exp": name, "error": str(e)[:500]}), flush=True)
 
     # full encoder per algo (the headline)
-    if want("encode_full"):
+    if want("encode_full") or any(
+        n in only for n in ("encode_v3", "encode_v2", "encode_twopass")
+    ):
         from audio_llama_tpu.models import whisper as wm
 
         wcfg = cfg.replace(gelu_approx=True)

@@ -178,6 +178,7 @@ def _pick_block_q(t: int) -> int:
     jax.jit,
     static_argnames=(
         "valid_len", "scale", "block_q", "exp_dtype", "interpret", "algo",
+        "chunk_k",
     ),
 )
 def enc_attention(
@@ -191,6 +192,7 @@ def enc_attention(
     exp_dtype=jnp.float32,
     interpret: bool = False,
     algo: str = "bounded",  # 'bounded' (streaming, no max pass) | 'twopass'
+    chunk_k: int = 0,  # k-chunk for bounded/v3 (0 = auto: 512 when it divides T)
 ) -> jnp.ndarray:
     """Full non-causal self-attention, [B, T, H, hd] in/out.
 
@@ -229,7 +231,9 @@ def enc_attention(
         ).reshape(B, 1, H)
         k3 = k.reshape(B, T, D)
         v3 = v.reshape(B, T, D)
-        chunk = 512 if T % 512 == 0 else T
+        chunk = chunk_k or (512 if T % 512 == 0 else T)
+        if T % chunk:
+            raise ValueError(f"chunk_k={chunk} must divide T={T}")
         out = pl.pallas_call(
             functools.partial(
                 _kernel_v3, n_valid=nvalid, chunk=chunk, n_heads=H
@@ -256,7 +260,7 @@ def enc_attention(
         kn = jnp.sqrt(
             jnp.max(jnp.sum(kh.astype(jnp.float32) ** 2, axis=-1), axis=-1)
         ).reshape(B * H, 1, 1)  # max_j ||k_j|| per (b, h); fused by XLA
-        chunk = 512 if T % 512 == 0 else T
+        chunk = chunk_k or (512 if T % 512 == 0 else T)
         out = pl.pallas_call(
             functools.partial(_kernel_v2, n_valid=nvalid, chunk=chunk),
             grid=grid,

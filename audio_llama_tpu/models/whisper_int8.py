@@ -86,10 +86,16 @@ def encode_int8(
     from ..ops import flash_attention as fa
     from ..ops.attention import mha
 
-    use_kernel = attn_impl in ("enc_kernel", "enc_kernel_interpret") or (
-        attn_impl == "auto" and fa.available()
+    # the encoder kernel's in-kernel head slicing wants MXU-friendly head
+    # widths; off-sized (toy) dims fall back to stock flash on TPU
+    kernel_dims_ok = cfg.head_dim % 64 == 0 and cfg.d_model % 128 == 0
+    use_kernel = (
+        attn_impl in ("enc_kernel", "enc_kernel_interpret")
+        or (attn_impl == "auto" and fa.available() and kernel_dims_ok)
     )
-    use_flash = not use_kernel and attn_impl == "flash"
+    use_flash = not use_kernel and (
+        attn_impl == "flash" or (attn_impl == "auto" and fa.available())
+    )
     approx = cfg.gelu_approx
     x = mel.astype(compute_dtype)
     x = jax.nn.gelu(

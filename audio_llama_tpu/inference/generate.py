@@ -115,7 +115,7 @@ def _generate_impl(
         kv_heads=cfg.llama.num_kv_heads // tp_size,
         quantized=kv_quant,
     )
-    logits, cache = llama_mod.llama_forward(
+    _, cache, hidden = llama_mod.llama_forward(
         frozen["llama"], cfg.llama,
         inputs_embeds=embeds, attention_mask=full_mask,
         kv_cache=cache, lora=lora, compute_dtype=compute_dtype,
@@ -123,12 +123,20 @@ def _generate_impl(
         # instead of materializing [B, H, P, total] logits.
         assume_fresh_cache=True,
         tp_axis=tp_axis,
+        # Only each row's last real position feeds sampling; unembedding the
+        # whole prefill would materialize [B, P, V] f32 (~15 GB at B16
+        # flagship dims) and burn ~P times the needed unembed FLOPs.
+        return_hidden=True,
+        unembed_logits=False,
     )
-    # Last *real* (non-pad) position per row holds the next-token logits.
+    # Last *real* (non-pad) position per row holds the next-token state.
     real_len = jnp.sum(mask, axis=1).astype(jnp.int32)  # [B] logical lengths
     last_idx = real_len - 1  # [B]
-    next_logits = jnp.take_along_axis(
-        logits, last_idx[:, None, None], axis=1
+    last_hidden = jnp.take_along_axis(
+        hidden, last_idx[:, None, None], axis=1
+    )  # [B, 1, D]
+    next_logits = llama_mod.unembed_with_tp(
+        frozen["llama"], cfg.llama, last_hidden, compute_dtype, tp_axis
     )[:, 0]  # [B, V]
 
     def sample(logits, k):

@@ -216,6 +216,7 @@ def llama_forward(
     remat: bool = False,
     assume_fresh_cache: bool = False,
     tp_axis: Optional[str] = None,
+    unembed_logits: bool = True,
 ):
     """Decoder forward.
 
@@ -490,12 +491,13 @@ def llama_forward(
 
     x = rms_norm(x, params["final_ln"].astype(compute_dtype), cfg.rms_norm_eps)
 
-    logits = unembed(params, cfg, x, compute_dtype)
-    if tp_axis is not None and not cfg.tie_word_embeddings and "lm_head" in params:
-        # untied lm_head is vocab-column-sharded (parallel/sharding.py):
-        # gather the vocab shards so sampling sees full logits. (The tied
-        # flagship path unembeds with the replicated embedding table.)
-        logits = lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    if unembed_logits:
+        logits = unembed_with_tp(params, cfg, x, compute_dtype, tp_axis)
+    else:
+        # caller unembeds a subset of positions itself (e.g. generation
+        # prefill only needs each row's last real position — full-sequence
+        # logits at [B, 2014, 128k] f32 are ~15 GB of HBM temp)
+        logits = None
 
     new_cache = None
     if kv_cache is not None:
@@ -520,6 +522,20 @@ def embed_tokens(params: Params, input_ids: jnp.ndarray, compute_dtype=jnp.bfloa
     if "scale" in emb:
         rows = rows * emb["scale"][input_ids][..., None].astype(compute_dtype)
     return rows
+
+
+def unembed_with_tp(
+    params: Params, cfg: LlamaConfig, x: jnp.ndarray, compute_dtype=jnp.bfloat16,
+    tp_axis: Optional[str] = None,
+):
+    """unembed + the tensor-parallel vocab gather: an untied lm_head is
+    vocab-column-sharded (parallel/sharding.py), so shards must all_gather
+    for full logits; the tied flagship path unembeds with the replicated
+    embedding table."""
+    logits = unembed(params, cfg, x, compute_dtype)
+    if tp_axis is not None and not cfg.tie_word_embeddings and "lm_head" in params:
+        logits = lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    return logits
 
 
 def unembed(params: Params, cfg: LlamaConfig, x: jnp.ndarray, compute_dtype=jnp.bfloat16):

@@ -317,14 +317,19 @@ def run_decode(args):
         cache = lm.KVCache.zeros(
             cfg, B, max_len, dtype=jnp.bfloat16, quantized=args.kv_quant
         )
-        logits, cache = lm.llama_forward(
+        _, cache, hidden = lm.llama_forward(
             params, cfg, input_ids=ids, kv_cache=cache,
             compute_dtype=jnp.bfloat16,
             # Match the production generation prefill (flash path); without
             # it the warmup materializes [B, H, P, total] attention logits.
             assume_fresh_cache=True,
+            # unembed only the last position — full prefill logits are
+            # [B, P, V] f32 (~15 GB at B16), see inference/generate.py
+            return_hidden=True,
+            unembed_logits=False,
         )
-        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+        logits = lm.unembed(params, cfg, hidden[:, -1:], jnp.bfloat16)
+        return jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32), cache
 
     @jax.jit
     def decode(params, tok, cache, n):

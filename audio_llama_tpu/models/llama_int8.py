@@ -20,9 +20,10 @@ Reference parity note: the reference has no quantized serving mode at all
 (its inference runs fp16 HF modules, reference src/inference.py:24-49); this
 is a TPU-serving extension, opt-in via `bench.py --mode decode
 --int8_weights`, `AudioLLM.quantize_decoder()`, or `inference/cli.py
---int8_decoder`. Multi-chip shard_map generation paths slice bare bf16
-weight slabs and do not support the quantized tree (quantize per shard
-instead if needed).
+--int8_decoder`. dp-sharded generation (make_dp_generate) replicates the
+frozen tree with structure-agnostic specs, so the quantized tree works
+there unchanged (tested); make_tp_generate Megatron-slices bare bf16 slabs
+and does NOT support it (quantize per shard instead if needed).
 """
 
 from __future__ import annotations

@@ -72,3 +72,30 @@ def test_generate_kv_quant_close_to_bf16(model):
     # int8 K/V noise is ~1e-2 relative; random-model logit margins dominate.
     agree = np.mean(np.asarray(out.tokens) == np.asarray(ref.tokens))
     assert agree >= 0.8, agree
+
+
+def test_dp_generate_with_int8_decoder(model):
+    """The quantized (W8A16) frozen tree rides dp-sharded generation
+    unchanged: weights are replicated with structure-agnostic P() specs, so
+    the int8 leaf dicts pass straight through shard_map."""
+    from audio_llama_tpu.models import llama_int8 as l8
+
+    cfg, frozen, trainable = model
+    qfrozen = dict(frozen)
+    qfrozen["llama"] = l8.quantize_llama(frozen["llama"])
+    mesh = make_mesh(MeshConfig(dp=4, fsdp=1, tp=1), devices=jax.devices()[:4])
+    B, T = 4, 8
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.randint(3, 250, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+    audio = jnp.asarray(rng.randn(B, cfg.mel.max_samples).astype(np.float32) * 0.1)
+    static = dict(
+        max_new_tokens=5, greedy=True, eos_id=-1, pad_id=0,
+        audio_start_id=260, audio_end_id=261, compute_dtype=jnp.float32,
+        has_audio=True,
+    )
+    key = jax.random.PRNGKey(0)
+    ref = gen.generate(qfrozen, trainable, cfg, ids, mask, audio, key, **static)
+    dp_fn = gen.make_dp_generate(cfg, mesh, **static)
+    out = dp_fn(qfrozen, trainable, ids, mask, audio, key)
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))

@@ -20,10 +20,11 @@ Reference parity note: the reference has no quantized serving mode at all
 (its inference runs fp16 HF modules, reference src/inference.py:24-49); this
 is a TPU-serving extension, opt-in via `bench.py --mode decode
 --int8_weights`, `AudioLLM.quantize_decoder()`, or `inference/cli.py
---int8_decoder`. dp-sharded generation (make_dp_generate) replicates the
-frozen tree with structure-agnostic specs, so the quantized tree works
-there unchanged (tested); make_tp_generate Megatron-slices bare bf16 slabs
-and does NOT support it (quantize per shard instead if needed).
+--int8_decoder`. Both multi-chip generation modes support the quantized
+tree (tested): make_dp_generate replicates it, and make_tp_generate's
+path-keyed specs shard w_q with its out/in dim and ride the per-out-channel
+w_s on the column shards (row-parallel w_s replicates — exact under the
+psum, since the scales are per-output column).
 """
 
 from __future__ import annotations

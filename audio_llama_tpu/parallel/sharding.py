@@ -54,22 +54,28 @@ def _frozen_leaf_spec(path, leaf) -> P:
     mod = _module_of(names)
     last = names[-1] if names else ""
 
-    if last == "weight" and "embed" in names:  # [V, D]
+    if last == "weight" and "embed" in names:  # [V, D] (bf16 or int8)
         return P(None, "fsdp")
-    if "lm_head" in names:  # [D, V]
-        return P("fsdp", "tp")
+    if "lm_head" in names:
+        if ndim == 1:  # int8 per-vocab-column scales [V]
+            return P("tp")
+        return P("fsdp", "tp")  # [D, V] (w or w_q)
     if "pos_embed" in names or "conv1" in names or "conv2" in names:
         return P()
     if mod in _COL:
-        if ndim == 3:  # stacked weight [L, in, out]
+        if ndim == 3:  # stacked weight [L, in, out] (w or int8 w_q)
             return P(None, "fsdp", "tp")
-        if ndim == 2 and last in ("b", "bias"):  # stacked bias [L, out]
+        if ndim == 2 and last in ("b", "bias", "w_s"):
+            # stacked bias [L, out] / int8 per-out-channel scales [L, out]:
+            # both ride the column shards
             return P(None, "tp")
         return P()
     if mod in _ROW:
         if ndim == 3:  # stacked weight [L, in, out] — in is the sharded dim
             return P(None, "tp", "fsdp")
-        return P()  # row-parallel bias is added post-reduce: replicate
+        # row-parallel bias adds post-reduce and int8 w_s is per-OUT-channel
+        # (psum(partial)*w_s == psum(partial*w_s)): replicate both
+        return P()
     return P()  # norms, scalars
 
 

@@ -67,3 +67,24 @@ def test_tp_generate_rejects_indivisible_heads(model):
     mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=8))
     with pytest.raises(ValueError, match="divide"):
         gen.make_tp_generate(cfg, mesh, **STATIC)
+
+
+def test_tp_generate_with_int8_decoder(model):
+    """Megatron-sliced decode over the weight-only-int8 tree: w_q shards
+    with its out/in dim, per-out-channel w_s rides the column shards
+    (col-parallel) or replicates (row-parallel — exact under the psum:
+    psum(partial)*w_s == psum(partial*w_s)). Greedy output must match the
+    single-device quantized model exactly."""
+    from audio_llama_tpu.models import llama_int8 as l8
+
+    cfg, frozen, trainable = model
+    qfrozen = dict(frozen)
+    qfrozen["llama"] = l8.quantize_llama(frozen["llama"])
+    ids, mask, audio = _inputs(cfg)
+    key = jax.random.PRNGKey(2)
+    ref = gen.generate(qfrozen, trainable, cfg, ids, mask, audio, key, **STATIC)
+
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=2), devices=jax.devices()[:2])
+    fn = gen.make_tp_generate(cfg, mesh, **STATIC)
+    out = fn(qfrozen, trainable, ids, mask, audio, key)
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))

@@ -109,6 +109,7 @@ def generate_response(
     top_k: int = 0,
     greedy: bool = False,
     seed: int = 0,
+    kv_quant: bool = False,
 ) -> str:
     """Tokenize prompt -> (optional) audio -> jitted generate -> decode.
     Reference: generate_response, src/inference.py:114-172. Returns exactly
@@ -155,6 +156,7 @@ def generate_response(
         audio_start_id=tokenizer.token_to_id(cfg.audio_start_token),
         audio_end_id=tokenizer.token_to_id(cfg.audio_end_token),
         has_audio=audio is not None,
+        kv_quant=kv_quant,
     )
     tokens = np.asarray(result.tokens[0])[: int(result.num_generated[0])]
     return tokenizer.decode(tokens, skip_special_tokens=True)
@@ -178,6 +180,11 @@ def parse_args(argv=None):
     p.add_argument("--toy_model", action="store_true")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax backend, e.g. 'cpu'")
+    p.add_argument(
+        "--kv_quant", action="store_true",
+        help="int8 KV cache during generation (halves cache HBM; pairs "
+             "with --int8_decoder for max decode throughput)",
+    )
     p.add_argument(
         "--int8_decoder", action="store_true",
         help="weight-only int8 frozen Llama (halves decode HBM traffic; "
@@ -224,6 +231,7 @@ def main(argv=None):
         top_k=args.top_k,
         greedy=args.greedy,
         seed=args.seed,
+        kv_quant=args.kv_quant,
     )
     print(text)
     return text

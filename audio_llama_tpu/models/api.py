@@ -103,17 +103,19 @@ class AudioLLM:
         top_p: float = 0.9,
         greedy: bool = False,
         seed: int = 0,
+        kv_quant: bool = False,
     ) -> str:
         """Prompt (+ optional audio file) -> generated text (reference
         AudioLLM.generate, src/models/allm.py:263-348, with the prompt-strip
-        already handled)."""
+        already handled). kv_quant: int8 KV cache (pairs with
+        quantize_decoder() for max decode throughput)."""
         from ..inference.cli import generate_response
 
         return generate_response(
             self.cfg, self.frozen, self.trainable, self.tokenizer,
             prompt=prompt, audio_path=audio_path,
             max_new_tokens=max_new_tokens, temperature=temperature,
-            top_p=top_p, greedy=greedy, seed=seed,
+            top_p=top_p, greedy=greedy, seed=seed, kv_quant=kv_quant,
         )
 
     def get_trainable_params(self) -> dict:

@@ -69,6 +69,10 @@ def main():
         help="disable decoder layer rematerialization in train mode",
     )
     ap.add_argument(
+        "--loss_chunk", type=int, default=512,
+        help="chunked cross-entropy chunk size in train mode",
+    )
+    ap.add_argument(
         "--exact_gelu", action="store_true",
         help="HF-exact erf GELU in the encoder (default: tanh approximation, "
              "the serving configuration — ~18%% faster, ~1e-3 activation "
@@ -225,7 +229,7 @@ def run_train(args):
     step = steps_mod.make_train_step(
         cfg, optimizer, sid, eid, compute_dtype=jnp.bfloat16,
         accum_steps=accum,
-        loss_chunk_size=0 if args.tiny else 512,
+        loss_chunk_size=0 if args.tiny else args.loss_chunk,
         remat=(not args.tiny) and not args.no_remat,
     )
 

@@ -73,6 +73,11 @@ def main():
         help="chunked cross-entropy chunk size in train mode",
     )
     ap.add_argument(
+        "--text_only", action="store_true",
+        help="train mode without the audio path (isolates the llama side "
+             "when attributing batch-scaling behavior)",
+    )
+    ap.add_argument(
         "--exact_gelu", action="store_true",
         help="HF-exact erf GELU in the encoder (default: tanh approximation, "
              "the serving configuration — ~18%% faster, ~1e-3 activation "
@@ -219,7 +224,8 @@ def run_train(args):
     batch = allm.AudioLLMBatch(
         input_ids=mk(kb, (*bshape, T), 3, vocab - 8),
         attention_mask=jnp.ones((*bshape, T), jnp.int32),
-        audio_features=jax.random.normal(kb, (*bshape, cfg.mel.max_samples)) * 0.1,
+        audio_features=None if args.text_only
+        else jax.random.normal(kb, (*bshape, cfg.mel.max_samples)) * 0.1,
         labels=mk(kb, (*bshape, T), 3, vocab - 8),
     )
     optimizer = optax.chain(
@@ -229,6 +235,7 @@ def run_train(args):
     step = steps_mod.make_train_step(
         cfg, optimizer, sid, eid, compute_dtype=jnp.bfloat16,
         accum_steps=accum,
+        with_audio=not args.text_only,
         loss_chunk_size=0 if args.tiny else args.loss_chunk,
         remat=(not args.tiny) and not args.no_remat,
     )
@@ -238,8 +245,19 @@ def run_train(args):
         def body(_, carry):
             state, batch = carry
             state, metrics = step(state, frozen, batch)
-            bump = (metrics["loss"] * 1e-9).astype(batch.audio_features.dtype)
-            batch = batch._replace(audio_features=batch.audio_features + bump)
+            bump = metrics["loss"] * 1e-9
+            if batch.audio_features is not None:
+                batch = batch._replace(
+                    audio_features=batch.audio_features
+                    + bump.astype(batch.audio_features.dtype)
+                )
+            else:  # text-only: chain the dependency through the ids
+                batch = batch._replace(
+                    input_ids=jnp.minimum(
+                        batch.input_ids + (bump > 1e30).astype(jnp.int32),
+                        vocab - 1,
+                    )
+                )
             return (state, batch)
 
         state, _ = jax.lax.fori_loop(0, n, body, (state, batch))
@@ -263,12 +281,16 @@ def run_train(args):
     _debug_timing("train", n_small, d1, n_large, d2)
     dt = max(d2 - d1, 1e-9)
     steps_per_sec = (n_large - n_small) / dt
-    tokens_per_micro = B * (T + cfg.audio_seq_len + 2)
+    audio_tok = 0 if args.text_only else cfg.audio_seq_len + 2
+    tokens_per_micro = B * (T + audio_tok)
     tokens_per_step = tokens_per_micro * accum
 
     from audio_llama_tpu.training.train import _flops_per_step
 
-    flops = _flops_per_step(cfg, tokens_per_micro, B * cfg.audio_seq_len, accum)
+    flops = _flops_per_step(
+        cfg, tokens_per_micro,
+        0 if args.text_only else B * cfg.audio_seq_len, accum,
+    )
     peak = 197e12  # v5e bf16 peak
     print(
         json.dumps(

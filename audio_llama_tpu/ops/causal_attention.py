@@ -1,0 +1,419 @@
+"""Causal GQA flash attention with a custom VJP — the llama training path.
+
+Why not the stock kernel: measured at llama training geometry (Hq24/Hkv8/
+hd128/T2560 causal) the stock pallas flash runs 73 TF/s forward and only
+~54 TF/s fwd+bwd (experiments/llama_attn_bench.py) against a 192 TF/s
+matmul ceiling — the single largest contributor to the train step's MFU gap
+(BASELINE.md round-2 attribution). This kernel applies the lessons from
+ops/enc_attention.py to the causal case:
+
+  - bounded-shift softmax: softmax(s) == softmax(s - c) for any per-row
+    c >= row max; Cauchy-Schwarz (||q_i||·max_j||k_j||) provides c without
+    a running max, so there is NO online rescaling — k/v chunks stream with
+    one fused (sub, exp) chain per score element and a single rowsum;
+  - causal chunk skipping: k-chunks entirely in the future are skipped at
+    runtime (@pl.when on grid indices); only diagonal-overlapping chunks
+    pay the triangular iota mask;
+  - GQA via index maps: K/V stay [B·Hkv, T, hd] — the q->kv head mapping
+    lives in the BlockSpec index_map, so the 3x head repeat the stock
+    wrapper materializes (HBM traffic and capacity) never exists. The
+    backward accumulates dk/dv across the query-head group inside the
+    kernel for the same reason;
+  - hd=128 means BOTH matmuls run a full 128-deep MXU contraction (the
+    whisper kernel's hd-64 penalty does not apply here); the softmax
+    denominator uses an explicit rowsum (the ones-column trick would push
+    PV to 129 -> 256 padded lanes and double its cost at hd=128).
+
+Backward: the standard flash decomposition with the bounded shift —
+residuals are (l, o) plus the recomputable bound; D = rowsum(dO·O) is a
+cheap XLA prologue; a dq kernel accumulates over k-chunks and a dkv kernel
+accumulates over (group, q-block) pairs, both recomputing P from q/k/l.
+
+Contract matches ops/flash_attention.flash_mha(causal=True): mask [B, T]
+hides PADDED KEYS; padded-QUERY rows return garbage (their loss/cotangents
+are masked upstream, which the backward relies on — safe reciprocals keep
+them finite, never NaN).
+
+Parity: tests/test_causal_attention.py (forward vs ops.attention.mha,
+gradients vs jax.grad through the XLA path, GQA + padding + odd lengths).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def _row_bound(q, kn):
+    """Per-row shift c >= max_j q_i.k_j (q pre-scaled): ||q_i|| * max||k||."""
+    qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True))
+    return qn * kn
+
+
+def _tri_mask(s, q0, k0, *, neg=NEG):
+    """Causal mask for a [bq, ck] tile whose global offsets are (q0, k0)."""
+    bq, ck = s.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (bq, ck), 0) + q0
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, ck), 1) + k0
+    return jnp.where(col <= row, s, neg)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref,
+                acc_ref, lsum_ref, *, bq, ck, nk):
+    qi, kj = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        lsum_ref[:] = jnp.zeros_like(lsum_ref)
+
+    @pl.when(kj * ck <= qi * bq + bq - 1)  # skip fully-future chunks
+    def _():
+        q = q_ref[0]  # [bq, hd] pre-scaled
+        k = k_ref[0]  # [ck, hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, ck]
+        s = s + mb_ref[0][None, :]  # key padding bias (0 / NEG)
+        # triangular mask only where the chunk overlaps the diagonal
+        s = jax.lax.cond(
+            kj * ck + ck - 1 > qi * bq,
+            lambda s: _tri_mask(s, qi * bq, kj * ck),
+            lambda s: s,
+            s,
+        )
+        bound = _row_bound(q, kn_ref[0, 0])
+        p = jnp.exp(s - bound)
+        lsum_ref[:] = lsum_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kj == nk - 1)
+    def _():
+        l = lsum_ref[:]
+        safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = jnp.where(l > 0, acc_ref[:] / safe, 0.0).astype(o_ref.dtype)
+        l_ref[0] = l[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _dq_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
+               dq_ref, dq_acc, *, bq, ck, nk):
+    qi, kj = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    @pl.when(kj * ck <= qi * bq + bq - 1)
+    def _():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s + mb_ref[0][None, :]
+        s = jax.lax.cond(
+            kj * ck + ck - 1 > qi * bq,
+            lambda s: _tri_mask(s, qi * bq, kj * ck),
+            lambda s: s,
+            s,
+        )
+        bound = _row_bound(q, kn_ref[0, 0])
+        l = l_ref[0][:, None]  # [bq, 1]
+        inv_l = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
+        p = jnp.exp(s - bound) * inv_l  # P [bq, ck]
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, ck]
+        ds = p * (dp - d_ref[0][:, None])
+        dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kj == nk - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *, bq, ck, n_inner, nq):
+    kj, i = pl.program_id(1), pl.program_id(2)
+    qi = i % nq
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    @pl.when(qi * bq + bq - 1 >= kj * ck)  # q block can see this chunk
+    def _():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s + mb_ref[0][None, :]
+        s = jax.lax.cond(
+            kj * ck + ck - 1 > qi * bq,
+            lambda s: _tri_mask(s, qi * bq, kj * ck),
+            lambda s: s,
+            s,
+        )
+        bound = _row_bound(q, kn_ref[0, 0])
+        l = l_ref[0][:, None]
+        inv_l = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
+        p = jnp.exp(s - bound) * inv_l  # P [bq, ck]
+        pb = p.astype(do_ref.dtype)
+        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+            pb, do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # P^T @ dO -> [ck, hd]
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - d_ref[0][:, None])).astype(q.dtype)
+        dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # dS^T @ q -> [ck, hd]
+
+    @pl.when(i == n_inner - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# host-side wiring
+#
+# Flattened layouts: qs/o/do [B*Hq, T, hd] (row = b*Hq + h),
+# k/v [B*Hkv, T, hd] (row = b*Hkv + h//G), mask bias mb [B, T],
+# kn [B*Hkv, 1] (max key norm per kv head), l/D [B*Hq, T] f32.
+# The q-head -> kv-head / batch mappings live in the index maps.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_call(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret):
+    BHq, T, hd = qs.shape
+    G = Hq // Hkv
+    nq, nk = T // bq, T // ck
+
+    def kv_i(bh):
+        return (bh // Hq) * Hkv + (bh % Hq) // G
+
+    kernel = functools.partial(_fwd_kernel, bq=bq, ck=ck, nk=nk)
+    o, l = pl.pallas_call(
+        kernel,
+        grid=(BHq, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda bh, qi, kj: (bh, qi, 0)),
+            pl.BlockSpec((1, ck, hd), lambda bh, qi, kj: (kv_i(bh), kj, 0)),
+            pl.BlockSpec((1, ck, hd), lambda bh, qi, kj: (kv_i(bh), kj, 0)),
+            pl.BlockSpec((1, ck), lambda bh, qi, kj: (bh // Hq, kj)),
+            pl.BlockSpec((1, 1), lambda bh, qi, kj: (kv_i(bh), 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, hd), lambda bh, qi, kj: (bh, qi, 0)),
+            pl.BlockSpec((1, bq), lambda bh, qi, kj: (bh, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BHq, T, hd), qs.dtype),
+            jax.ShapeDtypeStruct((BHq, T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, hd), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qs, k, v, mb, kn)
+    return o, l
+
+
+def _dq_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, *, bq, ck, interpret):
+    BHq, T, hd = qs.shape
+    G = Hq // Hkv
+    nq, nk = T // bq, T // ck
+
+    def kv_i(bh):
+        return (bh // Hq) * Hkv + (bh % Hq) // G
+
+    kernel = functools.partial(_dq_kernel, bq=bq, ck=ck, nk=nk)
+    return pl.pallas_call(
+        kernel,
+        grid=(BHq, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda bh, qi, kj: (bh, qi, 0)),
+            pl.BlockSpec((1, ck, hd), lambda bh, qi, kj: (kv_i(bh), kj, 0)),
+            pl.BlockSpec((1, ck, hd), lambda bh, qi, kj: (kv_i(bh), kj, 0)),
+            pl.BlockSpec((1, ck), lambda bh, qi, kj: (bh // Hq, kj)),
+            pl.BlockSpec((1, 1), lambda bh, qi, kj: (kv_i(bh), 0)),
+            pl.BlockSpec((1, bq, hd), lambda bh, qi, kj: (bh, qi, 0)),
+            pl.BlockSpec((1, bq), lambda bh, qi, kj: (bh, qi)),
+            pl.BlockSpec((1, bq), lambda bh, qi, kj: (bh, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, hd), lambda bh, qi, kj: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((BHq, T, hd), qs.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, hd), jnp.float32)],
+        interpret=interpret,
+    )(qs, k, v, mb, kn, do, l, d)
+
+
+def _dkv_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, *, bq, ck, interpret):
+    BHq, T, hd = qs.shape
+    BHkv = k.shape[0]
+    G = Hq // Hkv
+    nq, nk = T // bq, T // ck
+    n_inner = G * nq
+
+    def q_i(bkv, i):
+        # inner index i = g * nq + qi; q row = b*Hq + kvh*G + g
+        g = i // nq
+        return (bkv // Hkv) * Hq + (bkv % Hkv) * G + g
+
+    kernel = functools.partial(
+        _dkv_kernel, bq=bq, ck=ck, n_inner=n_inner, nq=nq
+    )
+    dk, dv = pl.pallas_call(
+        kernel,
+        grid=(BHkv, nk, n_inner),
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda bkv, kj, i: (q_i(bkv, i), i % nq, 0)),
+            pl.BlockSpec((1, ck, hd), lambda bkv, kj, i: (bkv, kj, 0)),
+            pl.BlockSpec((1, ck, hd), lambda bkv, kj, i: (bkv, kj, 0)),
+            pl.BlockSpec((1, ck), lambda bkv, kj, i: (bkv // Hkv, kj)),
+            pl.BlockSpec((1, 1), lambda bkv, kj, i: (bkv, 0)),
+            pl.BlockSpec((1, bq, hd), lambda bkv, kj, i: (q_i(bkv, i), i % nq, 0)),
+            pl.BlockSpec((1, bq), lambda bkv, kj, i: (q_i(bkv, i), i % nq)),
+            pl.BlockSpec((1, bq), lambda bkv, kj, i: (q_i(bkv, i), i % nq)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ck, hd), lambda bkv, kj, i: (bkv, kj, 0)),
+            pl.BlockSpec((1, ck, hd), lambda bkv, kj, i: (bkv, kj, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BHkv, T, hd), k.dtype),
+            jax.ShapeDtypeStruct((BHkv, T, hd), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ck, hd), jnp.float32),
+            pltpu.VMEM((ck, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qs, k, v, mb, kn, do, l, d)
+    return dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP core over flattened operands
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+)
+def _core(qs, k, v, mb, kn, Hq, Hkv, bq, ck, interpret):
+    o, _ = _fwd_call(qs, k, v, mb, kn, Hq, Hkv, bq=bq, ck=ck,
+                     interpret=interpret)
+    return o
+
+
+def _core_fwd(qs, k, v, mb, kn, Hq, Hkv, bq, ck, interpret):
+    o, l = _fwd_call(qs, k, v, mb, kn, Hq, Hkv, bq=bq, ck=ck,
+                     interpret=interpret)
+    return o, (qs, k, v, mb, kn, o, l)
+
+
+def _core_bwd(Hq, Hkv, bq, ck, interpret, res, do):
+    qs, k, v, mb, kn, o, l = res
+    # D_i = sum_d dO_id * O_id (cheap XLA prologue)
+    d = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    dq = _dq_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, bq=bq, ck=ck,
+                  interpret=interpret)
+    dk, dv = _dkv_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, bq=bq, ck=ck,
+                       interpret=interpret)
+    return dq, dk, dv, jnp.zeros_like(mb), jnp.zeros_like(kn)
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def _pick(n, cands):
+    for c in cands:
+        if n % c == 0:
+            return c
+    return n
+
+
+def causal_mha(
+    q: jnp.ndarray,  # [B, T, Hq, hd]
+    k: jnp.ndarray,  # [B, T, Hkv, hd]
+    v: jnp.ndarray,  # [B, T, Hkv, hd]
+    *,
+    mask: Optional[jnp.ndarray] = None,  # [B, T] 1 = attend (key padding)
+    scale: Optional[float] = None,
+    block_q: int = 0,
+    chunk_k: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Causal GQA self-attention, [B, T, Hq, hd] in/out, differentiable.
+
+    Same contract as flash_mha(causal=True): padded-query rows are garbage
+    (callers mask their loss, and therefore this op's cotangents, at pad
+    positions). T must be a multiple of 128.
+    """
+    B, T, Hq, hd = q.shape
+    Hkv = k.shape[2]
+    if T % 128:
+        raise ValueError(f"causal_mha: T={T} must be a multiple of 128")
+    if Hq % Hkv:
+        raise ValueError("Hq must be a multiple of Hkv")
+    if scale is None:
+        scale = hd ** -0.5
+    bq = block_q or _pick(T, (512, 256, 128))
+    ck = chunk_k or _pick(T, (512, 256, 128))
+
+    qs = jnp.swapaxes(q * jnp.asarray(scale, q.dtype), 1, 2).reshape(
+        B * Hq, T, hd
+    )
+    kh = jnp.swapaxes(k, 1, 2).reshape(B * Hkv, T, hd)
+    vh = jnp.swapaxes(v, 1, 2).reshape(B * Hkv, T, hd)
+
+    if mask is None:
+        mb = jnp.zeros((B, T), jnp.float32)
+    else:
+        mb = jnp.where(mask.astype(bool), 0.0, NEG).astype(jnp.float32)
+    kn = jnp.sqrt(
+        jnp.max(jnp.sum(kh.astype(jnp.float32) ** 2, axis=-1), axis=-1)
+    ).reshape(B * Hkv, 1)
+
+    o = _core(qs, kh, vh, mb, kn, Hq, Hkv, bq, ck, interpret)
+    return jnp.swapaxes(o.reshape(B, Hq, T, hd), 1, 2)
+
+
+def available() -> bool:
+    from . import flash_attention as fa
+
+    return fa.available()

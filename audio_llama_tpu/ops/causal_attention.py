@@ -36,6 +36,18 @@ them finite, never NaN).
 
 Parity: tests/test_causal_attention.py (forward vs ops.attention.mha,
 gradients vs jax.grad through the XLA path, GQA + padding + odd lengths).
+
+STATUS — measured, NOT the production path: on the v5e this kernel runs
+46 TF/s fwd / 44.8 fwd+bwd vs the stock kernel's 73 / 54.4 at llama
+geometry (experiments/causal_kernel_bench.py). The encoder win did not
+transfer because (a) at hd=128 the exp-per-FLOP ratio is half of whisper's
+hd=64, so eliminating VPU softmax passes buys little, and (b) the chunked
+k-grid still fetches K/V blocks for causally-skipped steps (Mosaic DMAs are
+not predicated by @pl.when), wasting bandwidth the stock kernel's
+pipeline avoids. llama_forward keeps ops/flash_attention.py. The honest
+next step (NEXT.md): manual double-buffered DMA over only the valid
+chunks (the decode_attention_db pattern) — kept out of round 2 because the
+measured ceiling (~70-90 TF/s) bounds the train-step win at ~10%.
 """
 
 from __future__ import annotations
@@ -85,7 +97,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, ck]
-        s = s + mb_ref[0][None, :]  # key padding bias (0 / NEG)
+        s = s + mb_ref[0, 0][None, :]  # key padding bias (0 / NEG)
         # triangular mask only where the chunk overlaps the diagonal
         s = jax.lax.cond(
             kj * ck + ck - 1 > qi * bq,
@@ -93,7 +105,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref,
             lambda s: s,
             s,
         )
-        bound = _row_bound(q, kn_ref[0, 0])
+        bound = _row_bound(q, kn_ref[0, 0, 0])
         p = jnp.exp(s - bound)
         lsum_ref[:] = lsum_ref[:] + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
@@ -106,7 +118,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref,
         l = lsum_ref[:]
         safe = jnp.where(l > 0, l, 1.0)
         o_ref[0] = jnp.where(l > 0, acc_ref[:] / safe, 0.0).astype(o_ref.dtype)
-        l_ref[0] = l[:, 0]
+        l_ref[0, 0] = l[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -128,22 +140,22 @@ def _dq_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s + mb_ref[0][None, :]
+        s = s + mb_ref[0, 0][None, :]
         s = jax.lax.cond(
             kj * ck + ck - 1 > qi * bq,
             lambda s: _tri_mask(s, qi * bq, kj * ck),
             lambda s: s,
             s,
         )
-        bound = _row_bound(q, kn_ref[0, 0])
-        l = l_ref[0][:, None]  # [bq, 1]
+        bound = _row_bound(q, kn_ref[0, 0, 0])
+        l = l_ref[0, 0][:, None]  # [bq, 1]
         inv_l = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
         p = jnp.exp(s - bound) * inv_l  # P [bq, ck]
         dp = jax.lax.dot_general(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bq, ck]
-        ds = p * (dp - d_ref[0][:, None])
+        ds = p * (dp - d_ref[0, 0][:, None])
         dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -171,15 +183,15 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s + mb_ref[0][None, :]
+        s = s + mb_ref[0, 0][None, :]
         s = jax.lax.cond(
             kj * ck + ck - 1 > qi * bq,
             lambda s: _tri_mask(s, qi * bq, kj * ck),
             lambda s: s,
             s,
         )
-        bound = _row_bound(q, kn_ref[0, 0])
-        l = l_ref[0][:, None]
+        bound = _row_bound(q, kn_ref[0, 0, 0])
+        l = l_ref[0, 0][:, None]
         inv_l = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
         p = jnp.exp(s - bound) * inv_l  # P [bq, ck]
         pb = p.astype(do_ref.dtype)
@@ -191,7 +203,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = (p * (dp - d_ref[0][:, None])).astype(q.dtype)
+        ds = (p * (dp - d_ref[0, 0][:, None])).astype(q.dtype)
         dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -229,16 +241,16 @@ def _fwd_call(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret):
             pl.BlockSpec((1, bq, hd), lambda bh, qi, kj: (bh, qi, 0)),
             pl.BlockSpec((1, ck, hd), lambda bh, qi, kj: (kv_i(bh), kj, 0)),
             pl.BlockSpec((1, ck, hd), lambda bh, qi, kj: (kv_i(bh), kj, 0)),
-            pl.BlockSpec((1, ck), lambda bh, qi, kj: (bh // Hq, kj)),
-            pl.BlockSpec((1, 1), lambda bh, qi, kj: (kv_i(bh), 0)),
+            pl.BlockSpec((1, 1, ck), lambda bh, qi, kj: (bh // Hq, 0, kj)),
+            pl.BlockSpec((1, 1, 1), lambda bh, qi, kj: (kv_i(bh), 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, hd), lambda bh, qi, kj: (bh, qi, 0)),
-            pl.BlockSpec((1, bq), lambda bh, qi, kj: (bh, qi)),
+            pl.BlockSpec((1, 1, bq), lambda bh, qi, kj: (bh, 0, qi)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BHq, T, hd), qs.dtype),
-            jax.ShapeDtypeStruct((BHq, T), jnp.float32),
+            jax.ShapeDtypeStruct((BHq, 1, T), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, hd), jnp.float32),
@@ -265,11 +277,11 @@ def _dq_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, *, bq, ck, interpret):
             pl.BlockSpec((1, bq, hd), lambda bh, qi, kj: (bh, qi, 0)),
             pl.BlockSpec((1, ck, hd), lambda bh, qi, kj: (kv_i(bh), kj, 0)),
             pl.BlockSpec((1, ck, hd), lambda bh, qi, kj: (kv_i(bh), kj, 0)),
-            pl.BlockSpec((1, ck), lambda bh, qi, kj: (bh // Hq, kj)),
-            pl.BlockSpec((1, 1), lambda bh, qi, kj: (kv_i(bh), 0)),
+            pl.BlockSpec((1, 1, ck), lambda bh, qi, kj: (bh // Hq, 0, kj)),
+            pl.BlockSpec((1, 1, 1), lambda bh, qi, kj: (kv_i(bh), 0, 0)),
             pl.BlockSpec((1, bq, hd), lambda bh, qi, kj: (bh, qi, 0)),
-            pl.BlockSpec((1, bq), lambda bh, qi, kj: (bh, qi)),
-            pl.BlockSpec((1, bq), lambda bh, qi, kj: (bh, qi)),
+            pl.BlockSpec((1, 1, bq), lambda bh, qi, kj: (bh, 0, qi)),
+            pl.BlockSpec((1, 1, bq), lambda bh, qi, kj: (bh, 0, qi)),
         ],
         out_specs=pl.BlockSpec((1, bq, hd), lambda bh, qi, kj: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((BHq, T, hd), qs.dtype),
@@ -300,11 +312,11 @@ def _dkv_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, *, bq, ck, interpret):
             pl.BlockSpec((1, bq, hd), lambda bkv, kj, i: (q_i(bkv, i), i % nq, 0)),
             pl.BlockSpec((1, ck, hd), lambda bkv, kj, i: (bkv, kj, 0)),
             pl.BlockSpec((1, ck, hd), lambda bkv, kj, i: (bkv, kj, 0)),
-            pl.BlockSpec((1, ck), lambda bkv, kj, i: (bkv // Hkv, kj)),
-            pl.BlockSpec((1, 1), lambda bkv, kj, i: (bkv, 0)),
+            pl.BlockSpec((1, 1, ck), lambda bkv, kj, i: (bkv // Hkv, 0, kj)),
+            pl.BlockSpec((1, 1, 1), lambda bkv, kj, i: (bkv, 0, 0)),
             pl.BlockSpec((1, bq, hd), lambda bkv, kj, i: (q_i(bkv, i), i % nq, 0)),
-            pl.BlockSpec((1, bq), lambda bkv, kj, i: (q_i(bkv, i), i % nq)),
-            pl.BlockSpec((1, bq), lambda bkv, kj, i: (q_i(bkv, i), i % nq)),
+            pl.BlockSpec((1, 1, bq), lambda bkv, kj, i: (q_i(bkv, i), 0, i % nq)),
+            pl.BlockSpec((1, 1, bq), lambda bkv, kj, i: (q_i(bkv, i), 0, i % nq)),
         ],
         out_specs=[
             pl.BlockSpec((1, ck, hd), lambda bkv, kj, i: (bkv, kj, 0)),
@@ -345,7 +357,9 @@ def _core_fwd(qs, k, v, mb, kn, Hq, Hkv, bq, ck, interpret):
 def _core_bwd(Hq, Hkv, bq, ck, interpret, res, do):
     qs, k, v, mb, kn, o, l = res
     # D_i = sum_d dO_id * O_id (cheap XLA prologue)
-    d = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    d = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )[:, None, :]  # [BHq, 1, T] (singleton sublane for clean tiling)
     dq = _dq_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, bq=bq, ck=ck,
                   interpret=interpret)
     dk, dv = _dkv_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, bq=bq, ck=ck,
@@ -402,12 +416,14 @@ def causal_mha(
     vh = jnp.swapaxes(v, 1, 2).reshape(B * Hkv, T, hd)
 
     if mask is None:
-        mb = jnp.zeros((B, T), jnp.float32)
+        mb = jnp.zeros((B, 1, T), jnp.float32)
     else:
-        mb = jnp.where(mask.astype(bool), 0.0, NEG).astype(jnp.float32)
+        mb = jnp.where(
+            mask.astype(bool), 0.0, NEG
+        ).astype(jnp.float32)[:, None, :]
     kn = jnp.sqrt(
         jnp.max(jnp.sum(kh.astype(jnp.float32) ** 2, axis=-1), axis=-1)
-    ).reshape(B * Hkv, 1)
+    ).reshape(B * Hkv, 1, 1)
 
     o = _core(qs, kh, vh, mb, kn, Hq, Hkv, bq, ck, interpret)
     return jnp.swapaxes(o.reshape(B, Hq, T, hd), 1, 2)

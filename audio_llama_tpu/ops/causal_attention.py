@@ -44,10 +44,15 @@ transfer because (a) at hd=128 the exp-per-FLOP ratio is half of whisper's
 hd=64, so eliminating VPU softmax passes buys little, and (b) the chunked
 k-grid still fetches K/V blocks for causally-skipped steps (Mosaic DMAs are
 not predicated by @pl.when), wasting bandwidth the stock kernel's
-pipeline avoids. llama_forward keeps ops/flash_attention.py. The honest
-next step (NEXT.md): manual double-buffered DMA over only the valid
-chunks (the decode_attention_db pattern) — kept out of round 2 because the
-measured ceiling (~70-90 TF/s) bounds the train-step win at ~10%.
+pipeline avoids. llama_forward keeps ops/flash_attention.py.
+
+fwd_impl='dma' (implemented, parity-tested) replaces the BlockSpec k-grid
+with a manual double-buffered DMA fori_loop over ONLY the valid chunks —
+measured 48.7 TF/s fwd at B2 (vs 46 blockspec, 73 stock): eliminating the
+skipped-chunk DMAs bought ~6%, so the real deficit is intra-invocation
+pipelining (stock's Mosaic-scheduled pipeline overlaps MXU/VPU/DMA across
+its grid steps better than a serial wait-compute fori_loop). Round-3 note
+in NEXT.md; both variants stay as tested references.
 """
 
 from __future__ import annotations
@@ -119,6 +124,129 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref,
         safe = jnp.where(l > 0, l, 1.0)
         o_ref[0] = jnp.where(l > 0, acc_ref[:] / safe, 0.0).astype(o_ref.dtype)
         l_ref[0, 0] = l[:, 0]
+
+
+def _fwd_kernel_dma(q_ref, mb_ref, kn_ref, k_any, v_any, o_ref, l_ref,
+                    k_db, v_db, sems, *, bq, ck, Hq, Hkv, nk):
+    """Forward with MANUAL double-buffered K/V chunk DMA over ONLY the
+    causally-valid chunks — the BlockSpec grid version fetches K/V for
+    @pl.when-skipped future chunks anyway (DMAs are not predicated), which
+    is why it lost to stock flash. Grid is (B*Hq, nq); the chunk loop is a
+    traced fori_loop of length qi+... (the number of chunks covering keys
+    0..qi*bq+bq-1)."""
+    i, qi = pl.program_id(0), pl.program_id(1)
+    G = Hq // Hkv
+    kv_row = (i // Hq) * Hkv + jax.lax.rem(i, Hq) // G
+    last_key = qi * bq + bq - 1
+    nv = last_key // ck + 1  # valid chunks
+
+    def chunk_dma(j, slot):
+        return (
+            pltpu.make_async_copy(
+                k_any.at[kv_row, pl.ds(j * ck, ck)], k_db.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_any.at[kv_row, pl.ds(j * ck, ck)], v_db.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    ka, va = chunk_dma(0, 0)
+    ka.start()
+    va.start()
+
+    q = q_ref[0]  # [bq, hd] pre-scaled
+    bound = _row_bound(q, kn_ref[0, 0, 0])
+
+    def body(j, carry):
+        acc, lsum = carry
+        slot = jax.lax.rem(j, 2)
+        nxt = jax.lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < nv)
+        def _():
+            kn_, vn_ = chunk_dma(j + 1, nxt)
+            kn_.start()
+            vn_.start()
+
+        ka, va = chunk_dma(j, slot)
+        ka.wait()
+        va.wait()
+
+        k = k_db[slot]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s + mb_ref[0, j][None, :]
+        s = jax.lax.cond(
+            j * ck + ck - 1 > qi * bq,
+            lambda s: _tri_mask_dyn(s, qi * bq, j * ck),
+            lambda s: s,
+            s,
+        )
+        p = jnp.exp(s - bound)
+        lsum = lsum + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc + jax.lax.dot_general(
+            p.astype(v_db.dtype), v_db[slot], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, lsum
+
+    acc0 = jnp.zeros((bq, q_ref.shape[2]), jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, l = jax.lax.fori_loop(0, nv, body, (acc0, l0))
+    safe = jnp.where(l > 0, l, 1.0)
+    o_ref[0] = jnp.where(l > 0, acc / safe, 0.0).astype(o_ref.dtype)
+    l_ref[0, 0] = l[:, 0]
+
+
+def _tri_mask_dyn(s, q0, k0, *, neg=NEG):
+    """_tri_mask with traced offsets (fori_loop chunk index)."""
+    bq, ck = s.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (bq, ck), 0) + q0
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, ck), 1) + k0
+    return jnp.where(col <= row, s, neg)
+
+
+def _fwd_call_dma(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret):
+    BHq, T, hd = qs.shape
+    nq, nk = T // bq, T // ck
+    # mb reshaped to [B, nk, ck] so chunk j is a sublane index, not a
+    # dynamic lane slice
+    B = mb.shape[0]
+    mb_c = mb.reshape(B, nk, ck)
+
+    kernel = functools.partial(
+        _fwd_kernel_dma, bq=bq, ck=ck, Hq=Hq, Hkv=Hkv, nk=nk
+    )
+    o, l = pl.pallas_call(
+        kernel,
+        grid=(BHq, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, nk, ck), lambda bh, qi: (bh // Hq, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda bh, qi: (
+                (bh // Hq) * Hkv + (bh % Hq) // (Hq // Hkv), 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, hd), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, 1, bq), lambda bh, qi: (bh, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BHq, T, hd), qs.dtype),
+            jax.ShapeDtypeStruct((BHq, 1, T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ck, hd), k.dtype),
+            pltpu.VMEM((2, ck, hd), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(qs, mb_c, kn, k, v)
+    return o, l
 
 
 # ---------------------------------------------------------------------------
@@ -340,21 +468,21 @@ def _dkv_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, *, bq, ck, interpret):
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
 )
-def _core(qs, k, v, mb, kn, Hq, Hkv, bq, ck, interpret):
-    o, _ = _fwd_call(qs, k, v, mb, kn, Hq, Hkv, bq=bq, ck=ck,
-                     interpret=interpret)
+def _core(qs, k, v, mb, kn, Hq, Hkv, bq, ck, interpret, fwd_impl):
+    fwd = _fwd_call_dma if fwd_impl == "dma" else _fwd_call
+    o, _ = fwd(qs, k, v, mb, kn, Hq, Hkv, bq=bq, ck=ck, interpret=interpret)
     return o
 
 
-def _core_fwd(qs, k, v, mb, kn, Hq, Hkv, bq, ck, interpret):
-    o, l = _fwd_call(qs, k, v, mb, kn, Hq, Hkv, bq=bq, ck=ck,
-                     interpret=interpret)
+def _core_fwd(qs, k, v, mb, kn, Hq, Hkv, bq, ck, interpret, fwd_impl):
+    fwd = _fwd_call_dma if fwd_impl == "dma" else _fwd_call
+    o, l = fwd(qs, k, v, mb, kn, Hq, Hkv, bq=bq, ck=ck, interpret=interpret)
     return o, (qs, k, v, mb, kn, o, l)
 
 
-def _core_bwd(Hq, Hkv, bq, ck, interpret, res, do):
+def _core_bwd(Hq, Hkv, bq, ck, interpret, fwd_impl, res, do):
     qs, k, v, mb, kn, o, l = res
     # D_i = sum_d dO_id * O_id (cheap XLA prologue)
     d = jnp.sum(
@@ -391,6 +519,7 @@ def causal_mha(
     block_q: int = 0,
     chunk_k: int = 0,
     interpret: bool = False,
+    fwd_impl: str = "dma",  # 'dma' (valid-chunk manual DMA) | 'blocks'
 ) -> jnp.ndarray:
     """Causal GQA self-attention, [B, T, Hq, hd] in/out, differentiable.
 
@@ -425,7 +554,7 @@ def causal_mha(
         jnp.max(jnp.sum(kh.astype(jnp.float32) ** 2, axis=-1), axis=-1)
     ).reshape(B * Hkv, 1, 1)
 
-    o = _core(qs, kh, vh, mb, kn, Hq, Hkv, bq, ck, interpret)
+    o = _core(qs, kh, vh, mb, kn, Hq, Hkv, bq, ck, interpret, fwd_impl)
     return jnp.swapaxes(o.reshape(B, Hq, T, hd), 1, 2)
 
 

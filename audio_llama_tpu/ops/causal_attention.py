@@ -46,13 +46,18 @@ k-grid still fetches K/V blocks for causally-skipped steps (Mosaic DMAs are
 not predicated by @pl.when), wasting bandwidth the stock kernel's
 pipeline avoids. llama_forward keeps ops/flash_attention.py.
 
-fwd_impl='dma' (implemented, parity-tested) replaces the BlockSpec k-grid
-with a manual double-buffered DMA fori_loop over ONLY the valid chunks —
-measured 48.7 TF/s fwd at B2 (vs 46 blockspec, 73 stock): eliminating the
-skipped-chunk DMAs bought ~6%, so the real deficit is intra-invocation
-pipelining (stock's Mosaic-scheduled pipeline overlaps MXU/VPU/DMA across
-its grid steps better than a serial wait-compute fori_loop). Round-3 note
-in NEXT.md; both variants stay as tested references.
+Three fwd designs were built, parity-tested, and MEASURED (fwd_impl=):
+  'blocks' (BlockSpec k-grid)         46.0 TF/s fwd @B2
+  'dma'    (valid-chunk double-buffer) 48.7  — skipped-chunk DMAs ~6%
+  'dma2'   (hand software-pipeline,    37.8  — carrying f32 scores through
+            triple-buffered)                   the fori carry costs more
+                                               than the overlap saves
+vs stock 73. The deficit is Mosaic's grid-step software pipeline, which a
+serial in-kernel fori_loop cannot reproduce; beating stock at this
+geometry would require emitting the chunk loop AS grid steps while
+suppressing the invalid-chunk DMAs — not expressible today. All three
+variants stay in-tree as tested references; llama_forward keeps
+ops/flash_attention.py (512 blocks, its measured best).
 """
 
 from __future__ import annotations
@@ -201,6 +206,106 @@ def _fwd_kernel_dma(q_ref, mb_ref, kn_ref, k_any, v_any, o_ref, l_ref,
     l_ref[0, 0] = l[:, 0]
 
 
+def _fwd_kernel_dma2(q_ref, mb_ref, kn_ref, k_any, v_any, o_ref, l_ref,
+                     k_db, v_db, sems, *, bq, ck, Hq, Hkv, nk):
+    """Software-pipelined variant of _fwd_kernel_dma: the loop body carries
+    chunk j's SCORES and emits chunk j+1's QK matmul (MXU) as work
+    independent of chunk j's softmax chain (VPU), so the scheduler can
+    overlap the two units; K/V are triple-buffered (chunk j's V must
+    outlive the j+2 prefetch)."""
+    i, qi = pl.program_id(0), pl.program_id(1)
+    G = Hq // Hkv
+    kv_row = (i // Hq) * Hkv + jax.lax.rem(i, Hq) // G
+    nv = (qi * bq + bq - 1) // ck + 1
+
+    def chunk_dma(j, slot):
+        return (
+            pltpu.make_async_copy(
+                k_any.at[kv_row, pl.ds(j * ck, ck)], k_db.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_any.at[kv_row, pl.ds(j * ck, ck)], v_db.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    q = q_ref[0]
+    bound = _row_bound(q, kn_ref[0, 0, 0])
+
+    def scores(j, slot):
+        s = jax.lax.dot_general(
+            q, k_db[slot], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + mb_ref[0, j][None, :]
+        return jax.lax.cond(
+            j * ck + ck - 1 > qi * bq,
+            lambda s: _tri_mask_dyn(s, qi * bq, j * ck),
+            lambda s: s,
+            s,
+        )
+
+    # prologue: fetch chunk 0, compute its scores, start fetch of chunk 1
+    ka, va = chunk_dma(0, 0)
+    ka.start()
+    va.start()
+
+    @pl.when(nv > 1)
+    def _():
+        kb, vb = chunk_dma(1, 1)
+        kb.start()
+        vb.start()
+
+    ka, va = chunk_dma(0, 0)
+    ka.wait()
+    va.wait()
+    s0 = scores(0, 0)
+
+    def body(j, carry):
+        acc, lsum, s_j = carry
+        slot_j = jax.lax.rem(j, 3)
+        slot_n = jax.lax.rem(j + 1, 3)
+        slot_p = jax.lax.rem(j + 2, 3)
+
+        @pl.when(j + 2 < nv)
+        def _():
+            kp, vp = chunk_dma(j + 2, slot_p)
+            kp.start()
+            vp.start()
+
+        # softmax of chunk j (VPU) ...
+        p = jnp.exp(s_j - bound)
+        lsum = lsum + jnp.sum(p, axis=1, keepdims=True)
+        # ... is independent of chunk j+1's QK (MXU): both emitted here so
+        # the scheduler can overlap the units
+        kn_, vn_ = chunk_dma(j + 1, slot_n)
+        kn_.wait()
+        vn_.wait()
+        s_next = scores(j + 1, slot_n)
+        acc = acc + jax.lax.dot_general(
+            p.astype(v_db.dtype), v_db[slot_j], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, lsum, s_next
+
+    acc0 = jnp.zeros((bq, q_ref.shape[2]), jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, lsum, s_last = jax.lax.fori_loop(0, nv - 1, body, (acc0, l0, s0))
+
+    # epilogue: chunk nv-1
+    p = jnp.exp(s_last - bound)
+    lsum = lsum + jnp.sum(p, axis=1, keepdims=True)
+    slot_last = jax.lax.rem(nv - 1, 3)
+    acc = acc + jax.lax.dot_general(
+        p.astype(v_db.dtype), v_db[slot_last], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    safe = jnp.where(lsum > 0, lsum, 1.0)
+    o_ref[0] = jnp.where(lsum > 0, acc / safe, 0.0).astype(o_ref.dtype)
+    l_ref[0, 0] = lsum[:, 0]
+
+
 def _tri_mask_dyn(s, q0, k0, *, neg=NEG):
     """_tri_mask with traced offsets (fori_loop chunk index)."""
     bq, ck = s.shape
@@ -209,7 +314,8 @@ def _tri_mask_dyn(s, q0, k0, *, neg=NEG):
     return jnp.where(col <= row, s, neg)
 
 
-def _fwd_call_dma(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret):
+def _fwd_call_dma(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret,
+                  pipelined=False):
     BHq, T, hd = qs.shape
     nq, nk = T // bq, T // ck
     # mb reshaped to [B, nk, ck] so chunk j is a sublane index, not a
@@ -217,9 +323,8 @@ def _fwd_call_dma(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret):
     B = mb.shape[0]
     mb_c = mb.reshape(B, nk, ck)
 
-    kernel = functools.partial(
-        _fwd_kernel_dma, bq=bq, ck=ck, Hq=Hq, Hkv=Hkv, nk=nk
-    )
+    kfn = _fwd_kernel_dma2 if pipelined else _fwd_kernel_dma
+    kernel = functools.partial(kfn, bq=bq, ck=ck, Hq=Hq, Hkv=Hkv, nk=nk)
     o, l = pl.pallas_call(
         kernel,
         grid=(BHq, nq),
@@ -240,9 +345,9 @@ def _fwd_call_dma(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret):
             jax.ShapeDtypeStruct((BHq, 1, T), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ck, hd), k.dtype),
-            pltpu.VMEM((2, ck, hd), v.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((3 if pipelined else 2, ck, hd), k.dtype),
+            pltpu.VMEM((3 if pipelined else 2, ck, hd), v.dtype),
+            pltpu.SemaphoreType.DMA((3 if pipelined else 2, 2)),
         ],
         interpret=interpret,
     )(qs, mb_c, kn, k, v)
@@ -467,18 +572,28 @@ def _dkv_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, *, bq, ck, interpret):
 # custom-VJP core over flattened operands
 # ---------------------------------------------------------------------------
 
+def _fwd_dispatch(fwd_impl):
+    if fwd_impl == "dma":
+        return _fwd_call_dma
+    if fwd_impl == "dma2":
+        return functools.partial(_fwd_call_dma, pipelined=True)
+    return _fwd_call
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
 )
 def _core(qs, k, v, mb, kn, Hq, Hkv, bq, ck, interpret, fwd_impl):
-    fwd = _fwd_call_dma if fwd_impl == "dma" else _fwd_call
-    o, _ = fwd(qs, k, v, mb, kn, Hq, Hkv, bq=bq, ck=ck, interpret=interpret)
+    o, _ = _fwd_dispatch(fwd_impl)(
+        qs, k, v, mb, kn, Hq, Hkv, bq=bq, ck=ck, interpret=interpret
+    )
     return o
 
 
 def _core_fwd(qs, k, v, mb, kn, Hq, Hkv, bq, ck, interpret, fwd_impl):
-    fwd = _fwd_call_dma if fwd_impl == "dma" else _fwd_call
-    o, l = fwd(qs, k, v, mb, kn, Hq, Hkv, bq=bq, ck=ck, interpret=interpret)
+    o, l = _fwd_dispatch(fwd_impl)(
+        qs, k, v, mb, kn, Hq, Hkv, bq=bq, ck=ck, interpret=interpret
+    )
     return o, (qs, k, v, mb, kn, o, l)
 
 

@@ -30,20 +30,20 @@ def main():
         mask = jnp.ones((B, T), jnp.int32)
         fwd_flops = 2 * 2 * B * Hq * T * T * hd // 2
 
-        for bq, ck in ((512, 512), (512, 256)):
-            def fstep(a, bq=bq, ck=ck):
+        for impl, bq, ck in (("dma2", 512, 512), ("dma2", 256, 256), ("dma2", 512, 1280)):
+            def fstep(a, impl=impl, bq=bq, ck=ck):
                 q, k, v = a
                 o = causal_mha(q, k, v, mask=mask, block_q=bq, chunk_k=ck,
-                               fwd_impl="dma")
+                               fwd_impl=impl)
                 bump = (jnp.mean(o.astype(jnp.float32)) * 1e-6).astype(jnp.bfloat16)
                 return bump.astype(jnp.float32), (q + bump, k + bump, v + bump)
 
             try:
                 sec = timed_loop(fstep, (q, k, v), 20)
-                report(f"dma_fwd_B{B}_q{bq}c{ck}", sec, flops=fwd_flops,
+                report(f"{impl}_fwd_B{B}_q{bq}c{ck}", sec, flops=fwd_flops,
                        note="stock fwd: 73 (B2) / 63.2 (B8) TF/s")
             except Exception as e:
-                print(json.dumps({"exp": f"dma_fwd_B{B}_q{bq}c{ck}",
+                print(json.dumps({"exp": f"{impl}_fwd_B{B}_q{bq}c{ck}",
                                   "error": str(e)[:300]}), flush=True)
     print(json.dumps({"done": True}), flush=True)
 

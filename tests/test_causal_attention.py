@@ -26,11 +26,12 @@ def _setup(B=2, T=256, Hq=4, Hkv=2, hd=32, pad_row=0, pad_from=200, seed=0):
     return q, k, v, mask, bias
 
 
-def test_forward_matches_xla():
+@pytest.mark.parametrize("impl", ["blocks", "dma", "dma2"])
+def test_forward_matches_xla(impl):
     q, k, v, mask, bias = _setup()
     ref = mha(q, k, v, bias=bias)
     out = causal_mha(q, k, v, mask=mask, interpret=True,
-                     block_q=128, chunk_k=128)
+                     block_q=128, chunk_k=128, fwd_impl=impl)
     m = np.asarray(mask, bool)
     np.testing.assert_allclose(
         np.asarray(out)[m], np.asarray(ref)[m], atol=2e-5, rtol=2e-5

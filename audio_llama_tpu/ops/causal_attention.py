@@ -92,7 +92,7 @@ def _tri_mask(s, q0, k0, *, neg=NEG):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref,
-                acc_ref, lsum_ref, *, bq, ck, nk):
+                acc_ref, lsum_ref, *, bq, ck, nk, tri="cond"):
     qi, kj = pl.program_id(1), pl.program_id(2)
 
     @pl.when(kj == 0)
@@ -109,12 +109,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref,
         )  # [bq, ck]
         s = s + mb_ref[0, 0][None, :]  # key padding bias (0 / NEG)
         # triangular mask only where the chunk overlaps the diagonal
-        s = jax.lax.cond(
-            kj * ck + ck - 1 > qi * bq,
-            lambda s: _tri_mask(s, qi * bq, kj * ck),
-            lambda s: s,
-            s,
-        )
+        if tri == "cond":  # lax.cond (Mosaic may evaluate both branches)
+            s = jax.lax.cond(
+                kj * ck + ck - 1 > qi * bq,
+                lambda s: _tri_mask(s, qi * bq, kj * ck),
+                lambda s: s,
+                s,
+            )
+        else:  # unconditional iota mask every step
+            s = _tri_mask(s, qi * bq, kj * ck)
         bound = _row_bound(q, kn_ref[0, 0, 0])
         p = jnp.exp(s - bound)
         lsum_ref[:] = lsum_ref[:] + jnp.sum(p, axis=1, keepdims=True)
@@ -184,12 +187,7 @@ def _fwd_kernel_dma(q_ref, mb_ref, kn_ref, k_any, v_any, o_ref, l_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s + mb_ref[0, j][None, :]
-        s = jax.lax.cond(
-            j * ck + ck - 1 > qi * bq,
-            lambda s: _tri_mask_dyn(s, qi * bq, j * ck),
-            lambda s: s,
-            s,
-        )
+        s = _tri_mask_dyn(s, qi * bq, j * ck)  # unconditional (cond is slow)
         p = jnp.exp(s - bound)
         lsum = lsum + jnp.sum(p, axis=1, keepdims=True)
         acc = acc + jax.lax.dot_general(
@@ -239,12 +237,7 @@ def _fwd_kernel_dma2(q_ref, mb_ref, kn_ref, k_any, v_any, o_ref, l_ref,
             preferred_element_type=jnp.float32,
         )
         s = s + mb_ref[0, j][None, :]
-        return jax.lax.cond(
-            j * ck + ck - 1 > qi * bq,
-            lambda s: _tri_mask_dyn(s, qi * bq, j * ck),
-            lambda s: s,
-            s,
-        )
+        return _tri_mask_dyn(s, qi * bq, j * ck)  # unconditional
 
     # prologue: fetch chunk 0, compute its scores, start fetch of chunk 1
     ka, va = chunk_dma(0, 0)
@@ -374,12 +367,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s + mb_ref[0, 0][None, :]
-        s = jax.lax.cond(
-            kj * ck + ck - 1 > qi * bq,
-            lambda s: _tri_mask(s, qi * bq, kj * ck),
-            lambda s: s,
-            s,
-        )
+        # unconditional iota mask: a lax.cond here costs ~35% of the whole
+        # kernel (measured — Mosaic evaluates/serializes around both branches)
+        s = _tri_mask(s, qi * bq, kj * ck)
         bound = _row_bound(q, kn_ref[0, 0, 0])
         l = l_ref[0, 0][:, None]  # [bq, 1]
         inv_l = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
@@ -417,12 +407,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s + mb_ref[0, 0][None, :]
-        s = jax.lax.cond(
-            kj * ck + ck - 1 > qi * bq,
-            lambda s: _tri_mask(s, qi * bq, kj * ck),
-            lambda s: s,
-            s,
-        )
+        s = _tri_mask(s, qi * bq, kj * ck)  # unconditional (lax.cond is slow)
         bound = _row_bound(q, kn_ref[0, 0, 0])
         l = l_ref[0, 0][:, None]
         inv_l = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
@@ -458,7 +443,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_call(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret):
+def _fwd_call(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret, tri="always"):
     BHq, T, hd = qs.shape
     G = Hq // Hkv
     nq, nk = T // bq, T // ck
@@ -466,7 +451,7 @@ def _fwd_call(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret):
     def kv_i(bh):
         return (bh // Hq) * Hkv + (bh % Hq) // G
 
-    kernel = functools.partial(_fwd_kernel, bq=bq, ck=ck, nk=nk)
+    kernel = functools.partial(_fwd_kernel, bq=bq, ck=ck, nk=nk, tri=tri)
     o, l = pl.pallas_call(
         kernel,
         grid=(BHq, nq, nk),
@@ -577,6 +562,8 @@ def _fwd_dispatch(fwd_impl):
         return _fwd_call_dma
     if fwd_impl == "dma2":
         return functools.partial(_fwd_call_dma, pipelined=True)
+    if fwd_impl == "blocks_notri":
+        return functools.partial(_fwd_call, tri="always")
     return _fwd_call
 
 
@@ -634,7 +621,7 @@ def causal_mha(
     block_q: int = 0,
     chunk_k: int = 0,
     interpret: bool = False,
-    fwd_impl: str = "dma",  # 'dma' (valid-chunk manual DMA) | 'blocks'
+    fwd_impl: str = "blocks",  # | 'dma' | 'dma2' (both measured slower)
 ) -> jnp.ndarray:
     """Causal GQA self-attention, [B, T, Hq, hd] in/out, differentiable.
 

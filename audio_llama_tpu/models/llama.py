@@ -258,17 +258,31 @@ def llama_forward(
     # cache.length == 0, so self-attention over the T new tokens is the whole
     # story and K/V are written to the cache separately). Decode keeps the
     # XLA path (Tq=1).
+    from ..ops import causal_attention as ca
     from ..ops import flash_attention as fa
 
-    use_flash = (kv_cache is None or (assume_fresh_cache and T > 1)) and (
+    full_seq = kv_cache is None or (assume_fresh_cache and T > 1)
+    # Full-sequence causal attention prefers our cond-free GQA kernel
+    # (ops/causal_attention.py: 76.5 vs stock's 54.4 TF/s fwd+bwd at
+    # training geometry, no 3x K/V head repeat); stock flash remains the
+    # forced-'flash' path and the fallback for odd head dims.
+    use_causal_kernel = full_seq and (
+        attn_impl in ("causal_kernel", "causal_kernel_interpret")
+        or (
+            attn_impl == "auto"
+            and fa.available()
+            and cfg.head_dim % 64 == 0
+        )
+    )
+    use_flash = full_seq and not use_causal_kernel and (
         attn_impl == "flash" or (attn_impl == "auto" and fa.available())
     )
 
-    # Training/scoring under flash: pad the whole stack to the kernel tile
-    # ONCE (e.g. 2014 -> 2048) instead of copying q/k/v in every layer; pad
-    # rows are masked out of attention and sliced off at the end.
+    # Training/scoring under the kernels: pad the whole stack to the kernel
+    # tile ONCE (e.g. 2014 -> 2048) instead of copying q/k/v in every layer;
+    # pad rows are masked out of attention and sliced off at the end.
     T_real = T
-    if use_flash and kv_cache is None:
+    if (use_flash or use_causal_kernel) and kv_cache is None:
         T_pad = fa._round_up(T, fa._TILE)
         if T_pad != T:
             x = jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0)))
@@ -300,7 +314,7 @@ def llama_forward(
     use_decode_kernel = (
         kv_cache is not None
         and T == 1
-        and not use_flash
+        and not (use_flash or use_causal_kernel)
         and (
             attn_impl == "decode_kernel"
             or (attn_impl == "auto" and da.available())
@@ -315,7 +329,7 @@ def llama_forward(
             decode_valid = decode_valid * attention_mask.astype(jnp.int32)
 
     # Attention bias over the (possibly cached) key timeline.
-    if use_flash or use_decode_kernel:
+    if use_flash or use_causal_kernel or use_decode_kernel:
         bias = None
     elif kv_cache is not None:
         # Causality is over PHYSICAL cache slots (append order), not the
@@ -417,8 +431,8 @@ def llama_forward(
                 cv_all = lax.dynamic_update_slice(
                     cv_all, vh.astype(cv_all.dtype), (li, 0, 0, offset, 0)
                 )
-            if use_flash:
-                # flash prefill attends over the fresh k/v directly; the
+            if use_flash or use_causal_kernel:
+                # kernel prefill attends over the fresh k/v directly; the
                 # cache timeline is only written, never read here
                 attn_k = attn_v = None
             else:
@@ -438,16 +452,23 @@ def llama_forward(
 
         if use_decode_kernel:
             pass  # attn already computed by the fused kernel above
-        elif use_flash:
+        elif use_flash or use_causal_kernel:
             # Fresh-cache prefill attends only over the T new tokens (k, v),
             # never the (empty) cache timeline; slice the mask accordingly.
             fmask = attention_mask
             if fmask is not None and fmask.shape[1] != T:
                 fmask = fmask[:, :T]
-            attn = fa.flash_mha(
-                q, k, v,
-                mask=fmask, causal=True, scale=cfg.head_dim ** -0.5,
-            )
+            if use_causal_kernel:
+                attn = ca.causal_mha(
+                    q, k, v,
+                    mask=fmask, scale=cfg.head_dim ** -0.5,
+                    interpret=attn_impl == "causal_kernel_interpret",
+                )
+            else:
+                attn = fa.flash_mha(
+                    q, k, v,
+                    mask=fmask, causal=True, scale=cfg.head_dim ** -0.5,
+                )
         elif ck_all is not None:
             attn = mha(
                 q, attn_k, attn_v, bias=bias, scale=cfg.head_dim ** -0.5,

@@ -86,3 +86,44 @@ def test_bf16_io():
                      block_q=128, chunk_k=128).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_llama_forward_dispatch_and_lora_grads():
+    """llama_forward attn_impl='causal_kernel_interpret' matches 'xla' on
+    logits AND on LoRA gradients (the training path differentiates through
+    attention to reach the adapters)."""
+    from audio_llama_tpu.config import LlamaConfig, LoraConfig
+    from audio_llama_tpu.models import llama as lm
+    from audio_llama_tpu.models import lora as lora_mod
+
+    cfg = LlamaConfig.tiny(vocab_size=512)
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    lcfg = LoraConfig(rank=4, alpha=8.0, init="standard")
+    lp = lora_mod.init_params(cfg, lcfg, jax.random.PRNGKey(1))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 128), 3, 500)
+    mask = np.ones((2, 128), np.int32)
+    mask[1, 100:] = 0
+    mask = jnp.asarray(mask)
+    labels = jax.random.randint(jax.random.PRNGKey(3), (2, 128), 3, 500)
+
+    def loss(lp, impl):
+        logits, _ = lm.llama_forward(
+            params, cfg, input_ids=ids, attention_mask=mask,
+            lora=lora_mod.with_scaling(lp, lcfg),
+            compute_dtype=jnp.float32, attn_impl=impl,
+        )
+        return lm.causal_lm_loss(
+            logits, jnp.where(mask.astype(bool), labels, -100)
+        )
+
+    l_ref, g_ref = jax.value_and_grad(loss)(lp, "xla")
+    l_new, g_new = jax.value_and_grad(loss)(lp, "causal_kernel_interpret")
+    np.testing.assert_allclose(float(l_new), float(l_ref), rtol=1e-4)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_new),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-3,
+            err_msg=str(pa),
+        )

@@ -46,18 +46,21 @@ k-grid still fetches K/V blocks for causally-skipped steps (Mosaic DMAs are
 not predicated by @pl.when), wasting bandwidth the stock kernel's
 pipeline avoids. llama_forward keeps ops/flash_attention.py.
 
-Three fwd designs were built, parity-tested, and MEASURED (fwd_impl=):
-  'blocks' (BlockSpec k-grid)         46.0 TF/s fwd @B2
-  'dma'    (valid-chunk double-buffer) 48.7  — skipped-chunk DMAs ~6%
-  'dma2'   (hand software-pipeline,    37.8  — carrying f32 scores through
-            triple-buffered)                   the fori carry costs more
-                                               than the overlap saves
-vs stock 73. The deficit is Mosaic's grid-step software pipeline, which a
-serial in-kernel fori_loop cannot reproduce; beating stock at this
-geometry would require emitting the chunk loop AS grid steps while
-suppressing the invalid-chunk DMAs — not expressible today. All three
-variants stay in-tree as tested references; llama_forward keeps
-ops/flash_attention.py (512 blocks, its measured best).
+PRODUCTION STATUS (round 2 final): this IS the llama training-path
+attention (llama_forward attn_impl='auto' on TPU). The early variants
+measured 46.0 ('blocks') / 48.7 ('dma') / 37.8 ('dma2') TF/s fwd vs stock
+73 — until a diagnostic showed the per-tile `lax.cond` around the
+triangular mask cost ~35% of the kernel (Mosaic evaluates/serializes
+around both branches). With an UNCONDITIONAL iota mask:
+
+  fwd:      81.9 TF/s @B2 / 65.2 @B8   (stock 73.0 / 63.2)
+  fwd+bwd:  76.5 TF/s @B2 / 58.0 @B8   (stock 54.4 / 48.3)  — +41% / +20%
+
+Train-step effect: 5889 -> 6091 tok/s @B2 (MFU 53.4% -> 55.2%), 4861 ->
+5254 @B8. Lesson recorded for every kernel in this repo: never branch on
+grid indices with lax.cond inside a Mosaic kernel — predicate with
+@pl.when or compute unconditionally. 'dma'/'dma2' remain as measured
+references (the skipped-chunk DMA hypothesis was worth only ~6%).
 """
 
 from __future__ import annotations

@@ -630,16 +630,30 @@ def causal_mha(
 
     Same contract as flash_mha(causal=True): padded-query rows are garbage
     (callers mask their loss, and therefore this op's cotangents, at pad
-    positions). T must be a multiple of 128.
+    positions). Odd T is padded to the 128 tile internally (e.g. the 2014-
+    token generation prefill), mirroring flash_mha's self-padding.
     """
     B, T, Hq, hd = q.shape
     Hkv = k.shape[2]
-    if T % 128:
-        raise ValueError(f"causal_mha: T={T} must be a multiple of 128")
     if Hq % Hkv:
         raise ValueError("Hq must be a multiple of Hkv")
     if scale is None:
         scale = hd ** -0.5
+
+    T_real = T
+    pad = (-T) % 128
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        base = (
+            mask.astype(jnp.int32)
+            if mask is not None
+            else jnp.ones((B, T), jnp.int32)
+        )
+        mask = jnp.pad(base, ((0, 0), (0, pad)))  # pads invisible as keys
+        T = T + pad
+
     bq = block_q or _pick(T, (512, 256, 128))
     ck = chunk_k or _pick(T, (512, 256, 128))
 
@@ -660,7 +674,8 @@ def causal_mha(
     ).reshape(B * Hkv, 1, 1)
 
     o = _core(qs, kh, vh, mb, kn, Hq, Hkv, bq, ck, interpret, fwd_impl)
-    return jnp.swapaxes(o.reshape(B, Hq, T, hd), 1, 2)
+    out = jnp.swapaxes(o.reshape(B, Hq, T, hd), 1, 2)
+    return out[:, :T_real] if T_real != T else out
 
 
 def available() -> bool:

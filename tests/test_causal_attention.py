@@ -127,3 +127,17 @@ def test_llama_forward_dispatch_and_lora_grads():
             np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-3,
             err_msg=str(pa),
         )
+
+
+def test_odd_length_self_pads():
+    """T=200 (not a tile multiple) — e.g. the 2014-token generation prefill
+    — pads internally like flash_mha (regression: the first integration
+    raised on the decode bench's prefill)."""
+    q, k, v, mask, bias = _setup(T=200, pad_from=180)
+    ref = mha(q, k, v, bias=bias)
+    out = causal_mha(q, k, v, mask=mask, interpret=True,
+                     block_q=128, chunk_k=128)
+    m = np.asarray(mask, bool)
+    np.testing.assert_allclose(
+        np.asarray(out)[m], np.asarray(ref)[m], atol=2e-5, rtol=2e-5
+    )

@@ -7,10 +7,14 @@ matmul ceiling — the single largest contributor to the train step's MFU gap
 (BASELINE.md round-2 attribution). This kernel applies the lessons from
 ops/enc_attention.py to the causal case:
 
-  - bounded-shift softmax: softmax(s) == softmax(s - c) for any per-row
-    c >= row max; Cauchy-Schwarz (||q_i||·max_j||k_j||) provides c without
-    a running max, so there is NO online rescaling — k/v chunks stream with
-    one fused (sub, exp) chain per score element and a single rowsum;
+  - softmax shift (round 3): the production mode is a per-row running TRUE
+    max with online rescaling ('online') — safe at any activation magnitude
+    because exp arguments never exceed 0. The original rescaling-free
+    bounded-shift mode (softmax(s) == softmax(s - c) with the Cauchy-Schwarz
+    c = ||q_i||·max_j||k_j||) is kept as softmax_mode='bounded' for A/B: it
+    silently zeroes rows once the bound exceeds the true max by ~87 nats
+    (f32 exp underflow), which real-checkpoint outlier activations at hd=128
+    can reach (round-2 ADVICE, severity medium);
   - causal chunk skipping: k-chunks entirely in the future are skipped at
     runtime (@pl.when on grid indices); only diagonal-overlapping chunks
     pay the triangular iota mask;
@@ -94,14 +98,17 @@ def _tri_mask(s, q0, k0, *, neg=NEG):
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref,
-                acc_ref, lsum_ref, *, bq, ck, nk, tri="cond"):
+def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref, c_ref,
+                acc_ref, lsum_ref, m_ref, *, bq, ck, nk, tri="cond",
+                softmax="online"):
     qi, kj = pl.program_id(1), pl.program_id(2)
 
     @pl.when(kj == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         lsum_ref[:] = jnp.zeros_like(lsum_ref)
+        if softmax == "online":
+            m_ref[:] = jnp.full_like(m_ref, NEG)
 
     @pl.when(kj * ck <= qi * bq + bq - 1)  # skip fully-future chunks
     def _():
@@ -121,13 +128,27 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref,
             )
         else:  # unconditional iota mask every step
             s = _tri_mask(s, qi * bq, kj * ck)
-        bound = _row_bound(q, kn_ref[0, 0, 0])
-        p = jnp.exp(s - bound)
-        lsum_ref[:] = lsum_ref[:] + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if softmax == "bounded":
+            bound = _row_bound(q, kn_ref[0, 0, 0])
+            p = jnp.exp(s - bound)
+            lsum_ref[:] = lsum_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:  # 'online': running true max with rescaling — p <= 1 always,
+            # so neither the underflow (bound >> true max) nor overflow
+            # regime exists at ANY activation magnitude.
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            r = jnp.exp(m_prev - m_new)  # <= 1; first chunk: exp(-huge) = 0
+            p = jnp.exp(s - m_new)
+            lsum_ref[:] = lsum_ref[:] * r + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[:] = acc_ref[:] * r + jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[:] = m_new
 
     @pl.when(kj == nk - 1)
     def _():
@@ -135,9 +156,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref,
         safe = jnp.where(l > 0, l, 1.0)
         o_ref[0] = jnp.where(l > 0, acc_ref[:] / safe, 0.0).astype(o_ref.dtype)
         l_ref[0, 0] = l[:, 0]
+        if softmax == "bounded":
+            c_ref[0, 0] = _row_bound(q_ref[0], kn_ref[0, 0, 0])[:, 0]
+        else:
+            c_ref[0, 0] = m_ref[:][:, 0]
 
 
-def _fwd_kernel_dma(q_ref, mb_ref, kn_ref, k_any, v_any, o_ref, l_ref,
+def _fwd_kernel_dma(q_ref, mb_ref, kn_ref, k_any, v_any, o_ref, l_ref, c_ref,
                     k_db, v_db, sems, *, bq, ck, Hq, Hkv, nk):
     """Forward with MANUAL double-buffered K/V chunk DMA over ONLY the
     causally-valid chunks — the BlockSpec grid version fetches K/V for
@@ -205,9 +230,10 @@ def _fwd_kernel_dma(q_ref, mb_ref, kn_ref, k_any, v_any, o_ref, l_ref,
     safe = jnp.where(l > 0, l, 1.0)
     o_ref[0] = jnp.where(l > 0, acc / safe, 0.0).astype(o_ref.dtype)
     l_ref[0, 0] = l[:, 0]
+    c_ref[0, 0] = bound[:, 0]
 
 
-def _fwd_kernel_dma2(q_ref, mb_ref, kn_ref, k_any, v_any, o_ref, l_ref,
+def _fwd_kernel_dma2(q_ref, mb_ref, kn_ref, k_any, v_any, o_ref, l_ref, c_ref,
                      k_db, v_db, sems, *, bq, ck, Hq, Hkv, nk):
     """Software-pipelined variant of _fwd_kernel_dma: the loop body carries
     chunk j's SCORES and emits chunk j+1's QK matmul (MXU) as work
@@ -300,6 +326,7 @@ def _fwd_kernel_dma2(q_ref, mb_ref, kn_ref, k_any, v_any, o_ref, l_ref,
     safe = jnp.where(lsum > 0, lsum, 1.0)
     o_ref[0] = jnp.where(lsum > 0, acc / safe, 0.0).astype(o_ref.dtype)
     l_ref[0, 0] = lsum[:, 0]
+    c_ref[0, 0] = bound[:, 0]
 
 
 def _tri_mask_dyn(s, q0, k0, *, neg=NEG):
@@ -321,7 +348,7 @@ def _fwd_call_dma(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret,
 
     kfn = _fwd_kernel_dma2 if pipelined else _fwd_kernel_dma
     kernel = functools.partial(kfn, bq=bq, ck=ck, Hq=Hq, Hkv=Hkv, nk=nk)
-    o, l = pl.pallas_call(
+    o, l, c = pl.pallas_call(
         kernel,
         grid=(BHq, nq),
         in_specs=[
@@ -335,9 +362,11 @@ def _fwd_call_dma(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret,
         out_specs=[
             pl.BlockSpec((1, bq, hd), lambda bh, qi: (bh, qi, 0)),
             pl.BlockSpec((1, 1, bq), lambda bh, qi: (bh, 0, qi)),
+            pl.BlockSpec((1, 1, bq), lambda bh, qi: (bh, 0, qi)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BHq, T, hd), qs.dtype),
+            jax.ShapeDtypeStruct((BHq, 1, T), jnp.float32),
             jax.ShapeDtypeStruct((BHq, 1, T), jnp.float32),
         ],
         scratch_shapes=[
@@ -347,14 +376,14 @@ def _fwd_call_dma(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret,
         ],
         interpret=interpret,
     )(qs, mb_c, kn, k, v)
-    return o, l
+    return o, l, c
 
 
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 
-def _dq_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
+def _dq_kernel(q_ref, k_ref, v_ref, mb_ref, c_ref, do_ref, l_ref, d_ref,
                dq_ref, dq_acc, *, bq, ck, nk):
     qi, kj = pl.program_id(1), pl.program_id(2)
 
@@ -373,10 +402,13 @@ def _dq_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
         # unconditional iota mask: a lax.cond here costs ~35% of the whole
         # kernel (measured — Mosaic evaluates/serializes around both branches)
         s = _tri_mask(s, qi * bq, kj * ck)
-        bound = _row_bound(q, kn_ref[0, 0, 0])
+        # c = the forward's per-row softmax shift (true running max in
+        # 'online' mode, Cauchy-Schwarz bound in 'bounded') — reusing it
+        # keeps the recomputed P bit-consistent with the forward.
+        shift = c_ref[0, 0][:, None]  # [bq, 1]
         l = l_ref[0, 0][:, None]  # [bq, 1]
         inv_l = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
-        p = jnp.exp(s - bound) * inv_l  # P [bq, ck]
+        p = jnp.exp(s - shift) * inv_l  # P [bq, ck]
         dp = jax.lax.dot_general(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -392,7 +424,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
+def _dkv_kernel(q_ref, k_ref, v_ref, mb_ref, c_ref, do_ref, l_ref, d_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc, *, bq, ck, n_inner, nq):
     kj, i = pl.program_id(1), pl.program_id(2)
     qi = i % nq
@@ -411,10 +443,10 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
         )
         s = s + mb_ref[0, 0][None, :]
         s = _tri_mask(s, qi * bq, kj * ck)  # unconditional (lax.cond is slow)
-        bound = _row_bound(q, kn_ref[0, 0, 0])
+        shift = c_ref[0, 0][:, None]  # forward's per-row softmax shift
         l = l_ref[0, 0][:, None]
         inv_l = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
-        p = jnp.exp(s - bound) * inv_l  # P [bq, ck]
+        p = jnp.exp(s - shift) * inv_l  # P [bq, ck]
         pb = p.astype(do_ref.dtype)
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
             pb, do_ref[0], (((0,), (0,)), ((), ())),
@@ -446,7 +478,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, do_ref, l_ref, d_ref,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_call(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret, tri="always"):
+def _fwd_call(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret, tri="always",
+              softmax="online"):
     BHq, T, hd = qs.shape
     G = Hq // Hkv
     nq, nk = T // bq, T // ck
@@ -454,8 +487,10 @@ def _fwd_call(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret, tri="always"):
     def kv_i(bh):
         return (bh // Hq) * Hkv + (bh % Hq) // G
 
-    kernel = functools.partial(_fwd_kernel, bq=bq, ck=ck, nk=nk, tri=tri)
-    o, l = pl.pallas_call(
+    kernel = functools.partial(
+        _fwd_kernel, bq=bq, ck=ck, nk=nk, tri=tri, softmax=softmax
+    )
+    o, l, c = pl.pallas_call(
         kernel,
         grid=(BHq, nq, nk),
         in_specs=[
@@ -468,21 +503,24 @@ def _fwd_call(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret, tri="always"):
         out_specs=[
             pl.BlockSpec((1, bq, hd), lambda bh, qi, kj: (bh, qi, 0)),
             pl.BlockSpec((1, 1, bq), lambda bh, qi, kj: (bh, 0, qi)),
+            pl.BlockSpec((1, 1, bq), lambda bh, qi, kj: (bh, 0, qi)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BHq, T, hd), qs.dtype),
+            jax.ShapeDtypeStruct((BHq, 1, T), jnp.float32),
             jax.ShapeDtypeStruct((BHq, 1, T), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, hd), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
         ],
         interpret=interpret,
     )(qs, k, v, mb, kn)
-    return o, l
+    return o, l, c
 
 
-def _dq_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, *, bq, ck, interpret):
+def _dq_call(qs, k, v, mb, c, do, l, d, Hq, Hkv, *, bq, ck, interpret):
     BHq, T, hd = qs.shape
     G = Hq // Hkv
     nq, nk = T // bq, T // ck
@@ -499,7 +537,7 @@ def _dq_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, *, bq, ck, interpret):
             pl.BlockSpec((1, ck, hd), lambda bh, qi, kj: (kv_i(bh), kj, 0)),
             pl.BlockSpec((1, ck, hd), lambda bh, qi, kj: (kv_i(bh), kj, 0)),
             pl.BlockSpec((1, 1, ck), lambda bh, qi, kj: (bh // Hq, 0, kj)),
-            pl.BlockSpec((1, 1, 1), lambda bh, qi, kj: (kv_i(bh), 0, 0)),
+            pl.BlockSpec((1, 1, bq), lambda bh, qi, kj: (bh, 0, qi)),
             pl.BlockSpec((1, bq, hd), lambda bh, qi, kj: (bh, qi, 0)),
             pl.BlockSpec((1, 1, bq), lambda bh, qi, kj: (bh, 0, qi)),
             pl.BlockSpec((1, 1, bq), lambda bh, qi, kj: (bh, 0, qi)),
@@ -508,10 +546,10 @@ def _dq_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, *, bq, ck, interpret):
         out_shape=jax.ShapeDtypeStruct((BHq, T, hd), qs.dtype),
         scratch_shapes=[pltpu.VMEM((bq, hd), jnp.float32)],
         interpret=interpret,
-    )(qs, k, v, mb, kn, do, l, d)
+    )(qs, k, v, mb, c, do, l, d)
 
 
-def _dkv_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, *, bq, ck, interpret):
+def _dkv_call(qs, k, v, mb, c, do, l, d, Hq, Hkv, *, bq, ck, interpret):
     BHq, T, hd = qs.shape
     BHkv = k.shape[0]
     G = Hq // Hkv
@@ -534,7 +572,7 @@ def _dkv_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, *, bq, ck, interpret):
             pl.BlockSpec((1, ck, hd), lambda bkv, kj, i: (bkv, kj, 0)),
             pl.BlockSpec((1, ck, hd), lambda bkv, kj, i: (bkv, kj, 0)),
             pl.BlockSpec((1, 1, ck), lambda bkv, kj, i: (bkv // Hkv, 0, kj)),
-            pl.BlockSpec((1, 1, 1), lambda bkv, kj, i: (bkv, 0, 0)),
+            pl.BlockSpec((1, 1, bq), lambda bkv, kj, i: (q_i(bkv, i), 0, i % nq)),
             pl.BlockSpec((1, bq, hd), lambda bkv, kj, i: (q_i(bkv, i), i % nq, 0)),
             pl.BlockSpec((1, 1, bq), lambda bkv, kj, i: (q_i(bkv, i), 0, i % nq)),
             pl.BlockSpec((1, 1, bq), lambda bkv, kj, i: (q_i(bkv, i), 0, i % nq)),
@@ -552,7 +590,7 @@ def _dkv_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, *, bq, ck, interpret):
             pltpu.VMEM((ck, hd), jnp.float32),
         ],
         interpret=interpret,
-    )(qs, k, v, mb, kn, do, l, d)
+    )(qs, k, v, mb, c, do, l, d)
     return dk, dv
 
 
@@ -560,44 +598,49 @@ def _dkv_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, *, bq, ck, interpret):
 # custom-VJP core over flattened operands
 # ---------------------------------------------------------------------------
 
-def _fwd_dispatch(fwd_impl):
+def _fwd_dispatch(fwd_impl, softmax):
+    # The manual-DMA variants are measured references and support only the
+    # 'bounded' softmax (their loop structure has no running-max carry).
     if fwd_impl == "dma":
         return _fwd_call_dma
     if fwd_impl == "dma2":
         return functools.partial(_fwd_call_dma, pipelined=True)
-    if fwd_impl == "blocks_notri":
-        return functools.partial(_fwd_call, tri="always")
-    return _fwd_call
+    if fwd_impl == "blocks_cond":
+        # the measured ~35%-slower per-tile lax.cond variant, kept
+        # reproducible (see module docstring / ADVICE round 2)
+        return functools.partial(_fwd_call, tri="cond", softmax=softmax)
+    return functools.partial(_fwd_call, softmax=softmax)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
 )
-def _core(qs, k, v, mb, kn, Hq, Hkv, bq, ck, interpret, fwd_impl):
-    o, _ = _fwd_dispatch(fwd_impl)(
+def _core(qs, k, v, mb, kn, Hq, Hkv, bq, ck, interpret, fwd_impl, softmax):
+    o, _, _ = _fwd_dispatch(fwd_impl, softmax)(
         qs, k, v, mb, kn, Hq, Hkv, bq=bq, ck=ck, interpret=interpret
     )
     return o
 
 
-def _core_fwd(qs, k, v, mb, kn, Hq, Hkv, bq, ck, interpret, fwd_impl):
-    o, l = _fwd_dispatch(fwd_impl)(
+def _core_fwd(qs, k, v, mb, kn, Hq, Hkv, bq, ck, interpret, fwd_impl, softmax):
+    o, l, c = _fwd_dispatch(fwd_impl, softmax)(
         qs, k, v, mb, kn, Hq, Hkv, bq=bq, ck=ck, interpret=interpret
     )
-    return o, (qs, k, v, mb, kn, o, l)
+    return o, (qs, k, v, mb, o, l, c)
 
 
-def _core_bwd(Hq, Hkv, bq, ck, interpret, fwd_impl, res, do):
-    qs, k, v, mb, kn, o, l = res
+def _core_bwd(Hq, Hkv, bq, ck, interpret, fwd_impl, softmax, res, do):
+    qs, k, v, mb, o, l, c = res
     # D_i = sum_d dO_id * O_id (cheap XLA prologue)
     d = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     )[:, None, :]  # [BHq, 1, T] (singleton sublane for clean tiling)
-    dq = _dq_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, bq=bq, ck=ck,
+    dq = _dq_call(qs, k, v, mb, c, do, l, d, Hq, Hkv, bq=bq, ck=ck,
                   interpret=interpret)
-    dk, dv = _dkv_call(qs, k, v, mb, kn, do, l, d, Hq, Hkv, bq=bq, ck=ck,
+    dk, dv = _dkv_call(qs, k, v, mb, c, do, l, d, Hq, Hkv, bq=bq, ck=ck,
                        interpret=interpret)
-    return dq, dk, dv, jnp.zeros_like(mb), jnp.zeros_like(kn)
+    kn_zero = jnp.zeros((k.shape[0], 1, 1), jnp.float32)
+    return dq, dk, dv, jnp.zeros_like(mb), kn_zero
 
 
 _core.defvjp(_core_fwd, _core_bwd)
@@ -624,7 +667,8 @@ def causal_mha(
     block_q: int = 0,
     chunk_k: int = 0,
     interpret: bool = False,
-    fwd_impl: str = "blocks",  # | 'dma' | 'dma2' (both measured slower)
+    fwd_impl: str = "blocks",  # | 'blocks_cond' | 'dma' | 'dma2' (all slower)
+    softmax_mode: str = "online",  # | 'bounded' (unsafe at real magnitudes)
 ) -> jnp.ndarray:
     """Causal GQA self-attention, [B, T, Hq, hd] in/out, differentiable.
 
@@ -632,6 +676,16 @@ def causal_mha(
     (callers mask their loss, and therefore this op's cotangents, at pad
     positions). Odd T is padded to the 128 tile internally (e.g. the 2014-
     token generation prefill), mirroring flash_mha's self-padding.
+
+    softmax_mode='online' (default) keeps a per-row running TRUE max with
+    rescaling — exp arguments are always <= 0, so it is numerically safe at
+    any activation magnitude. 'bounded' uses the rescaling-free
+    Cauchy-Schwarz shift: measurably similar speed, but when the bound
+    exceeds the true row max by > ~87 nats (real-checkpoint outlier/
+    attention-sink activations at hd=128 — see round-2 ADVICE) the f32 exp
+    underflows and the row silently zeroes. Production paths use 'online';
+    'bounded' remains for A/B measurement ('dma'/'dma2' impls are
+    bounded-only).
     """
     B, T, Hq, hd = q.shape
     Hkv = k.shape[2]
@@ -673,7 +727,11 @@ def causal_mha(
         jnp.max(jnp.sum(kh.astype(jnp.float32) ** 2, axis=-1), axis=-1)
     ).reshape(B * Hkv, 1, 1)
 
-    o = _core(qs, kh, vh, mb, kn, Hq, Hkv, bq, ck, interpret, fwd_impl)
+    if fwd_impl in ("dma", "dma2") and softmax_mode != "bounded":
+        softmax_mode = "bounded"  # the DMA reference impls have no online path
+    o = _core(
+        qs, kh, vh, mb, kn, Hq, Hkv, bq, ck, interpret, fwd_impl, softmax_mode
+    )
     out = jnp.swapaxes(o.reshape(B, Hq, T, hd), 1, 2)
     return out[:, :T_real] if T_real != T else out
 

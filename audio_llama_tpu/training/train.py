@@ -461,7 +461,7 @@ def train(args) -> dict:
         if args.batch_size % (dp * fsdp):
             raise ValueError(
                 f"multi-host: global batch_size {args.batch_size} must "
-                f"divide dp*fsdp={dp * fsdp}"
+                f"be a multiple of dp*fsdp={dp * fsdp}"
             )
         if len(val_loader) and val_loader.batch_size % (dp * fsdp):
             # the replicated-eval fallback needs full batches on every host,
@@ -473,6 +473,19 @@ def train(args) -> dict:
             )
     frozen = parallel.sharding.shard_frozen(mesh, frozen)
     trainable = allm.init_trainable(cfg, jax.random.PRNGKey(args.seed + 1))
+
+    def fetch_tree(tree):
+        """Materialize a (possibly sharded) pytree on the host for
+        checkpointing. Multi-host: LoRA a/b leaves are tp-sharded
+        (parallel/sharding.py:_trainable_leaf_spec) and NOT fully
+        addressable when the tp axis spans hosts, so device_get would raise
+        — process_allgather replicates first. Every process must call this
+        (it is a collective); only the coordinator then writes."""
+        if proc_count > 1:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(tree, tiled=True)
+        return jax.device_get(tree)
     logger.info("trainable params: %s", f"{allm.num_trainable_params(trainable):,}")
 
     start_step, start_epoch = 0, 0
@@ -480,8 +493,8 @@ def train(args) -> dict:
     if args.resume_from:
         t, o, start_step, start_epoch = ckpt.load_checkpoint(
             args.resume_from,
-            trainable_template=jax.device_get(state.trainable),
-            opt_state_template=jax.device_get(state.opt_state),
+            trainable_template=fetch_tree(state.trainable),
+            opt_state_template=fetch_tree(state.opt_state),
         )
         t_sharded = parallel.sharding.shard_trainable(mesh, t)
         if o is not None:
@@ -660,25 +673,31 @@ def train(args) -> dict:
                     global_step, ev["eval/loss"], ev["eval/perplexity"],
                 )
                 last_metrics.update(ev)
-                if ev["eval/loss"] < best_eval and is_coord:
+                # best_eval tracks on every host (eval loss is SPMD-
+                # identical) so the collective fetch below stays in step.
+                if ev["eval/loss"] < best_eval:
                     best_eval = ev["eval/loss"]
+                    t_host = fetch_tree(state.trainable)
+                    o_host = fetch_tree(state.opt_state)
+                    if is_coord:
+                        ckpt.save_checkpoint(
+                            args.output_dir,
+                            trainable=t_host, opt_state=o_host,
+                            step=global_step, epoch=epoch, model_cfg=cfg,
+                            args=vars(args), dataset_config=ds_cfg.__dict__,
+                            best=True,
+                        )
+
+            if args.save_steps and global_step % args.save_steps == 0:
+                t_host = fetch_tree(state.trainable)
+                o_host = fetch_tree(state.opt_state)
+                if is_coord:
                     ckpt.save_checkpoint(
                         args.output_dir,
-                        trainable=jax.device_get(state.trainable),
-                        opt_state=jax.device_get(state.opt_state),
+                        trainable=t_host, opt_state=o_host,
                         step=global_step, epoch=epoch, model_cfg=cfg,
                         args=vars(args), dataset_config=ds_cfg.__dict__,
-                        best=True,
                     )
-
-            if args.save_steps and global_step % args.save_steps == 0 and is_coord:
-                ckpt.save_checkpoint(
-                    args.output_dir,
-                    trainable=jax.device_get(state.trainable),
-                    opt_state=jax.device_get(state.opt_state),
-                    step=global_step, epoch=epoch, model_cfg=cfg,
-                    args=vars(args), dataset_config=ds_cfg.__dict__,
-                )
 
             if args.max_steps and global_step >= args.max_steps:
                 done = True
@@ -696,10 +715,11 @@ def train(args) -> dict:
             "final eval: loss %.4f ppl %.4f", ev["eval/loss"], ev["eval/perplexity"]
         )
         last_metrics.update(ev)
+    t_host = fetch_tree(state.trainable)
+    o_host = fetch_tree(state.opt_state)
     path = ckpt.save_checkpoint(
         args.output_dir,
-        trainable=jax.device_get(state.trainable),
-        opt_state=jax.device_get(state.opt_state),
+        trainable=t_host, opt_state=o_host,
         step=global_step, epoch=args.num_epochs - 1, model_cfg=cfg,
         args=vars(args), dataset_config=ds_cfg.__dict__,
         final=True,

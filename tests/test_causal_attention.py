@@ -141,3 +141,71 @@ def test_odd_length_self_pads():
     np.testing.assert_allclose(
         np.asarray(out)[m], np.asarray(ref)[m], atol=2e-5, rtol=2e-5
     )
+
+
+def _outlier_setup(B=1, T=256, Hq=2, Hkv=1, hd=128, seed=7):
+    """Realistic/outlier magnitudes (round-2 ADVICE, severity medium):
+    logits reach ~30-50 AND one huge-norm key is near-orthogonal to every
+    query, so the Cauchy-Schwarz bound ||q||*max||k|| exceeds the true row
+    max by hundreds of nats — the regime where the 'bounded' softmax
+    underflows f32 exp and silently zeroes rows."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    # queries/keys scaled so aligned pairs score ~|q||k|/8/sqrt(hd) ~ 40
+    q = jax.random.normal(k1, (B, T, Hq, hd), jnp.float32) * 2.0
+    k = jax.random.normal(k2, (B, T, Hkv, hd), jnp.float32) * 2.0
+    # plant an attention-sink-style outlier key at position 0: norm ~60x
+    # typical, in a direction orthogonal to the span of the queries
+    # (approximately: a fresh random direction in hd=128)
+    outlier_dir = jax.random.normal(jax.random.PRNGKey(99), (hd,))
+    outlier_dir = outlier_dir / jnp.linalg.norm(outlier_dir)
+    k = k.at[:, 0, :, :].set(outlier_dir[None, None, :] * 1500.0)
+    v = jax.random.normal(k3, (B, T, Hkv, hd), jnp.float32)
+    return q, k, v
+
+
+def test_outlier_magnitudes_online_matches_xla():
+    q, k, v = _outlier_setup()
+    T = q.shape[1]
+    ref = mha(q, k, v, bias=causal_bias(T, T))
+    out = causal_mha(q, k, v, interpret=True, block_q=128, chunk_k=128,
+                     softmax_mode="online")
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_outlier_magnitudes_online_grads_finite_and_match():
+    q, k, v = _outlier_setup(T=128)
+    T = q.shape[1]
+    bias = causal_bias(T, T)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha(q, k, v, bias=bias) ** 2)
+
+    def loss_new(q, k, v):
+        o = causal_mha(q, k, v, interpret=True, block_q=128, chunk_k=128,
+                       softmax_mode="online")
+        return jnp.sum(o ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_new, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gr, gn, "qkv"):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all(), name
+        np.testing.assert_allclose(b, a, atol=5e-3, rtol=5e-3, err_msg=name)
+
+
+def test_outlier_magnitudes_bounded_mode_underflows():
+    """Documents WHY 'online' is the production default: at outlier
+    magnitudes the bounded mode loses the real rows to exp underflow
+    (this is the failure the online mode eliminates, not a regression)."""
+    q, k, v = _outlier_setup()
+    T = q.shape[1]
+    ref = mha(q, k, v, bias=causal_bias(T, T))
+    out = causal_mha(q, k, v, interpret=True, block_q=128, chunk_k=128,
+                     softmax_mode="bounded")
+    err = np.max(np.abs(np.asarray(out) - np.asarray(ref)))
+    assert err > 0.1, (
+        f"bounded mode unexpectedly accurate (max err {err}); if the bound "
+        "got tightened, fold it into 'online' and update this test"
+    )

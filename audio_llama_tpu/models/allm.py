@@ -82,7 +82,8 @@ def num_trainable_params(trainable: dict) -> int:
 # ---------------------------------------------------------------------------
 
 def process_audio_features(
-    frozen: dict, cfg: AudioLLMConfig, audio: jnp.ndarray, compute_dtype=jnp.bfloat16
+    frozen: dict, cfg: AudioLLMConfig, audio: jnp.ndarray, compute_dtype=jnp.bfloat16,
+    *, enc_attn_impl: str = "auto", mel_impl: str = "auto",
 ) -> jnp.ndarray:
     """Frozen audio path under stop_gradient — the JAX analog of the
     reference's `with torch.no_grad()` (src/models/allm.py:214-219).
@@ -112,30 +113,39 @@ def process_audio_features(
                 )
             n_windows = total // S
             audio = audio.reshape(B * n_windows, S)
-        if mel_pallas.should_use(cfg.mel):
-            mel = mel_pallas.log_mel(audio, cfg.mel)  # fused Pallas kernel
+        if mel_impl == "auto":
+            use_pallas, mel_interp = mel_pallas.should_use(cfg.mel), False
+        elif mel_impl in ("pallas", "pallas_interpret"):
+            use_pallas, mel_interp = True, mel_impl == "pallas_interpret"
+        else:  # 'xla'
+            use_pallas, mel_interp = False, False
+        if use_pallas:
+            mel = mel_pallas.log_mel(audio, cfg.mel, interpret=mel_interp)
         else:
             mel = mel_ops.log_mel(audio, cfg.mel)
         if n_windows > 1:
-            enc = _encode(frozen["whisper"], cfg.whisper, mel, compute_dtype)
+            enc = _encode(
+                frozen["whisper"], cfg.whisper, mel, compute_dtype,
+                enc_attn_impl,
+            )
             enc = enc.reshape(B, n_windows * enc.shape[1], enc.shape[2])
             return jax.lax.stop_gradient(enc)
     elif audio.ndim == 4:  # tolerate a [B, 1, n_mels, F] channel dim like the ref
         mel = audio.squeeze(1)
     else:
         mel = audio
-    enc = _encode(frozen["whisper"], cfg.whisper, mel, compute_dtype)
+    enc = _encode(frozen["whisper"], cfg.whisper, mel, compute_dtype, enc_attn_impl)
     return jax.lax.stop_gradient(enc)
 
 
-def _encode(wparams: dict, wcfg, mel, compute_dtype):
+def _encode(wparams: dict, wcfg, mel, compute_dtype, attn_impl: str = "auto"):
     """Dispatch to the W8A8 encoder when the params were quantized
     (models.whisper_int8.quantize_encoder), else the bf16 encoder."""
     if "w_q" in wparams["layers"]["q_proj"]:
         from . import whisper_int8 as w8
 
-        return w8.encode_int8(wparams, wcfg, mel, compute_dtype)
-    return whisper_mod.encode(wparams, wcfg, mel, compute_dtype)
+        return w8.encode_int8(wparams, wcfg, mel, compute_dtype, attn_impl)
+    return whisper_mod.encode(wparams, wcfg, mel, compute_dtype, attn_impl)
 
 
 def combine_text_and_audio_embeddings(
@@ -256,6 +266,9 @@ def forward(
     compute_dtype=jnp.bfloat16,
     loss_chunk_size: int = 0,
     remat: bool = False,
+    attn_impl: str = "auto",
+    enc_attn_impl: str = "auto",
+    mel_impl: str = "auto",
 ):
     """Full multimodal forward. Returns (loss, logits [B, A+2+T, V]).
 
@@ -265,6 +278,11 @@ def forward(
     loss_chunk_size > 0 computes the cross-entropy in sequence chunks without
     materializing the [B, T, V] logits (llama.causal_lm_loss_from_hidden —
     essential at 3B/128k-vocab scale); logits returned are then None.
+
+    attn_impl / enc_attn_impl / mel_impl select the llama-attention,
+    encoder-attention and featurizer implementations ('auto' = measured-best
+    per backend; '*_interpret' variants let CPU-mesh tests run the real
+    Pallas kernel paths — see ops/partitioning.py).
     """
     lora = trainable.get("lora")
     if lora is not None:
@@ -276,7 +294,7 @@ def forward(
                 input_ids=batch.input_ids,
                 attention_mask=batch.attention_mask,
                 lora=lora, compute_dtype=compute_dtype, return_hidden=True,
-                remat=remat,
+                remat=remat, attn_impl=attn_impl,
             )
             loss = llama_mod.causal_lm_loss_from_hidden(
                 frozen["llama"], cfg.llama, hidden, batch.labels,
@@ -291,11 +309,15 @@ def forward(
             lora=lora,
             compute_dtype=compute_dtype,
             remat=remat,
+            attn_impl=attn_impl,
         )
         loss = llama_mod.causal_lm_loss(logits, batch.labels)
         return loss, logits
 
-    enc = process_audio_features(frozen, cfg, batch.audio_features, compute_dtype)
+    enc = process_audio_features(
+        frozen, cfg, batch.audio_features, compute_dtype,
+        enc_attn_impl=enc_attn_impl, mel_impl=mel_impl,
+    )
     audio_embeds = proj_mod.project(trainable["projector"], enc, compute_dtype)
     if cfg.splice_mode == "inplace":
         text_embeds = llama_mod.embed_tokens(
@@ -323,7 +345,7 @@ def forward(
             frozen["llama"], cfg.llama,
             inputs_embeds=combined, attention_mask=combined_mask,
             lora=lora, compute_dtype=compute_dtype, return_hidden=True,
-            remat=remat,
+            remat=remat, attn_impl=attn_impl,
         )
         loss = llama_mod.causal_lm_loss_from_hidden(
             frozen["llama"], cfg.llama, hidden, labels,
@@ -338,6 +360,7 @@ def forward(
         lora=lora,
         compute_dtype=compute_dtype,
         remat=remat,
+        attn_impl=attn_impl,
     )
     loss = llama_mod.causal_lm_loss(logits, labels)
     return loss, logits

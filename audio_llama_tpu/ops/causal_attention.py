@@ -686,7 +686,33 @@ def causal_mha(
     underflows and the row silently zeroes. Production paths use 'online';
     'bounded' remains for A/B measurement ('dma'/'dma2' impls are
     bounded-only).
+
+    Under an active ops.partitioning context (GSPMD-sharded train steps)
+    the call self-wraps in a nested shard_map: batch over dp x fsdp, heads
+    over tp — attention is batch/head-parallel, so each shard runs this
+    kernel on its local block with no collectives.
     """
+    from . import partitioning as ptn
+
+    ctx = ptn.current()
+    if ctx is not None:
+        local = functools.partial(
+            _causal_mha_local, scale=scale, block_q=block_q, chunk_k=chunk_k,
+            interpret=interpret, fwd_impl=fwd_impl, softmax_mode=softmax_mode,
+        )
+        return ptn.wrap_attention(
+            lambda q, k, v, m: local(q, k, v, mask=m), q, k, v, mask
+        )
+    return _causal_mha_local(
+        q, k, v, mask=mask, scale=scale, block_q=block_q, chunk_k=chunk_k,
+        interpret=interpret, fwd_impl=fwd_impl, softmax_mode=softmax_mode,
+    )
+
+
+def _causal_mha_local(
+    q, k, v, *, mask, scale, block_q, chunk_k, interpret, fwd_impl,
+    softmax_mode,
+):
     B, T, Hq, hd = q.shape
     Hkv = k.shape[2]
     if Hq % Hkv:

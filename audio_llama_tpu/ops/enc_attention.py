@@ -181,7 +181,7 @@ def _pick_block_q(t: int) -> int:
         "chunk_k",
     ),
 )
-def enc_attention(
+def _enc_attention_jit(
     q: jnp.ndarray,  # [B, T, H, hd]
     k: jnp.ndarray,
     v: jnp.ndarray,
@@ -303,3 +303,38 @@ def enc_attention(
     )(qh, kh, vh, bias)
 
     return jnp.swapaxes(out.reshape(B, H, T, hd), 1, 2)
+
+
+def enc_attention(
+    q: jnp.ndarray,  # [B, T, H, hd]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    valid_len: Optional[int] = None,
+    scale: Optional[float] = None,
+    block_q: int = 0,
+    exp_dtype=jnp.float32,
+    interpret: bool = False,
+    algo: str = "v3",
+    chunk_k: int = 0,
+) -> jnp.ndarray:
+    """Public entry — see _enc_attention_jit for the kernel contract.
+
+    Self-wraps in a nested shard_map under an active ops.partitioning
+    context (batch over dp x fsdp, heads over tp): encoder attention is
+    batch/head-parallel, so each shard runs the kernel on its local block
+    inside GSPMD-sharded train steps. NOTE for algo='v3': heads are sliced
+    inside the kernel from the folded [B, T, H*hd] layout, so head-sharding
+    simply narrows the fold — n_heads becomes the local count."""
+    from . import partitioning as ptn
+
+    ctx = ptn.current()
+    kw = dict(
+        valid_len=valid_len, scale=scale, block_q=block_q,
+        exp_dtype=exp_dtype, interpret=interpret, algo=algo, chunk_k=chunk_k,
+    )
+    if ctx is not None:
+        return ptn.wrap_attention(
+            lambda q, k, v, m: _enc_attention_jit(q, k, v, **kw), q, k, v, None
+        )
+    return _enc_attention_jit(q, k, v, **kw)

@@ -66,7 +66,23 @@ def flash_mha(
     (up to flash's online-softmax reduction order). Padded-query rows return
     garbage — callers mask their loss/outputs, as they already must for pad
     tokens.
+
+    Self-wraps in a nested shard_map under an active ops.partitioning
+    context (batch over dp x fsdp, heads over tp) so the kernel keeps
+    working inside GSPMD-sharded programs.
     """
+    from . import partitioning as ptn
+
+    ctx = ptn.current()
+    if ctx is not None:
+        local = functools.partial(_flash_mha_local, causal=causal, scale=scale)
+        return ptn.wrap_attention(
+            lambda q, k, v, m: local(q, k, v, mask=m), q, k, v, mask
+        )
+    return _flash_mha_local(q, k, v, mask=mask, causal=causal, scale=scale)
+
+
+def _flash_mha_local(q, k, v, *, mask, causal, scale):
     B, T, Hq, hd = q.shape
     Hkv = k.shape[2]
     if scale is None:

@@ -36,8 +36,28 @@ def _kernel(x_ref, s_ref, b_ref, o_ref, *, eps):
     o_ref[:] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def layer_norm_pallas(
+    x: jnp.ndarray,  # [..., D]
+    scale: jnp.ndarray,  # [D]
+    bias: jnp.ndarray,  # [D]
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused LN; self-wraps in shard_map (batch-sharded rows) under an
+    active ops.partitioning context so it lowers inside GSPMD programs."""
+    from . import partitioning as ptn
+
+    ctx = ptn.current()
+    if ctx is not None and x.ndim >= 2:
+        return ptn.wrap_rows(
+            lambda x, s, b: _layer_norm_pallas_jit(x, s, b, eps, interpret),
+            x, scale, bias,
+        )
+    return _layer_norm_pallas_jit(x, scale, bias, eps, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _layer_norm_pallas_jit(
     x: jnp.ndarray,  # [..., D]
     scale: jnp.ndarray,  # [D]
     bias: jnp.ndarray,  # [D]

@@ -164,7 +164,17 @@ def log_mel(audio: jnp.ndarray, cfg: MelConfig, interpret: bool = False) -> jnp.
     lead = audio.shape[:-1]
     audio2d = audio.reshape(-1, audio.shape[-1])
 
-    mel = mel_power(audio2d, cfg, interpret)  # [B, F, n_mels]
+    from . import partitioning as ptn
+
+    ctx = ptn.current()
+    if ctx is not None:
+        # GSPMD-sharded program: run the kernel per batch shard (mel is
+        # embarrassingly batch-parallel; see ops/partitioning.py)
+        mel = ptn.wrap_batch(
+            lambda a: mel_power(a, cfg, interpret), audio2d, out_ndim=3
+        )  # [B, F, n_mels]
+    else:
+        mel = mel_power(audio2d, cfg, interpret)  # [B, F, n_mels]
     mel = jnp.swapaxes(mel, -1, -2)  # [B, n_mels, F]
 
     if cfg.style == "whisper":

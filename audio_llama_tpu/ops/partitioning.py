@@ -99,11 +99,11 @@ def _head_entry(ctx: KernelPartitionContext, *head_counts: int):
 
 
 def _smap(fn, ctx, in_specs, out_specs):
-    from jax.experimental.shard_map import shard_map
+    import jax
 
-    return shard_map(
+    return jax.shard_map(
         fn, mesh=ctx.mesh, in_specs=in_specs, out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )
 
 

@@ -200,6 +200,16 @@ def _build_parser():
                    help="compute cross-entropy in sequence chunks of this "
                         "size without materializing [B,T,V] logits "
                         "(recommended 256 for 3B/128k-vocab training)")
+    p.add_argument("--attn_impl", type=str, default="auto",
+                   help="llama attention implementation: auto (measured-best "
+                        "per backend) | causal_kernel | flash | xla | "
+                        "causal_kernel_interpret (CPU debug)")
+    p.add_argument("--enc_attn_impl", type=str, default="auto",
+                   help="whisper-encoder attention: auto | enc_kernel | "
+                        "flash | xla | enc_kernel_interpret (CPU debug)")
+    p.add_argument("--mel_impl", type=str, default="auto",
+                   help="log-mel featurizer: auto | pallas | xla | "
+                        "pallas_interpret (CPU debug)")
     return p
 
 
@@ -532,6 +542,8 @@ def train(args) -> dict:
                 cfg, optimizer, mesh, batch, sid, eid,
                 compute_dtype=compute_dtype, accum_steps=accum,
                 loss_chunk_size=args.loss_chunk_size, remat=args.remat,
+                attn_impl=args.attn_impl, enc_attn_impl=args.enc_attn_impl,
+                mel_impl=args.mel_impl,
             )
         return step_fns[key]
 
@@ -543,7 +555,9 @@ def train(args) -> dict:
         key = batch.audio_features is not None
         if key not in eval_fns:
             eval_fns[key] = parallel.make_sharded_eval_step(
-                cfg, mesh, batch, sid, eid, compute_dtype=compute_dtype
+                cfg, mesh, batch, sid, eid, compute_dtype=compute_dtype,
+                attn_impl=args.attn_impl, enc_attn_impl=args.enc_attn_impl,
+                mel_impl=args.mel_impl,
             )
         return eval_fns[key]
 

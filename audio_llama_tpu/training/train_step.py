@@ -41,11 +41,15 @@ def init_train_state(trainable: dict, optimizer: optax.GradientTransformation) -
 
 def make_loss_fn(cfg: AudioLLMConfig, audio_start_id: int, audio_end_id: int,
                  compute_dtype=jnp.bfloat16, with_audio: bool = True,
-                 loss_chunk_size: int = 0, remat: bool = False) -> Callable:
+                 loss_chunk_size: int = 0, remat: bool = False,
+                 attn_impl: str = "auto", enc_attn_impl: str = "auto",
+                 mel_impl: str = "auto") -> Callable:
     def loss_fn(trainable, frozen, batch: allm.AudioLLMBatch):
         loss, _ = allm.forward(
             frozen, trainable, cfg, batch, audio_start_id, audio_end_id,
             compute_dtype, loss_chunk_size=loss_chunk_size, remat=remat,
+            attn_impl=attn_impl, enc_attn_impl=enc_attn_impl,
+            mel_impl=mel_impl,
         )
         return loss
 
@@ -62,13 +66,17 @@ def make_train_step(
     with_audio: bool = True,
     loss_chunk_size: int = 0,
     remat: bool = False,
+    attn_impl: str = "auto",
+    enc_attn_impl: str = "auto",
+    mel_impl: str = "auto",
 ):
     """Returns step(state, frozen, batch) -> (state, metrics).
 
     batch leaves are [accum, micro, ...] when accum_steps > 1, else [micro, ...].
     """
     loss_fn = make_loss_fn(cfg, audio_start_id, audio_end_id, compute_dtype,
-                           with_audio, loss_chunk_size, remat)
+                           with_audio, loss_chunk_size, remat,
+                           attn_impl, enc_attn_impl, mel_impl)
     grad_fn = jax.value_and_grad(loss_fn)
 
     def step(state: TrainState, frozen: dict, batch: allm.AudioLLMBatch):
@@ -108,9 +116,14 @@ def make_eval_step(
     audio_start_id: int,
     audio_end_id: int,
     compute_dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    enc_attn_impl: str = "auto",
+    mel_impl: str = "auto",
 ):
     """eval step: (trainable, frozen, batch) -> per-batch mean loss."""
-    loss_fn = make_loss_fn(cfg, audio_start_id, audio_end_id, compute_dtype)
+    loss_fn = make_loss_fn(cfg, audio_start_id, audio_end_id, compute_dtype,
+                           attn_impl=attn_impl, enc_attn_impl=enc_attn_impl,
+                           mel_impl=mel_impl)
 
     def step(trainable, frozen, batch):
         return loss_fn(trainable, frozen, batch)

@@ -130,3 +130,92 @@ def test_dataset_concat_labels_with_hf_tokenizer(hf_tok_dir, tmp_path):
     assert (labels[prompt_len:n] != -100).all()
     assert labels[n - 1] == tk.eos_id
     assert it["input_ids"][n - 1] == tk.eos_id
+
+
+# ---------------------------------------------------------------------------
+# Checked-in REAL Llama-3.2-style tokenizer fixture (round-3 VERDICT #5):
+# byte-level BPE (tokenizer.json built offline with the tokenizers lib),
+# Llama-3 special-token layout — BOS <|begin_of_text|> prepended by a
+# TemplateProcessing post-processor, EOS <|end_of_text|>, specials appended
+# AFTER the base vocab, and NO pad token (so the reference's pad := eos
+# setup, src/dataloaders.py:46, actually executes). The synthetic WordLevel
+# fixture above cannot exercise any of that.
+# ---------------------------------------------------------------------------
+
+import os
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_llama_tokenizer")
+
+
+@pytest.fixture(scope="module")
+def llama_tok():
+    from audio_llama_tpu.data.tokenizer import HFTokenizer
+
+    return HFTokenizer(FIXTURE)
+
+
+def test_llama_fixture_pad_falls_back_to_eos(llama_tok):
+    # the fixture ships no pad token: the adapter must map pad := eos
+    assert llama_tok.pad_id == llama_tok.eos_id
+    assert llama_tok.bos_id is not None and llama_tok.bos_id != llama_tok.eos_id
+
+
+def test_llama_fixture_added_tokens_extend_vocab(llama_tok):
+    from audio_llama_tpu.data.tokenizer import AUDIO_END_TOKEN, AUDIO_START_TOKEN
+
+    assert llama_tok.added == 2
+    sid = llama_tok.token_to_id(AUDIO_START_TOKEN)
+    eid = llama_tok.token_to_id(AUDIO_END_TOKEN)
+    # Llama-3 layout: base vocab 425 (incl. bos/eos at 423/424); the two
+    # audio delimiters must land at fresh top-of-vocab ids, and vocab_size
+    # (len(tokenizer)) must cover them — this is what resize_embeddings
+    # consumes (reference src/train.py:230).
+    assert {sid, eid} == {425, 426}
+    assert llama_tok.vocab_size == 427
+    # idempotent: re-adding registers nothing new
+    assert llama_tok.add_special_tokens(["<audio>", "</audio>"]) == 0
+    assert llama_tok.vocab_size == 427
+
+
+def test_llama_fixture_bos_prepended_once(llama_tok):
+    ids, mask = llama_tok.encode("hello world", add_bos=True)
+    assert ids[0] == llama_tok.bos_id
+    assert (ids[1:] != llama_tok.bos_id).all()
+    ids_nb, _ = llama_tok.encode("hello world", add_bos=False)
+    assert ids_nb[0] != llama_tok.bos_id
+    assert list(ids[1:]) == list(ids_nb)
+
+
+def test_llama_fixture_audio_token_not_split(llama_tok):
+    """<audio> must survive as ONE token inside running text — a real
+    byte-level BPE would otherwise shred it into '<', 'audio', '>' pieces
+    (the synthetic WordLevel fixture can't catch this)."""
+    from audio_llama_tpu.data.tokenizer import AUDIO_START_TOKEN
+
+    sid = llama_tok.token_to_id(AUDIO_START_TOKEN)
+    ids, _ = llama_tok.encode("transcribe <audio> now", add_bos=False)
+    assert sid in ids.tolist()
+    assert (ids == sid).sum() == 1
+
+
+def test_llama_fixture_eos_append_and_padding(llama_tok):
+    # unpadded: eos appended, never overwriting the last real token
+    ids, mask = llama_tok.encode("the quick brown fox", add_bos=False, add_eos=True)
+    assert ids[-1] == llama_tok.eos_id and mask[-1] == 1
+    base, _ = llama_tok.encode("the quick brown fox", add_bos=False)
+    assert list(ids[:-1]) == list(base)
+    # padded to max_length: eos goes in the first pad slot
+    ids_p, mask_p = llama_tok.encode(
+        "the quick brown fox", max_length=16, pad_to_max=True,
+        add_bos=False, add_eos=True,
+    )
+    n = int(mask_p.sum())
+    assert ids_p[n - 1] == llama_tok.eos_id
+    assert len(ids_p) == 16
+
+
+def test_llama_fixture_roundtrip_decode(llama_tok):
+    text = "the quick brown fox jumps over the lazy dog"
+    ids, _ = llama_tok.encode(text, add_bos=True, add_eos=True)
+    out = llama_tok.decode(ids, skip_special_tokens=True)
+    assert out.strip() == text

@@ -1,10 +1,21 @@
-"""Dataloader factory + threaded prefetching loader.
+"""Dataloader factory + threaded/process-pooled prefetching loader.
 
 Reference: create_dataloaders (src/dataloaders.py:10-113) — JSON load, seeded
 shuffle, 90/10 split, torch DataLoaders with num_workers + pin_memory. The
 TPU-native analog: a thread-pooled batch builder (the native FLAC decode
 releases the GIL, so threads parallelize decode) with a bounded prefetch
 queue feeding device puts; no torch dependency.
+
+Scaling past one chip (round-3 VERDICT #6): the thread pool tops out at one
+core's worth of Python-side work (tokenize/collate hold the GIL even though
+the native decode releases it). `worker_processes=N` switches batch building
+to a ProcessPoolExecutor — the reference's num_workers>0 fork semantics
+(torch DataLoader workers are separate processes too, SURVEY.md §3.4) — with
+the dataset shipped once per worker via the pool initializer and one pickle
+per COLLATED BATCH coming back (~2 MB/clip of mel-ready audio; a memcpy,
+not a re-decode). Throughput then scales with cores until the ~GB/s result
+pipe saturates; combine with multi-host loader shards
+(process_index/process_count) beyond that.
 """
 
 from __future__ import annotations
@@ -12,12 +23,34 @@ from __future__ import annotations
 import json
 import logging
 import random
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 from .dataset import AudioLLMDataset, DatasetConfig, collate
 
 logger = logging.getLogger(__name__)
+
+# Per-process dataset cache for ProcessPoolExecutor workers: the dataset is
+# pickled ONCE per worker (initializer), not once per task.
+_WORKER_DATASET: Optional[AudioLLMDataset] = None
+
+
+def _pool_init(dataset: AudioLLMDataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _pool_build(batch_idx: List[int], force_audio: Optional[bool],
+                audio_samples: Optional[int]) -> Dict[str, Any]:
+    ds = _WORKER_DATASET
+    assert ds is not None, "worker pool not initialized"
+    if force_audio is None:
+        return collate([ds[i] for i in batch_idx])
+    return collate(
+        [ds[i] for i in batch_idx],
+        force_audio=force_audio,
+        audio_samples=audio_samples,
+    )
 
 
 class DataLoader:
@@ -34,6 +67,7 @@ class DataLoader:
         prefetch: int = 4,
         process_index: int = 0,
         process_count: int = 1,
+        worker_processes: int = 0,
     ):
         """process_index/process_count: multi-host data sharding. batch_size
         stays the GLOBAL batch size; every process computes the identical
@@ -50,6 +84,10 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
+        self.worker_processes = max(0, worker_processes)
+        if self.worker_processes:
+            # keep every pool process busy: at least one in-flight batch each
+            self.prefetch = max(self.prefetch, self.worker_processes)
         self._epoch = 0
         self.process_index = process_index
         self.process_count = max(1, process_count)
@@ -100,21 +138,51 @@ class DataLoader:
             audio_samples=self.dataset.cfg.max_samples,
         )
 
+    def _submit_fn(self, ex):
+        """(executor, batch_idx) -> future, for both pool flavors."""
+        if self.worker_processes:
+            def submit(batch_idx):
+                if self.process_count == 1:
+                    return ex.submit(_pool_build, batch_idx, None, None)
+                force_audio = any(
+                    self.dataset.entry_has_audio(i) for i in batch_idx
+                )
+                lbs = self.batch_size // self.process_count
+                local = batch_idx[
+                    self.process_index * lbs : (self.process_index + 1) * lbs
+                ]
+                return ex.submit(
+                    _pool_build, local, force_audio,
+                    self.dataset.cfg.max_samples,
+                )
+
+            return submit
+        return lambda batch_idx: ex.submit(self._build, batch_idx)
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         batches = self._batches()
-        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+        if self.worker_processes:
+            pool = ProcessPoolExecutor(
+                max_workers=self.worker_processes,
+                initializer=_pool_init,
+                initargs=(self.dataset,),
+            )
+        else:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        with pool as ex:
+            submit = self._submit_fn(ex)
             inflight = []
             it = iter(batches)
             try:
                 for _ in range(self.prefetch):
-                    inflight.append(ex.submit(self._build, next(it)))
+                    inflight.append(submit(next(it)))
             except StopIteration:
                 pass
             i = 0
             while i < len(batches):
                 fut = inflight.pop(0)
                 try:
-                    inflight.append(ex.submit(self._build, batches[i + self.prefetch]))
+                    inflight.append(submit(batches[i + self.prefetch]))
                 except IndexError:
                     pass
                 yield fut.result()
@@ -135,6 +203,7 @@ def create_dataloaders(
     val_batch_size: Optional[int] = None,
     process_index: int = 0,
     process_count: int = 1,
+    worker_processes: int = 0,
 ) -> Tuple[DataLoader, DataLoader, DatasetConfig]:
     """JSON -> (train_loader, val_loader, dataset_config).
 
@@ -176,6 +245,7 @@ def create_dataloaders(
         train_ds, batch_size, shuffle=True, seed=seed, drop_last=True,
         num_workers=num_workers,
         process_index=process_index, process_count=process_count,
+        worker_processes=worker_processes,
     )
     # Static-shape eval: clamp to the dataset and drop ragged tails only
     # when at least one full batch exists (jitted eval steps are compiled
@@ -189,6 +259,7 @@ def create_dataloaders(
         drop_last=len(val_ds) >= vbs or process_count > 1,
         num_workers=num_workers,
         process_index=process_index, process_count=process_count,
+        worker_processes=worker_processes,
     )
     return train, val, cfg
 

@@ -90,6 +90,7 @@ def transcribe_batch(
     max_new_tokens: int = 128,
     seed: int = 0,
     pad_to: Optional[int] = None,
+    kv_quant: bool = False,
 ) -> List[str]:
     """Greedy batched decode; prompts are right-padded to a shared length.
 
@@ -120,6 +121,7 @@ def transcribe_batch(
         jnp.asarray(audio, jnp.float32),
         jax.random.PRNGKey(seed),
         max_new_tokens=max_new_tokens,
+        kv_quant=kv_quant,
         greedy=True,
         eos_id=tokenizer.eos_id,
         pad_id=tokenizer.pad_id,
@@ -148,6 +150,7 @@ def evaluate_wer(
     audio_key: str = "audio_paths",
     text_key: str = "text",
     response_key: str = "response",
+    kv_quant: bool = False,
 ) -> Dict[str, float]:
     """Transcribe every entry (batched, fixed shapes) and score corpus WER.
 
@@ -185,7 +188,7 @@ def evaluate_wer(
         )
         texts = transcribe_batch(
             cfg, frozen, trainable, tokenizer, prompts, audio, max_new_tokens,
-            pad_to=pad_to,
+            pad_to=pad_to, kv_quant=kv_quant,
         )
         refs.extend(e[response_key] for e in chunk[:real])
         hyps.extend(texts[:real])

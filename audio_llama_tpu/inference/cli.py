@@ -186,6 +186,12 @@ def parse_args(argv=None):
              "with --int8_decoder for max decode throughput)",
     )
     p.add_argument(
+        "--int4_decoder", action="store_true",
+        help="weight-only int4 (W4A16) frozen decoder — halves the weight "
+             "stream vs --int8_decoder (Pallas dequant kernel, models/"
+             "llama_int4.py); validate WER first",
+    )
+    p.add_argument(
         "--int8_decoder", action="store_true",
         help="weight-only int8 frozen Llama (halves decode HBM traffic; "
              "models/llama_int8.py). LoRA deltas are merged into the bf16 "
@@ -209,7 +215,7 @@ def main(argv=None):
         toy_model=args.toy_model,
         seed=args.seed,
     )
-    if args.int8_decoder:
+    if args.int8_decoder or args.int4_decoder:
         from ..models import llama_int8 as l8
         from ..models import lora as lora_mod
 
@@ -220,7 +226,12 @@ def main(argv=None):
                 lora_mod.with_scaling(trainable["lora"], cfg.lora),
             )
             trainable = {k: v for k, v in trainable.items() if k != "lora"}
-        frozen["llama"] = l8.quantize_llama(frozen["llama"])
+        if args.int4_decoder:
+            from ..models import llama_int4 as l4
+
+            frozen["llama"] = l4.quantize_llama_int4(frozen["llama"])
+        else:
+            frozen["llama"] = l8.quantize_llama(frozen["llama"])
     text = generate_response(
         cfg, frozen, trainable, tk,
         prompt=args.prompt,

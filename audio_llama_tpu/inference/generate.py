@@ -219,6 +219,17 @@ def make_tp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
     from ..parallel import sharding as shd
 
     tp = mesh.shape["tp"]
+
+    def _check_no_int4(frozen):
+        w = frozen["llama"]["layers"]["q_proj"]
+        if isinstance(w, dict) and "w_p" in w:
+            raise ValueError(
+                "make_tp_generate does not support the int4 tree: its byte "
+                "packing pairs output column j with j+N/2, which a tp shard "
+                "of the packed dim would split (models/llama_int4.py). Use "
+                "dp generation or the int8 tree for tp."
+            )
+
     if cfg.llama.num_kv_heads % tp or cfg.llama.num_heads % tp:
         raise ValueError(
             f"tp={tp} must divide num_heads={cfg.llama.num_heads} and "
@@ -256,6 +267,7 @@ def make_tp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
     cache = {}
 
     def fn(frozen, trainable, input_ids, attention_mask, audio, key):
+        _check_no_int4(frozen)
         # Build shard_map + jit ONCE (keyed by weight-tree structure): a
         # fresh jit per call would recompile the whole prefill+decode
         # program every time (minutes per compile on remote TPU).

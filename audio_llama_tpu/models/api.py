@@ -149,17 +149,31 @@ class AudioLLM:
         frozen["whisper"] = w8.quantize_encoder(frozen["whisper"])
         return AudioLLM(self.cfg, frozen, self.trainable, self.tokenizer)
 
-    def quantize_decoder(self, include_embed: bool = True) -> "AudioLLM":
-        """Weight-only int8 (W8A16) frozen Llama for decode serving — halves
-        the per-step HBM weight stream that bounds decode throughput (see
-        models/llama_int8.py). LoRA overlays keep working; for zero-overhead
-        serving call merge_lora() FIRST (merging needs bf16 weights)."""
-        from . import llama_int8 as l8
-
+    def quantize_decoder(
+        self, include_embed: bool = True, bits: int = 8
+    ) -> "AudioLLM":
+        """Weight-only quantized frozen Llama for decode serving — bits=8
+        (W8A16, models/llama_int8.py) halves the per-step HBM weight stream
+        that bounds decode throughput; bits=4 (W4A16, models/llama_int4.py,
+        Pallas dequant kernel) halves it again with the standard int4-RTN
+        accuracy envelope (validate WER first). LoRA overlays keep working;
+        for zero-overhead serving call merge_lora() FIRST (merging needs
+        bf16 weights)."""
         frozen = dict(self.frozen)
-        frozen["llama"] = l8.quantize_llama(
-            frozen["llama"], include_embed=include_embed
-        )
+        if bits == 4:
+            from . import llama_int4 as l4
+
+            frozen["llama"] = l4.quantize_llama_int4(
+                frozen["llama"], include_embed=include_embed
+            )
+        elif bits == 8:
+            from . import llama_int8 as l8
+
+            frozen["llama"] = l8.quantize_llama(
+                frozen["llama"], include_embed=include_embed
+            )
+        else:
+            raise ValueError(f"bits must be 4 or 8, got {bits}")
         return AudioLLM(self.cfg, frozen, self.trainable, self.tokenizer)
 
     def merge_lora(self) -> "AudioLLM":

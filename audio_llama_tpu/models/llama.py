@@ -189,8 +189,22 @@ def _linear(x, w, lora_branch, compute_dtype):
     dtype inside the matmul fusion (HBM streams int8 — half the bytes, the
     decode bottleneck) and the column scales apply to the f32-accumulated
     output exactly: x @ (q * s_col) == (x @ q) * s_col.
+
+    Or a weight-only-int4 dict {'w_p' packed int8, 'w_s' group-wise f32}
+    from models.llama_int4.quantize_llama_int4 — dispatched to the Pallas
+    dequant-matmul kernel (ops/int4_matmul.py; XLA cannot consume int4), or
+    its XLA dequant oracle off-TPU.
     """
-    if isinstance(w, dict):
+    if isinstance(w, dict) and "w_p" in w:
+        from ..ops import int4_matmul as i4
+
+        if i4.available():
+            y = i4.int4_matmul(x.astype(compute_dtype), w["w_p"], w["w_s"])
+        else:
+            y = i4.int4_matmul_ref(
+                x, w["w_p"], w["w_s"], compute_dtype=compute_dtype
+            )
+    elif isinstance(w, dict):
         y = (x @ w["w_q"].astype(compute_dtype)) * w["w_s"].astype(compute_dtype)
     else:
         y = x @ w.astype(compute_dtype)

@@ -106,8 +106,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref, c_ref,
     @pl.when(kj == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        lsum_ref[:] = jnp.zeros_like(lsum_ref)
-        if softmax == "online":
+        if softmax == "bounded":
+            lsum_ref[:] = jnp.zeros_like(lsum_ref)
+        else:
             m_ref[:] = jnp.full_like(m_ref, NEG)
 
     @pl.when(kj * ck <= qi * bq + bq - 1)  # skip fully-future chunks
@@ -138,28 +139,46 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref, c_ref,
             )
         else:  # 'online': running true max with rescaling — p <= 1 always,
             # so neither the underflow (bound >> true max) nor overflow
-            # regime exists at ANY activation magnitude.
+            # regime exists at ANY activation magnitude. The kernel is
+            # VPU-pass-bound (fwd 42 vs bounded's 64 TF/s with a naive
+            # 3-pass softmax), so two VPU passes ride other units instead:
+            #   - the row-sum rides the PV matmul via a ones column
+            #     (P @ [V | 1] -> output AND denominator; the MXU runs at
+            #     ~30% duty here, so the extra 128->129 lane tile is free);
+            #   - exp runs in bf16 when V is bf16 (args <= 0, so bf16's
+            #     range is safe; P is cast to bf16 for the MXU anyway).
             m_prev = m_ref[:]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             r = jnp.exp(m_prev - m_new)  # <= 1; first chunk: exp(-huge) = 0
-            p = jnp.exp(s - m_new)
-            lsum_ref[:] = lsum_ref[:] * r + jnp.sum(p, axis=1, keepdims=True)
+            v = v_ref[0]
+            exp_dtype = (
+                jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
+            )
+            p = jnp.exp((s - m_new).astype(exp_dtype)).astype(v.dtype)
+            ck_ = v.shape[0]
+            v_ext = jnp.concatenate(
+                [v, jnp.ones((ck_, 1), v.dtype)], axis=1
+            )  # [ck, hd+1]
             acc_ref[:] = acc_ref[:] * r + jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+                p, v_ext, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             m_ref[:] = m_new
 
     @pl.when(kj == nk - 1)
     def _():
-        l = lsum_ref[:]
-        safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0] = jnp.where(l > 0, acc_ref[:] / safe, 0.0).astype(o_ref.dtype)
-        l_ref[0, 0] = l[:, 0]
+        hd = o_ref.shape[2]
         if softmax == "bounded":
+            l = lsum_ref[:]
+            out = acc_ref[:]
             c_ref[0, 0] = _row_bound(q_ref[0], kn_ref[0, 0, 0])[:, 0]
-        else:
+        else:  # denominator lives in the accumulator's ones-column lane
+            l = acc_ref[:, hd : hd + 1]
+            out = acc_ref[:, :hd]
             c_ref[0, 0] = m_ref[:][:, 0]
+        safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = jnp.where(l > 0, out / safe, 0.0).astype(o_ref.dtype)
+        l_ref[0, 0] = l[:, 0]
 
 
 def _fwd_kernel_dma(q_ref, mb_ref, kn_ref, k_any, v_any, o_ref, l_ref, c_ref,
@@ -511,7 +530,9 @@ def _fwd_call(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret, tri="always",
             jax.ShapeDtypeStruct((BHq, 1, T), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bq, hd), jnp.float32),
+            # online mode: the accumulator carries the denominator in an
+            # extra ones-column lane (P @ [V | 1])
+            pltpu.VMEM((bq, hd + (0 if softmax == "bounded" else 1)), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
         ],

@@ -1,0 +1,199 @@
+"""W4A16: group-wise int4 weight-only matmul (Pallas dequant kernel).
+
+Decode at 3B dims is a weight-stream problem: every step reads every decoder
+weight once, so tokens/sec tracks HBM bytes. Round 2 halved the stream with
+W8A16 (models/llama_int8.py, XLA upcasts int8 inside the matmul fusion);
+int4 halves it AGAIN, but XLA has no int4 matmul path — hence this kernel
+(round-2 VERDICT next-step #3).
+
+Layout ("column-pair halves packing"): a weight w [K, N] (in, out) is
+quantized per (group, out-column) with groups of G=128 contraction rows —
+q in [-7, 7], scale = absmax/7 — and byte-packed pairing output column j
+with column j + N/2:
+
+    packed[k, j] = (q[k, j] & 0xF) | (q[k, j + N/2] << 4)      # [K, N/2] i8
+
+Unpacking a packed lane tile then yields TWO CONTIGUOUS half-tiles (low
+nibbles -> columns [0, N/2), high nibbles -> [N/2, N)) — no lane
+interleave, which TPU's VPU cannot do cheaply. The kernel writes a [2, M,
+N/2] output (lo/hi planes) that the wrapper concatenates.
+
+Why the scale factors out of the MXU: within group g the scale is constant
+over the contraction rows, so
+
+    sum_k x_k * (q_kj * s_gj) == (sum_k x_k * q_kj) * s_gj
+
+— the MXU multiplies x by raw int4-as-bf16 values and the VPU applies one
+[M_tile, N_tile] multiply per group. Dequant VPU cost is ~4 ops per weight
+element; at decode (M<=32) the kernel is HBM-bound with huge VPU headroom,
+and at prefill (M large) the unpack amortizes over the M tile.
+
+Numerics: exact for the quantized weights (the kernel computes the same
+sum as dequantize-then-matmul, f32 accumulation); quantization error is
+the int4 group-wise error itself (~1e-2 relative — gate end-task accuracy
+with the toy-WER harness before serving with it).
+
+Reference analog: none (reference serves f16 via HF generate). Public int4
+serving precedent: AWQ/GPTQ-class W4A16 kernels; this is the TPU-native
+equivalent with the packing chosen for VPU-friendly unpacking.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 128  # contraction rows per scale group (== MXU tile depth)
+
+
+# ---------------------------------------------------------------------------
+# quantize / pack (jit-able; runs once at load time)
+# ---------------------------------------------------------------------------
+
+def quantize_pack(w: jnp.ndarray, group: int = GROUP) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """w [K, N] float -> (packed [K, N/2] int8, scales [K/group, N] f32).
+
+    N must be even; K must divide by `group`.
+    """
+    K, N = w.shape
+    if N % 2 or K % group:
+        raise ValueError(f"int4 pack needs even N and group|K; got {w.shape}")
+    wf = w.astype(jnp.float32)
+    g = wf.reshape(K // group, group, N)
+    absmax = jnp.max(jnp.abs(g), axis=1)  # [K/g, N]
+    scales = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(g / scales[:, None, :]), -7, 7).astype(jnp.int8)
+    q = q.reshape(K, N)
+    lo = q[:, : N // 2]
+    hi = q[:, N // 2 :]
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(lo.astype(jnp.int32), 0xF),
+        jnp.left_shift(jnp.bitwise_and(hi.astype(jnp.int32), 0xF), 4),
+    ).astype(jnp.int8)
+    return packed, scales
+
+
+def unpack_ref(packed: jnp.ndarray) -> jnp.ndarray:
+    """packed [K, N/2] int8 -> q [K, N] int32 (sign-extended nibbles)."""
+    b = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(b, 28), 28)  # arithmetic: sign-extends
+    hi = jnp.right_shift(jnp.left_shift(b, 24), 28)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def dequantize_ref(packed: jnp.ndarray, scales: jnp.ndarray,
+                   group: int = GROUP) -> jnp.ndarray:
+    """Inverse of quantize_pack (f32) — the parity oracle."""
+    q = unpack_ref(packed).astype(jnp.float32)
+    K, N = q.shape
+    s = jnp.repeat(scales, group, axis=0)  # [K, N]
+    return q * s
+
+
+def int4_matmul_ref(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
+                    group: int = GROUP, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """XLA fallback/oracle: x [..., K] @ dequant(packed) -> [..., N] in
+    compute dtype (f32 accumulation like the kernel)."""
+    w = dequantize_ref(packed, scales, group).astype(compute_dtype)
+    y = jnp.einsum(
+        "...k,kn->...n", x.astype(compute_dtype), w,
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, group, n_groups, bm, nh):
+    """Grid step: x block [bm, K] @ packed block [K, nh] -> o [2, bm, nh].
+
+    Loops the scale groups (static python loop — n_groups ~ 24 at llama
+    dims): unpack the group's packed rows, two MXU matmuls (lo/hi), one
+    scale-multiply-accumulate each.
+    """
+    x = x_ref[:]  # [bm, K]
+    acc_lo = jnp.zeros((bm, nh), jnp.float32)
+    acc_hi = jnp.zeros((bm, nh), jnp.float32)
+    for g in range(n_groups):
+        rows = slice(g * group, (g + 1) * group)
+        b = p_ref[rows, :].astype(jnp.int32)  # [group, nh]
+        lo = jnp.right_shift(jnp.left_shift(b, 28), 28).astype(x.dtype)
+        hi = jnp.right_shift(jnp.left_shift(b, 24), 28).astype(x.dtype)
+        xg = x[:, rows]  # [bm, group]
+        plo = jax.lax.dot_general(
+            xg, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        phi = jax.lax.dot_general(
+            xg, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_lo = acc_lo + plo * slo_ref[g, :][None, :]
+        acc_hi = acc_hi + phi * shi_ref[g, :][None, :]
+    o_ref[0] = acc_lo.astype(o_ref.dtype)
+    o_ref[1] = acc_hi.astype(o_ref.dtype)
+
+
+def _pick(n, cands):
+    for c in cands:
+        if n % c == 0:
+            return c
+    return n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "block_m", "block_n", "interpret")
+)
+def int4_matmul(
+    x: jnp.ndarray,  # [..., K] bf16/f32
+    packed: jnp.ndarray,  # [K, N/2] int8
+    scales: jnp.ndarray,  # [K/group, N] f32
+    group: int = GROUP,
+    block_m: int = 0,
+    block_n: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x @ dequant(packed, scales) -> [..., N] in x.dtype (f32 accum)."""
+    *lead, K = x.shape
+    Nh = packed.shape[1]
+    N = Nh * 2
+    n_groups = K // group
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+
+    bm = block_m or _pick(M, (256, 128, 64, 32, 16, 8, 4, 2, 1))
+    nh = block_n or _pick(Nh, (512, 256, 128))
+    nm, nn = M // bm, Nh // nh
+
+    s_lo = scales[:, : N // 2]
+    s_hi = scales[:, N // 2 :]
+
+    kernel = functools.partial(
+        _kernel, group=group, n_groups=n_groups, bm=bm, nh=nh
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nm, nn),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda mi, ni: (mi, 0)),
+            pl.BlockSpec((K, nh), lambda mi, ni: (0, ni)),
+            pl.BlockSpec((n_groups, nh), lambda mi, ni: (0, ni)),
+            pl.BlockSpec((n_groups, nh), lambda mi, ni: (0, ni)),
+        ],
+        out_specs=pl.BlockSpec((2, bm, nh), lambda mi, ni: (0, mi, ni)),
+        out_shape=jax.ShapeDtypeStruct((2, M, Nh), x.dtype),
+        interpret=interpret,
+    )(x2, packed, s_lo, s_hi)
+    y = jnp.concatenate([out[0], out[1]], axis=-1)  # [M, N]
+    return y.reshape(*lead, N)
+
+
+def available() -> bool:
+    from . import flash_attention as fa
+
+    return fa.available()

@@ -21,6 +21,7 @@ from .sharding import (
     trainable_specs,
     whisper_specs,
 )
+from .seq_parallel import make_sp_encode
 from .sharded_train import (
     init_sharded_state,
     make_sharded_eval_step,
@@ -44,4 +45,5 @@ __all__ = [
     "make_sharded_eval_step",
     "init_sharded_state",
     "shard_train_state",
+    "make_sp_encode",
 ]

@@ -147,6 +147,10 @@ def _build_parser():
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--worker_processes", type=int, default=0,
+                   help="build batches in N separate PROCESSES instead of "
+                        "threads (scales host decode past one core; the "
+                        "reference's torch num_workers fork analog)")
     p.add_argument("--skip_missing_files", action="store_true")
     p.add_argument("--use_dummy_audio", action="store_true")
     # TPU-native extensions
@@ -425,6 +429,7 @@ def train(args) -> dict:
         val_batch_size=args.eval_batch_size,
         process_index=proc_idx,
         process_count=proc_count,
+        worker_processes=args.worker_processes,
     )
 
     accum = max(1, args.grad_accum_steps)

@@ -56,6 +56,12 @@ def main():
              "per-step HBM weight stream; see models/llama_int8.py)",
     )
     ap.add_argument(
+        "--int4_weights", action="store_true",
+        help="weight-only int4 (W4A16) frozen decoder in decode mode — "
+             "Pallas dequant matmul kernel, halves the weight stream AGAIN "
+             "vs int8 (see ops/int4_matmul.py; validate WER before serving)",
+    )
+    ap.add_argument(
         "--kv_quant", action="store_true",
         help="int8 KV cache in decode mode (halves cache HBM; enables larger "
              "batches at 3B dims)",
@@ -324,7 +330,15 @@ def run_decode(args):
     prefill_len = 64 if args.tiny else 2014  # audio 1502 + text 512
     max_len = prefill_len + args.iters + 8
 
-    if args.int8_weights:
+    if args.int4_weights:
+        from audio_llama_tpu.models import llama_int4 as l4
+
+        params = jax.jit(
+            lambda k: l4.quantize_llama_int4(
+                lm.init_params(cfg, k, dtype=jnp.bfloat16)
+            )
+        )(jax.random.PRNGKey(0))
+    elif args.int8_weights:
         from audio_llama_tpu.models import llama_int8 as l8
 
         params = jax.jit(

@@ -203,3 +203,44 @@ def test_get_sample_batch(corpus, dcfg):
     )
     b = get_sample_batch(train)
     assert set(b.keys()) >= {"input_ids", "attention_mask", "labels", "audio"}
+
+
+def test_process_pool_loader_matches_threaded(corpus, dcfg):
+    """worker_processes=N (round-3 VERDICT #6: scale host decode past one
+    core) must yield bit-identical batches in identical order vs the
+    threaded loader — same seeded shuffle, same collate."""
+    root, data_path, audio_root, entries = corpus
+    ds = AudioLLMDataset(entries, audio_root, ByteTokenizer(), dcfg)
+    dl_t = DataLoader(ds, batch_size=2, shuffle=True, seed=1, num_workers=2)
+    dl_p = DataLoader(
+        ds, batch_size=2, shuffle=True, seed=1, worker_processes=2
+    )
+    bt, bp = list(dl_t), list(dl_p)
+    assert len(bt) == len(bp) == 3
+    for a, b in zip(bt, bp):
+        assert a.keys() == b.keys()
+        for k in ("input_ids", "attention_mask", "audio", "labels"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        assert [m["audio_path"] for m in a["metadata"]] == [
+            m["audio_path"] for m in b["metadata"]
+        ]
+
+
+def test_process_pool_loader_multihost_slices(corpus, dcfg):
+    """Process-pool building composes with multi-host loader shards: the two
+    host slices of each global batch concatenate to the single-host batch."""
+    root, data_path, audio_root, entries = corpus
+    ds = AudioLLMDataset(entries, audio_root, ByteTokenizer(), dcfg)
+    full = list(DataLoader(ds, batch_size=2, shuffle=True, seed=1))
+    shard0 = list(DataLoader(
+        ds, batch_size=2, shuffle=True, seed=1,
+        process_index=0, process_count=2, worker_processes=2,
+    ))
+    shard1 = list(DataLoader(
+        ds, batch_size=2, shuffle=True, seed=1,
+        process_index=1, process_count=2, worker_processes=2,
+    ))
+    for f, a, b in zip(full, shard0, shard1):
+        np.testing.assert_array_equal(
+            f["input_ids"], np.concatenate([a["input_ids"], b["input_ids"]])
+        )

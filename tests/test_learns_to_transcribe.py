@@ -48,14 +48,14 @@ def tone_corpus(tmp_path_factory):
     return str(data_path), str(audio_dir), entries
 
 
-@pytest.mark.slow
-def test_pipeline_learns_to_transcribe(tone_corpus, tmp_path):
-    from audio_llama_tpu.eval.wer import evaluate_wer
-    from audio_llama_tpu.inference.cli import load_audio_llm
+@pytest.fixture(scope="module")
+def trained_run(tone_corpus, tmp_path_factory):
+    """Train the toy pipeline ONCE (280 steps, real trainer CLI); both the
+    learning capstone and the quantization gates score this checkpoint."""
     from audio_llama_tpu.training.train import parse_args, train
 
     data_path, audio_dir, entries = tone_corpus
-    out = str(tmp_path / "run")
+    out = str(tmp_path_factory.mktemp("toy_train") / "run")
     args = parse_args(
         [
             "--data_path", data_path,
@@ -75,6 +75,16 @@ def test_pipeline_learns_to_transcribe(tone_corpus, tmp_path):
     )
     result = train(args)
     assert result["steps"] >= 200
+    return result
+
+
+@pytest.mark.slow
+def test_pipeline_learns_to_transcribe(tone_corpus, trained_run):
+    from audio_llama_tpu.eval.wer import evaluate_wer
+    from audio_llama_tpu.inference.cli import load_audio_llm
+
+    data_path, audio_dir, entries = tone_corpus
+    result = trained_run
 
     # score a class-balanced subset (generation is the slow part on CPU)
     eval_entries = [e for i, e in enumerate(entries) if i < 16]
@@ -100,3 +110,58 @@ def test_pipeline_learns_to_transcribe(tone_corpus, tmp_path):
     assert untrained["wer"] > 0.7, untrained
     assert trained["wer"] < 0.3, (trained, untrained)
     assert trained["wer"] < untrained["wer"] * 0.5
+
+
+@pytest.mark.slow
+def test_quantized_serving_matches_bf16_wer(tone_corpus, trained_run):
+    """Round-3 VERDICT #4: automated end-task accuracy gates for every int8
+    serving opt-in. The tensor-level parity tests (test_whisper_int8,
+    test_llama_int8) can't catch task-level degradation; this trains the
+    toy pipeline once, then scores the SAME checkpoint under each
+    quantization flag and demands WER stays within a word of the full-
+    precision run. Until real-weight LibriSpeech WER is measurable (egress),
+    this is the regression gate that keeps --int8_encoder/--int8_decoder/
+    --kv_quant honest."""
+    import jax
+
+    from audio_llama_tpu.eval.wer import evaluate_wer
+    from audio_llama_tpu.inference.cli import load_audio_llm
+    from audio_llama_tpu.models import llama_int8, whisper_int8
+
+    data_path, audio_dir, entries = tone_corpus
+    result = trained_run
+    cfg, frozen, trainable, tk = load_audio_llm(
+        result["final_checkpoint"], toy_model=True, seed=3
+    )
+    eval_entries = [e for i, e in enumerate(entries) if i < 16]
+    score = lambda fz, **kw: evaluate_wer(
+        cfg, fz, trainable, tk, eval_entries, audio_dir,
+        batch_size=8, max_new_tokens=8, **kw,
+    )
+
+    base = score(frozen)
+    assert base["wer"] < 0.3, base
+    bound = base["wer"] + 0.126  # two extra word errors across 16 clips
+
+    # --int8_encoder (W8A8 whisper matmuls)
+    frozen_enc8 = dict(frozen)
+    frozen_enc8["whisper"] = jax.jit(whisper_int8.quantize_encoder)(
+        frozen["whisper"]
+    )
+    enc8 = score(frozen_enc8)
+    assert enc8["wer"] <= bound, ("int8 encoder degraded WER", enc8, base)
+
+    # --int8_decoder (W8A16 weight-only llama)
+    frozen_dec8 = dict(frozen)
+    frozen_dec8["llama"] = jax.jit(llama_int8.quantize_llama)(frozen["llama"])
+    dec8 = score(frozen_dec8)
+    assert dec8["wer"] <= bound, ("int8 decoder degraded WER", dec8, base)
+
+    # --kv_quant (int8 KV cache during generation)
+    kv8 = score(frozen, kv_quant=True)
+    assert kv8["wer"] <= bound, ("int8 KV cache degraded WER", kv8, base)
+
+    # everything composed: the full int8 serving stack
+    frozen_all = {"whisper": frozen_enc8["whisper"], "llama": frozen_dec8["llama"]}
+    all8 = score(frozen_all, kv_quant=True)
+    assert all8["wer"] <= bound, ("composed int8 stack degraded WER", all8, base)

@@ -1,0 +1,135 @@
+"""W4A16 llama tree (models/llama_int4.py): llama_forward over the int4
+tree must match llama_forward over the DEQUANTIZED tree (the kernel/oracle
+dispatch is the only difference — quantization error cancels out of the
+comparison), plus decode-path and generation smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_llama_tpu.config import LlamaConfig
+from audio_llama_tpu.models import llama as lm
+from audio_llama_tpu.models.llama_int4 import (
+    dequantize_llama_int4,
+    is_int4,
+    quantize_llama_int4,
+)
+
+
+def _cfg():
+    # dims sized so every linear satisfies int4 packing (group 128 | in-dim)
+    return LlamaConfig(
+        vocab_size=512,
+        hidden_size=128,
+        intermediate_size=256,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=32,
+        max_position_embeddings=2048,
+        rope_scaling=None,
+        tie_word_embeddings=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def trees():
+    cfg = _cfg()
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_llama_int4(params)
+    deq = dequantize_llama_int4(q)
+    return cfg, params, q, deq
+
+
+def test_is_int4_and_reject_double_quant(trees):
+    cfg, params, q, deq = trees
+    assert is_int4(q) and not is_int4(params)
+    with pytest.raises(ValueError, match="already-quantized"):
+        quantize_llama_int4(q)
+
+
+def test_forward_matches_dequantized_tree(trees):
+    cfg, params, q, deq = trees
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 3, 500)
+    mask = jnp.ones((2, 24), jnp.int32)
+    logits_q, _ = lm.llama_forward(
+        q, cfg, input_ids=ids, attention_mask=mask,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    logits_d, _ = lm.llama_forward(
+        deq, cfg, input_ids=ids, attention_mask=mask,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_q), np.asarray(logits_d), atol=2e-3, rtol=2e-3
+    )
+
+
+def test_decode_with_cache_matches_dequantized(trees):
+    cfg, params, q, deq = trees
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 3, 500)
+    mask = jnp.ones((2, 8), jnp.int32)
+
+    def run(tree):
+        cache = lm.KVCache.zeros(cfg, 2, 16, dtype=jnp.float32)
+        full_mask = jnp.pad(mask, ((0, 0), (0, 8)), constant_values=1)
+        logits, cache = lm.llama_forward(
+            tree, cfg, input_ids=ids, attention_mask=full_mask,
+            kv_cache=cache, compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        step_logits, cache = lm.llama_forward(
+            tree, cfg, input_ids=ids[:, :1] + 1,
+            attention_mask=full_mask, kv_cache=cache,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        return step_logits
+
+    np.testing.assert_allclose(
+        np.asarray(run(q)), np.asarray(run(deq)), atol=2e-3, rtol=2e-3
+    )
+
+
+def test_generation_smoke_int4(trees):
+    from audio_llama_tpu.config import AudioLLMConfig, MelConfig, WhisperConfig
+    from audio_llama_tpu.inference import generate as gen
+    from audio_llama_tpu.models import allm
+
+    cfg = AudioLLMConfig(
+        llama=_cfg(), whisper=WhisperConfig.tiny(),
+        mel=MelConfig(num_mel_bins=80, max_audio_seconds=1.28), lora=None,
+    )
+    frozen = allm.init_frozen(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    frozen = dict(frozen)
+    frozen["llama"] = quantize_llama_int4(
+        allm.init_frozen(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)["llama"]
+    )
+    trainable = allm.init_trainable(cfg.replace(lora=None), jax.random.PRNGKey(1))
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 6), 3, 500)
+    mask = jnp.ones((2, 6), jnp.int32)
+    res = gen.generate(
+        frozen, trainable, cfg, ids, mask, None, jax.random.PRNGKey(4),
+        max_new_tokens=4, greedy=True, eos_id=2, pad_id=0,
+        has_audio=False, compute_dtype=jnp.float32,
+    )
+    assert res.tokens.shape == (2, 4)
+    assert np.asarray(res.tokens).min() >= 0
+
+
+def test_tp_generate_rejects_int4(trees):
+    cfg_l, params, q, deq = trees
+    import numpy as onp
+
+    from audio_llama_tpu.config import AudioLLMConfig, MelConfig, WhisperConfig
+    from audio_llama_tpu.inference import generate as gen
+
+    cfg = AudioLLMConfig(
+        llama=cfg_l, whisper=WhisperConfig.tiny(),
+        mel=MelConfig(num_mel_bins=80, max_audio_seconds=1.28), lora=None,
+    )
+    devs = onp.array(jax.devices()[:2]).reshape(2)
+    mesh = jax.sharding.Mesh(devs, ("tp",))
+    fn = gen.make_tp_generate(cfg, mesh, has_audio=False)
+    frozen = {"llama": q, "whisper": None}
+    with pytest.raises(ValueError, match="int4"):
+        fn(frozen, None, None, None, None, None)

@@ -213,8 +213,9 @@ def make_tp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
     host arrays and let jit lay them out. The jitted program is built once
     on first call and cached.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
 
     from ..parallel import sharding as shd
 
@@ -286,7 +287,7 @@ def make_tp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
                 out_specs=GenerateResult(
                     tokens=batch_spec, num_generated=batch_spec
                 ),
-                check_rep=False,
+                check_vma=False,
             ))
         return cache[key_struct](
             frozen, trainable, input_ids, attention_mask, audio, key
@@ -309,8 +310,9 @@ def make_dp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
     mesh.shape['dp'] must divide the batch. With has_audio=False the audio
     argument is accepted and ignored (pass None or anything).
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
 
     if mesh.shape.get("fsdp", 1) != 1 or mesh.shape.get("tp", 1) != 1:
         raise ValueError("make_dp_generate shards over 'dp' only; use a "
@@ -342,7 +344,7 @@ def make_dp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
         local, mesh=mesh,
         in_specs=in_specs,
         out_specs=GenerateResult(tokens=batch_spec, num_generated=batch_spec),
-        check_rep=False,
+        check_vma=False,
     ))
     if has_audio:
         return inner

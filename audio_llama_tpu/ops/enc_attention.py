@@ -99,7 +99,8 @@ def _kernel_v2(q_ref, k_ref, v_ref, kn_ref, o_ref, *, n_valid, chunk):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _kernel_v3(q_ref, k_ref, v_ref, kn_ref, o_ref, *, n_valid, chunk, n_heads):
+def _kernel_v3(q_ref, k_ref, v_ref, kn_ref, o_ref, *, n_valid, chunk, n_heads,
+               softmax="safe"):
     """Transpose-free variant: [B, T, D] blocks straight from the projection
     outputs (grid over batch × q-block), heads carved out of the lane
     dimension INSIDE the kernel (static 64-lane slices — on-chip relayouts
@@ -107,18 +108,30 @@ def _kernel_v3(q_ref, k_ref, v_ref, kn_ref, o_ref, *, n_valid, chunk, n_heads):
     kernel-layout wrapper, including stock flash, pays per layer). The
     unrolled head loop also hands the scheduler ~20 independent
     QK-softmax-PV chains, so MXU matmuls of one head can overlap VPU
-    softmax of another. Each head runs the bounded-shift softmax of
-    _kernel_v2. Output is [bq, D] — exactly the layout the out-projection
-    consumes, so the model-side head merge is free."""
+    softmax of another. Output is [bq, D] — exactly the layout the
+    out-projection consumes, so the model-side head merge is free.
+
+    softmax='safe' (production, round 3): a TRUE row max per score tile —
+    in the unchunked production config (chunk == T) this is exact two-pass
+    softmax with no rescaling at all; the chunked path keeps a running max
+    with accumulator rescale. 'bounded' is the round-2 Cauchy-Schwarz
+    shift, kept for A/B: it silently zeroes rows once the bound exceeds
+    the true max by ~87 nats (f32 exp underflow) — reachable by outlier
+    activations (same failure class the llama causal kernel fixed,
+    round-2 ADVICE)."""
     T = k_ref.shape[1]
     hd = q_ref.shape[2] // n_heads
     n_chunks = T // chunk
     outs = []
     for h in range(n_heads):
         q = q_ref[0, :, h * hd : (h + 1) * hd]  # [bq, hd] pre-scaled
-        qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True))
-        bound = qn * kn_ref[0, 0, h]
+        if softmax == "bounded":
+            qn = jnp.sqrt(
+                jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+            )
+            bound = qn * kn_ref[0, 0, h]
         acc = jnp.zeros((q.shape[0], hd + 1), jnp.float32)
+        m_run = jnp.full((q.shape[0], 1), NEG, jnp.float32)
         for j in range(n_chunks):
             kj = k_ref[0, j * chunk : (j + 1) * chunk, h * hd : (h + 1) * hd]
             vj = v_ref[0, j * chunk : (j + 1) * chunk, h * hd : (h + 1) * hd]
@@ -126,10 +139,21 @@ def _kernel_v3(q_ref, k_ref, v_ref, kn_ref, o_ref, *, n_valid, chunk, n_heads):
                 q, kj, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            p = jnp.exp(s - bound)
-            if (j + 1) * chunk > n_valid:
-                col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + j * chunk
-                p = jnp.where(col < n_valid, p, 0.0)
+            masked_tail = (j + 1) * chunk > n_valid
+            if softmax == "bounded":
+                p = jnp.exp(s - bound)
+                if masked_tail:
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * chunk
+                    p = jnp.where(col < n_valid, p, 0.0)
+            else:  # 'safe'
+                if masked_tail:
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * chunk
+                    s = jnp.where(col < n_valid, s, NEG)
+                m_new = jnp.maximum(m_run, jnp.max(s, axis=1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                if n_chunks > 1:  # rescale only in the chunked path
+                    acc = acc * jnp.exp(m_run - m_new)
+                m_run = m_new
             v_ext = jnp.concatenate(
                 [vj, jnp.ones((chunk, 1), vj.dtype)], axis=1
             )
@@ -178,7 +202,7 @@ def _pick_block_q(t: int) -> int:
     jax.jit,
     static_argnames=(
         "valid_len", "scale", "block_q", "exp_dtype", "interpret", "algo",
-        "chunk_k",
+        "chunk_k", "softmax",
     ),
 )
 def _enc_attention_jit(
@@ -193,6 +217,7 @@ def _enc_attention_jit(
     interpret: bool = False,
     algo: str = "v3",  # 'v3' (transpose-free, fastest) | 'bounded' | 'twopass'
     chunk_k: int = 0,  # k-chunk for bounded/v3 (0 = auto; v3 prefers unchunked)
+    softmax: str = "safe",  # v3 shift: 'safe' (true max) | 'bounded' (r2 A/B)
 ) -> jnp.ndarray:
     """Full non-causal self-attention, [B, T, H, hd] in/out.
 
@@ -244,7 +269,8 @@ def _enc_attention_jit(
             raise ValueError(f"chunk_k={chunk} must divide T={T}")
         out = pl.pallas_call(
             functools.partial(
-                _kernel_v3, n_valid=nvalid, chunk=chunk, n_heads=H
+                _kernel_v3, n_valid=nvalid, chunk=chunk, n_heads=H,
+                softmax=softmax,
             ),
             grid=(B, T // bq),
             in_specs=[
@@ -317,6 +343,7 @@ def enc_attention(
     interpret: bool = False,
     algo: str = "v3",
     chunk_k: int = 0,
+    softmax: str = "safe",
 ) -> jnp.ndarray:
     """Public entry — see _enc_attention_jit for the kernel contract.
 
@@ -332,6 +359,7 @@ def enc_attention(
     kw = dict(
         valid_len=valid_len, scale=scale, block_q=block_q,
         exp_dtype=exp_dtype, interpret=interpret, algo=algo, chunk_k=chunk_k,
+        softmax=softmax,
     )
     if ctx is not None:
         return ptn.wrap_attention(

@@ -166,9 +166,36 @@ def int4_matmul(
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
 
-    bm = block_m or _pick(M, (256, 128, 64, 32, 16, 8, 4, 2, 1))
+    # Mosaic wants the sublane (second-to-last) block dim to be a multiple
+    # of 8: pad the row count to the tile (decode: B<=32 -> one 8..32-row
+    # tile; prefill: e.g. B16 x 2014 rows -> 256-row tiles, <2% pad waste).
+    # Block sizes must also respect the ~16 MB scoped-VMEM budget WITH
+    # Mosaic's double buffering: 2*(x block + packed block + out block)
+    # — at K=8192 (llama down_proj) a 256-row x block alone is 4 MB, which
+    # OOM'd the first TPU compile (r3b4.log).
+    def fits(bm_, nh_):
+        per = bm_ * K * 2 + K * nh_ + 2 * bm_ * nh_ * 2 + 8 * nh_ * 4 * 2
+        return 2 * per <= 11 * 2 ** 20
+
+    if block_m:
+        bm = block_m
+    else:
+        bm = 256 if M >= 256 else -(-M // 8) * 8
     nh = block_n or _pick(Nh, (512, 256, 128))
-    nm, nn = M // bm, Nh // nh
+    if not (block_m or block_n):
+        while not fits(bm, nh):
+            if bm > 8 and bm * K * 2 >= K * nh:
+                bm //= 2
+            elif nh > 128 and Nh % (nh // 2) == 0:
+                nh //= 2
+            elif bm > 8:
+                bm //= 2
+            else:
+                break
+    M_pad = -(-M // bm) * bm
+    if M_pad != M:
+        x2 = jnp.pad(x2, ((0, M_pad - M), (0, 0)))
+    nm, nn = M_pad // bm, Nh // nh
 
     s_lo = scales[:, : N // 2]
     s_hi = scales[:, N // 2 :]
@@ -186,10 +213,12 @@ def int4_matmul(
             pl.BlockSpec((n_groups, nh), lambda mi, ni: (0, ni)),
         ],
         out_specs=pl.BlockSpec((2, bm, nh), lambda mi, ni: (0, mi, ni)),
-        out_shape=jax.ShapeDtypeStruct((2, M, Nh), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((2, M_pad, Nh), x.dtype),
         interpret=interpret,
     )(x2, packed, s_lo, s_hi)
-    y = jnp.concatenate([out[0], out[1]], axis=-1)  # [M, N]
+    y = jnp.concatenate([out[0], out[1]], axis=-1)  # [M_pad, N]
+    if M_pad != M:
+        y = y[:M]
     return y.reshape(*lead, N)
 
 

@@ -106,3 +106,38 @@ def test_whisper_encode_dispatch():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
     )
+
+
+def test_outlier_magnitudes_safe_softmax():
+    """Round-3: the v3 production kernel must stay exact at outlier
+    activation magnitudes (huge-norm key near-orthogonal to queries), where
+    the round-2 'bounded' Cauchy-Schwarz shift underflows f32 exp and
+    silently zeroes rows — same failure class the llama causal kernel
+    fixed. 'safe' (true row max; exact two-pass when unchunked, running max
+    when chunked) is the default; 'bounded' stays for A/B and must still
+    FAIL here (if it stops failing, fold it back and delete this guard)."""
+    import jax
+
+    from audio_llama_tpu.ops.attention import mha
+
+    B, T, H, hd = 1, 256, 2, 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (B, T, H, hd), jnp.float32) * 2.0
+    k = jax.random.normal(k2, (B, T, H, hd), jnp.float32) * 2.0
+    d = jax.random.normal(jax.random.PRNGKey(9), (hd,))
+    d = d / jnp.linalg.norm(d)
+    k = k.at[:, 0].set(d[None, :] * 1200.0)
+    v = jax.random.normal(k3, (B, T, H, hd), jnp.float32)
+    ref = mha(q, k, v, bias=None, scale=hd ** -0.5)
+
+    for kw in (dict(), dict(chunk_k=128)):  # unchunked + chunked safe paths
+        out = enc_attention(q, k, v, scale=hd ** -0.5, interpret=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4,
+            err_msg=str(kw),
+        )
+
+    bad = enc_attention(
+        q, k, v, scale=hd ** -0.5, interpret=True, softmax="bounded"
+    )
+    assert float(jnp.max(jnp.abs(bad - ref))) > 0.1

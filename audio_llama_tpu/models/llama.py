@@ -198,11 +198,15 @@ def _linear(x, w, lora_branch, compute_dtype):
     if isinstance(w, dict) and "w_p" in w:
         from ..ops import int4_matmul as i4
 
+        # group size is encoded in the shapes: w_p [K, N/2], w_s [K/g, N]
+        g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
         if i4.available():
-            y = i4.int4_matmul(x.astype(compute_dtype), w["w_p"], w["w_s"])
+            y = i4.int4_matmul(
+                x.astype(compute_dtype), w["w_p"], w["w_s"], group=g
+            )
         else:
             y = i4.int4_matmul_ref(
-                x, w["w_p"], w["w_s"], compute_dtype=compute_dtype
+                x, w["w_p"], w["w_s"], group=g, compute_dtype=compute_dtype
             )
     elif isinstance(w, dict):
         y = (x @ w["w_q"].astype(compute_dtype)) * w["w_s"].astype(compute_dtype)

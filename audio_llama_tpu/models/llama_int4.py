@@ -76,8 +76,9 @@ def dequantize_llama_int4(params: Params) -> Params:
     layers = dict(params["layers"])
     for name in LINEAR_NAMES:
         w = layers[name]
+        g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
         layers[name] = jax.vmap(
-            lambda p, s: i4.dequantize_ref(p, s)
+            lambda p, s: i4.dequantize_ref(p, s, group=g)
         )(w["w_p"], w["w_s"])
     out["layers"] = layers
     if isinstance(params["embed"], dict) and "scale" in params["embed"]:

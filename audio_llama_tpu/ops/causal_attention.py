@@ -717,6 +717,13 @@ def causal_mha(
 
     ctx = ptn.current()
     if ctx is not None:
+        if ptn.seq_ring_applicable(q.shape):
+            # sequence-parallel training: T sharded over 'sp' — causal
+            # attention runs as a ppermute ring (LONG_CONTEXT step 2)
+            return ptn.wrap_ring_causal(
+                q, k, v, mask,
+                scale if scale is not None else q.shape[-1] ** -0.5,
+            )
         local = functools.partial(
             _causal_mha_local, scale=scale, block_q=block_q, chunk_k=chunk_k,
             interpret=interpret, fwd_impl=fwd_impl, softmax_mode=softmax_mode,

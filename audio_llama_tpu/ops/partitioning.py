@@ -48,6 +48,7 @@ class KernelPartitionContext(NamedTuple):
     mesh: Any  # jax.sharding.Mesh
     batch_axes: tuple  # mesh axes sharding batch dims, e.g. ('dp', 'fsdp')
     head_axis: Optional[str]  # mesh axis sharding head dims ('tp') or None
+    seq_axis: Optional[str]  # mesh axis sharding the decoder TIME dim ('sp')
 
 
 _TLS = threading.local()
@@ -59,17 +60,26 @@ def current() -> Optional[KernelPartitionContext]:
 
 @contextlib.contextmanager
 def kernel_partitioning(
-    mesh, batch_axes: Sequence[str] = ("dp", "fsdp"), head_axis: str = "tp"
+    mesh, batch_axes: Sequence[str] = ("dp", "fsdp"), head_axis: str = "tp",
+    seq_axis: str = "sp",
 ):
     """Activate kernel self-partitioning for everything traced inside.
 
     Only mesh axes that actually exist are used; missing axes degrade
-    gracefully (a pure-dp mesh simply never head-shards).
+    gracefully (a pure-dp mesh simply never head-shards). A present,
+    >1-sized seq_axis makes llama CAUSAL attention run as a ppermute ring
+    over sequence shards (parallel/ring_attention.py) instead of
+    batch/head-sharded local kernels.
     """
     ba = tuple(a for a in batch_axes if a in mesh.axis_names)
     ha = head_axis if head_axis in mesh.axis_names else None
+    sa = (
+        seq_axis
+        if seq_axis in mesh.axis_names and mesh.shape[seq_axis] > 1
+        else None
+    )
     prev = current()
-    _TLS.ctx = KernelPartitionContext(mesh, ba, ha)
+    _TLS.ctx = KernelPartitionContext(mesh, ba, ha, sa)
     try:
         yield
     finally:
@@ -149,3 +159,46 @@ def wrap_batch(local_fn, x, out_ndim: int):
     os = P(ba, *([None] * (out_ndim - 1)))
     fn = _smap(local_fn, ctx, in_specs=(xs,), out_specs=os)
     return fn(x)
+
+
+def seq_ring_applicable(q_shape) -> bool:
+    """True when the active context wants sequence-parallel CAUSAL attention
+    and the (padded) sequence length splits evenly over the sp axis."""
+    ctx = current()
+    if ctx is None or ctx.seq_axis is None:
+        return False
+    sp = ctx.mesh.shape[ctx.seq_axis]
+    return sp > 1 and q_shape[1] % sp == 0
+
+
+def wrap_ring_causal(q, k, v, mask, scale):
+    """Sequence-parallel causal attention: T sharded over seq_axis, each
+    shard holding its slice of q/k/v, K/V rotating around the ring
+    (parallel/ring_attention.py). Heads are NOT additionally sharded here
+    (ring + head sharding composes but is left to the perf tier)."""
+    ctx = current()
+    assert ctx is not None and ctx.seq_axis is not None
+    # function-scope import: parallel imports models imports ops — the
+    # cycle is resolved by call time
+    from ..parallel.ring_attention import ring_causal_mha
+
+    ba = _batch_entry(ctx, q.shape[0])
+    qspec = P(ba, ctx.seq_axis, None, None)
+
+    if mask is None:
+        fn = _smap(
+            lambda q, k, v: ring_causal_mha(
+                q, k, v, axis_name=ctx.seq_axis, mask=None, scale=scale
+            ),
+            ctx, in_specs=(qspec, qspec, qspec), out_specs=qspec,
+        )
+        return fn(q, k, v)
+    fn = _smap(
+        lambda q, k, v, m: ring_causal_mha(
+            q, k, v, axis_name=ctx.seq_axis, mask=m, scale=scale
+        ),
+        ctx,
+        in_specs=(qspec, qspec, qspec, P(ba, ctx.seq_axis)),
+        out_specs=qspec,
+    )
+    return fn(q, k, v, mask)

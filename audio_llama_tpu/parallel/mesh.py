@@ -6,6 +6,9 @@ Axes:
         dp×fsdp jointly; trainable + optimizer state shard over fsdp).
   tp    tensor parallel — Megatron-style column/row sharding of the frozen
         transformer linears and matching LoRA branches.
+  sp    sequence parallel (optional) — shards the decoder TIME axis; llama
+        causal attention then runs as a ppermute ring
+        (parallel/ring_attention.py; docs/LONG_CONTEXT.md step 2).
 
 On a real slice the physical device order from jax.devices() already follows
 the ICI torus; keeping tp innermost puts tensor-parallel collectives on
@@ -21,7 +24,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("dp", "fsdp", "tp")
+AXES = ("dp", "fsdp", "tp", "sp")
 
 
 @dataclass(frozen=True)
@@ -29,29 +32,31 @@ class MeshConfig:
     dp: int = -1  # -1 = fill with remaining devices
     fsdp: int = 1
     tp: int = 1
+    sp: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int]:
-        dp, fsdp, tp = self.dp, self.fsdp, self.tp
+    def resolve(self, n_devices: int) -> tuple[int, int, int, int]:
+        dp, fsdp, tp, sp = self.dp, self.fsdp, self.tp, self.sp
         if dp == -1:
-            if n_devices % (fsdp * tp) != 0:
+            if n_devices % (fsdp * tp * sp) != 0:
                 raise ValueError(
-                    f"{n_devices} devices not divisible by fsdp*tp={fsdp * tp}"
+                    f"{n_devices} devices not divisible by "
+                    f"fsdp*tp*sp={fsdp * tp * sp}"
                 )
-            dp = n_devices // (fsdp * tp)
-        if dp * fsdp * tp != n_devices:
+            dp = n_devices // (fsdp * tp * sp)
+        if dp * fsdp * tp * sp != n_devices:
             raise ValueError(
-                f"mesh {dp}x{fsdp}x{tp} != {n_devices} devices"
+                f"mesh {dp}x{fsdp}x{tp}x{sp} != {n_devices} devices"
             )
-        return dp, fsdp, tp
+        return dp, fsdp, tp, sp
 
 
 def make_mesh(
     cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence] = None
 ) -> Mesh:
-    """Build a ('dp','fsdp','tp') Mesh over the given (default: all) devices."""
+    """('dp','fsdp','tp','sp') Mesh over the given (default: all) devices."""
     devices = list(devices if devices is not None else jax.devices())
-    dp, fsdp, tp = cfg.resolve(len(devices))
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    dp, fsdp, tp, sp = cfg.resolve(len(devices))
+    arr = np.asarray(devices).reshape(dp, fsdp, tp, sp)
     return Mesh(arr, AXES)
 
 

@@ -129,7 +129,10 @@ def make_sharded_train_step(
             with ptn.kernel_partitioning(mesh):
                 return inner(state, frozen, batch)
 
-    batch_sh = sharding.batch_shardings(mesh, batch_template, accum=accum_steps > 1)
+    seq_axis = "sp" if mesh.shape.get("sp", 1) > 1 else None
+    batch_sh = sharding.batch_shardings(
+        mesh, batch_template, accum=accum_steps > 1, seq_axis=seq_axis
+    )
     return jax.jit(
         step,
         in_shardings=(None, None, batch_sh),
@@ -167,7 +170,10 @@ def make_sharded_eval_step(
     dp_size = mesh.shape["dp"] * mesh.shape["fsdp"]
     b = batch_template.input_ids.shape[0]
     if b % dp_size == 0:
-        batch_sh = sharding.batch_shardings(mesh, batch_template, accum=False)
+        batch_sh = sharding.batch_shardings(
+            mesh, batch_template, accum=False,
+            seq_axis="sp" if mesh.shape.get("sp", 1) > 1 else None,
+        )
     else:
         batch_sh = jax.tree_util.tree_map(
             lambda _: sharding.replicated(mesh), batch_template

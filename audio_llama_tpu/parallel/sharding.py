@@ -115,19 +115,34 @@ def trainable_specs(trainable: dict) -> dict:
     return jax.tree_util.tree_map_with_path(_trainable_leaf_spec, trainable)
 
 
-def batch_specs(batch: Any, accum: bool = False) -> Any:
+def batch_specs(batch: Any, accum: bool = False, seq_axis: Optional[str] = None) -> Any:
     """Batch leaves shard their batch axis over dp×fsdp.
 
     Leaves are [B, ...] (or [A, B, ...] microbatch-stacked when accum=True).
+
+    seq_axis (e.g. 'sp'): additionally shard the TOKEN axis (the last dim of
+    input_ids / attention_mask / labels) for sequence-parallel training —
+    llama causal attention then runs as a ppermute ring
+    (parallel/ring_attention.py via ops/partitioning.py). Audio waveforms
+    keep batch-only sharding (mel framing crosses sample-chunk boundaries;
+    the spliced sequence is resharded by GSPMD inside the step).
     """
     axis0 = ("dp", "fsdp")
+    token_fields = {"input_ids", "attention_mask", "labels"}
 
-    def spec(leaf):
+    def spec(leaf, field: Optional[str] = None):
         ndim = getattr(leaf, "ndim", None) or len(getattr(leaf, "shape", ()))
         lead = (None,) if accum else ()
-        rest = (None,) * (ndim - len(lead) - 1)
+        rest = [None] * (ndim - len(lead) - 1)
+        if seq_axis and field in token_fields and rest:
+            rest[-1] = seq_axis
         return P(*lead, axis0, *rest)
 
+    if hasattr(batch, "_fields"):  # AudioLLMBatch and friends
+        return type(batch)(*(
+            None if getattr(batch, f) is None else spec(getattr(batch, f), f)
+            for f in batch._fields
+        ))
     return jax.tree_util.tree_map(spec, batch)
 
 
@@ -151,8 +166,9 @@ def trainable_shardings(mesh: Mesh, trainable: dict):
     return _to_shardings(mesh, trainable_specs(trainable))
 
 
-def batch_shardings(mesh: Mesh, batch, accum: bool = False):
-    return _to_shardings(mesh, batch_specs(batch, accum))
+def batch_shardings(mesh: Mesh, batch, accum: bool = False,
+                    seq_axis: Optional[str] = None):
+    return _to_shardings(mesh, batch_specs(batch, accum, seq_axis))
 
 
 def shard_frozen(mesh: Mesh, frozen: dict) -> dict:

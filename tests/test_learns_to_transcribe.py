@@ -165,3 +165,15 @@ def test_quantized_serving_matches_bf16_wer(tone_corpus, trained_run):
     frozen_all = {"whisper": frozen_enc8["whisper"], "llama": frozen_dec8["llama"]}
     all8 = score(frozen_all, kv_quant=True)
     assert all8["wer"] <= bound, ("composed int8 stack degraded WER", all8, base)
+
+    # --int4_decoder (W4A16, toy dims -> group 32; the flagship group is
+    # 128). The int4-RTN envelope is ~11% per-weight, so this is the gate
+    # that would catch a packing/scale bug or task-level collapse.
+    from audio_llama_tpu.models import llama_int4
+
+    frozen_dec4 = dict(frozen)
+    frozen_dec4["llama"] = jax.jit(
+        lambda p: llama_int4.quantize_llama_int4(p, group=32)
+    )(frozen["llama"])
+    dec4 = score(frozen_dec4)
+    assert dec4["wer"] <= bound, ("int4 decoder degraded WER", dec4, base)

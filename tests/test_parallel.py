@@ -44,8 +44,8 @@ def _setup(batch=8, accum=1):
 
 
 def test_mesh_shapes():
-    assert MeshConfig(dp=2, tp=4).resolve(8) == (2, 1, 4)
-    assert MeshConfig(dp=-1, tp=2).resolve(8) == (4, 1, 2)
+    assert MeshConfig(dp=2, tp=4).resolve(8) == (2, 1, 4, 1)
+    assert MeshConfig(dp=-1, tp=2).resolve(8) == (4, 1, 2, 1)
     ms = best_mesh_shape(8, model_heads=8)
     assert ms.dp * ms.fsdp * ms.tp == 8
     with pytest.raises(ValueError):

@@ -1,0 +1,261 @@
+"""Speculative decoding (draft-and-verify), fully jit-compiled.
+
+Single-token decode at 3B dims is weight-stream-bound (~5 ms/step at B=1,
+BASELINE.md): the chip reads 3 GB of weights to emit ONE token. Speculative
+decoding spends that same read on gamma+1 tokens: a small DRAFT model
+proposes gamma tokens autoregressively, the TARGET model scores the whole
+proposal in one cached forward (T=gamma+1 positions — the big weight read
+amortizes), and the longest agreeing prefix is accepted. Greedy mode is
+LOSSLESS: the output is bit-identical to plain greedy decoding of the
+target (tests/test_speculative.py proves it against inference.generate).
+
+The pure-function design makes the classic algorithm a lax.while_loop:
+both KV caches ride the carry, rejection is just rewinding the cache
+`length` scalar (stale slots are never attendable and get overwritten),
+and the whole prefill+draft+verify loop is ONE compiled XLA program.
+
+v1 scope (documented): batch 1 (per-row acceptance lengths diverge, and the
+cache timeline offset is a scalar — the latency use case spec decode exists
+for), greedy sampling (the lossless case; stochastic accept/reject a la
+Leviathan et al. is the follow-up), text or audio prompts.
+
+Throughput honesty: with RANDOM weights draft/target agreement is chance,
+so no speedup can be demonstrated in this environment — the mechanism +
+losslessness are what's testable here; measure acceptance on real
+checkpoints before serving with it. Reference analog: none (reference
+delegates to HF generate, src/models/allm.py:326-331).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import AudioLLMConfig
+from ..models import llama as llama_mod
+from . import generate as gen
+
+
+class SpecResult(NamedTuple):
+    tokens: jnp.ndarray  # [1, max_new_tokens] int32, pad_id after EOS
+    num_generated: jnp.ndarray  # [1] int32
+    num_target_calls: jnp.ndarray  # [] int32 — verify forwards spent
+    num_drafted: jnp.ndarray  # [] int32 — draft tokens proposed
+    num_accepted: jnp.ndarray  # [] int32 — draft tokens accepted
+
+
+def _greedy(logits):
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "draft_cfg", "max_new_tokens", "gamma", "eos_id", "pad_id",
+        "audio_start_id", "audio_end_id", "compute_dtype", "has_audio",
+    ),
+)
+def generate_speculative(
+    frozen: dict,  # target {'llama', 'whisper'}
+    draft_params: dict,  # draft llama param tree
+    trainable: Optional[dict],
+    cfg: AudioLLMConfig,
+    draft_cfg,  # LlamaConfig of the draft (same tokenizer/vocab!)
+    input_ids: jnp.ndarray,  # [1, T]
+    attention_mask: jnp.ndarray,  # [1, T]
+    audio_features: Optional[jnp.ndarray],
+    *,
+    max_new_tokens: int = 64,
+    gamma: int = 4,
+    eos_id: int = 2,
+    pad_id: int = 0,
+    audio_start_id: int = 0,
+    audio_end_id: int = 0,
+    compute_dtype=jnp.bfloat16,
+    has_audio: bool = True,
+) -> SpecResult:
+    if input_ids.shape[0] != 1:
+        raise ValueError("speculative decoding v1 is batch-1 (latency path)")
+    if cfg.llama.vocab_size != draft_cfg.vocab_size:
+        raise ValueError("draft and target must share the vocabulary")
+
+    if not has_audio:
+        audio_features = None
+    embeds, mask = gen.build_prefix(
+        frozen, trainable, cfg, input_ids, attention_mask, audio_features,
+        audio_start_id, audio_end_id, compute_dtype,
+    )
+    B, P, _ = embeds.shape
+    total = P + max_new_tokens + gamma + 1
+    full_mask = jnp.concatenate(
+        [mask.astype(jnp.int32),
+         jnp.ones((B, max_new_tokens + gamma + 1), jnp.int32)], axis=1
+    )
+
+    # --- target prefill (multimodal prefix) ---
+    t_cache = llama_mod.KVCache.zeros(cfg.llama, B, total, dtype=compute_dtype)
+    _, t_cache, hidden = llama_mod.llama_forward(
+        frozen["llama"], cfg.llama,
+        inputs_embeds=embeds, attention_mask=full_mask,
+        kv_cache=t_cache, compute_dtype=compute_dtype,
+        assume_fresh_cache=True, return_hidden=True, unembed_logits=False,
+        lora=None if trainable is None else _lora(trainable, cfg),
+    )
+    real_len = jnp.sum(mask, axis=1).astype(jnp.int32)  # [1]
+    last_hidden = jnp.take_along_axis(
+        hidden, (real_len - 1)[:, None, None], axis=1
+    )
+    first_tok = _greedy(
+        llama_mod.unembed(frozen["llama"], cfg.llama, last_hidden,
+                          compute_dtype)[:, 0]
+    )  # [1]
+
+    # --- draft prefill: TEXT prompt only (the draft is a text LM; it sees
+    # the token prompt — audio conditioning lives in the target, which is
+    # the only model whose output matters for correctness) ---
+    d_cache = llama_mod.KVCache.zeros(
+        draft_cfg, B, total, dtype=compute_dtype
+    )
+    d_mask = jnp.concatenate(
+        [attention_mask.astype(jnp.int32),
+         jnp.ones((B, max_new_tokens + gamma + 1), jnp.int32)], axis=1
+    )
+    d_mask = jnp.pad(
+        d_mask, ((0, 0), (0, d_cache.k.shape[3] - d_mask.shape[1]))
+    )
+    _, d_cache = llama_mod.llama_forward(
+        draft_params, draft_cfg,
+        input_ids=input_ids, attention_mask=d_mask,
+        kv_cache=d_cache, compute_dtype=compute_dtype,
+    )
+    d_real_len = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+
+    tokens0 = jnp.full((1, max_new_tokens), pad_id, jnp.int32)
+    tokens0 = tokens0.at[0, 0].set(first_tok[0])
+
+    # carry: (t_cache, d_cache, tokens, n_out, last_tok, done, stats)
+    def cond(carry):
+        _, _, _, n_out, _, done, _ = carry
+        return jnp.logical_and(n_out < max_new_tokens, ~done)
+
+    def body(carry):
+        t_cache, d_cache, tokens, n_out, last_tok, done, stats = carry
+        n_calls, n_draft, n_acc = stats
+
+        # ----- draft proposes gamma tokens (its cache tracks the target's
+        # accepted prefix; rewind happens by resetting length below) -----
+        def d_step(c, i):
+            d_cache, tok = c
+            # logical position of the token being fed: last_tok is output
+            # token n_out-1, so its position is d_real_len + n_out - 1
+            pos = (d_real_len + n_out - 1 + i)[:, None]
+            logits, d_cache = llama_mod.llama_forward(
+                draft_params, draft_cfg, input_ids=tok[:, None],
+                attention_mask=d_mask, positions=pos,
+                kv_cache=d_cache, compute_dtype=compute_dtype,
+            )
+            nxt = _greedy(logits[:, 0])
+            return (d_cache, nxt), nxt
+
+        (d_cache, last_drafted), drafted = lax.scan(
+            d_step, (d_cache, last_tok), jnp.arange(gamma)
+        )  # drafted: [gamma, 1]
+        drafted = drafted[:, 0]  # [gamma]
+        # One extra draft forward feeding the FINAL drafted token: the scan
+        # writes K/V only for its inputs, so without this the all-accept
+        # case leaves a hole at the last drafted token's cache slot and the
+        # next round's draft attends garbage (output discarded — only the
+        # K/V write matters).
+        (d_cache, _), _ = d_step((d_cache, last_drafted), gamma)
+
+        # ----- target verifies: score [last_tok, drafted...] in ONE pass ---
+        block = jnp.concatenate([last_tok, drafted])[None, :]  # [1, gamma+1]
+        pos = (real_len + n_out - 1)[:, None] + jnp.arange(gamma + 1)[None, :]
+        t_logits, t_cache_new = llama_mod.llama_forward(
+            frozen["llama"], cfg.llama, input_ids=block,
+            attention_mask=full_mask, positions=pos,
+            kv_cache=t_cache, compute_dtype=compute_dtype,
+            lora=None if trainable is None else _lora(trainable, cfg),
+        )
+        t_next = _greedy(t_logits[0])  # [gamma+1] target's token after each
+
+        # accepted[i] = drafted[i] agreed with the target at position i
+        agree = drafted == t_next[:gamma]
+        n_match = jnp.argmin(
+            jnp.concatenate([agree.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])
+        )  # first disagreement (gamma if all agree)
+        # emitted this round: drafted[:n_match] ++ target's correction/bonus
+        n_emit = n_match + 1
+        emit = jnp.where(
+            jnp.arange(gamma + 1) < n_match,
+            jnp.concatenate([drafted, jnp.zeros((1,), jnp.int32)]),
+            jnp.broadcast_to(t_next[n_match], (gamma + 1,)),
+        )  # positions >= n_match all hold the target token; only
+        # index n_match of those is actually written (see write mask)
+
+        # write emit[0..n_emit) into tokens at n_out: gather formulation
+        # (a scatter with clipped duplicate indices has undefined winner)
+        j = jnp.arange(max_new_tokens)
+        rel = j - n_out
+        val = emit[jnp.clip(rel, 0, gamma)]
+        take = (rel >= 0) & (rel < n_emit)
+        tokens = jnp.where(take[None, :], val[None, :], tokens)
+
+        # EOS latch: stop if any token emitted IN RANGE is EOS
+        emitted_eos = jnp.any((val == eos_id) & take)
+        n_out_new = jnp.minimum(n_out + n_emit, max_new_tokens)
+
+        # ----- cache rewinds -----
+        # target cache: keep exactly prefix + n_out_new appended tokens
+        t_cache_new = t_cache_new._replace(
+            length=t_cache.length + n_emit  # only the accepted+bonus count
+        )
+        # The verify pass WROTE gamma+1 K/V rows; rows beyond length are
+        # unattendable (slot-causal masks) and get overwritten next round.
+        # draft cache invariant: at body entry it holds prompt + n_out - 1
+        # appended rows; the scan + the KV-materializing extra step appended
+        # gamma + 1; the next round needs prompt + n_out_new - 1 (= + n_emit)
+        # — rewind the difference.
+        d_cache = d_cache._replace(length=d_cache.length - (gamma + 1) + n_emit)
+
+        last_tok_new = emit[jnp.minimum(n_emit - 1, gamma)][None]
+        stats = (n_calls + 1, n_draft + gamma, n_acc + n_match)
+        return (
+            t_cache_new, d_cache, tokens, n_out_new, last_tok_new,
+            done | emitted_eos, stats,
+        )
+
+    # draft cache length bookkeeping baseline: after its prefill it holds
+    # the prompt; the loop invariant keeps it at prompt + n_out - ... (the
+    # rewind arithmetic in body maintains it relative to its own writes).
+    carry = (
+        t_cache, d_cache, tokens0, jnp.asarray(1, jnp.int32), first_tok,
+        jnp.asarray(False), (jnp.asarray(0, jnp.int32),) * 3,
+    )
+    t_cache, d_cache, tokens, n_out, _, done, stats = lax.while_loop(
+        cond, body, carry
+    )
+    hit_eos = tokens[0] == eos_id
+    any_eos = jnp.any(hit_eos)
+    first_eos = jnp.argmax(hit_eos)
+    num = jnp.where(any_eos, first_eos + 1, n_out).astype(jnp.int32)
+    # pad after EOS for cosmetic parity with generate()
+    keep = jnp.arange(max_new_tokens) < num
+    tokens = jnp.where(keep[None, :], tokens, pad_id)
+    return SpecResult(
+        tokens=tokens, num_generated=num[None],
+        num_target_calls=stats[0], num_drafted=stats[1],
+        num_accepted=stats[2],
+    )
+
+
+def _lora(trainable, cfg):
+    from ..models import lora as lora_mod
+
+    if trainable is None or "lora" not in trainable or cfg.lora is None:
+        return None
+    return lora_mod.with_scaling(trainable["lora"], cfg.lora)

@@ -1,0 +1,89 @@
+"""Speculative decoding (inference/speculative.py): greedy mode must be
+LOSSLESS — bit-identical tokens to plain greedy generation of the target —
+regardless of the draft model's quality. Tested with (a) a disagreeing
+random draft (exercises the rejection/correction path nearly every round)
+and (b) the target itself as draft (all-accept fast path), with and
+without audio."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_llama_tpu.config import AudioLLMConfig, LlamaConfig, MelConfig, WhisperConfig
+from audio_llama_tpu.inference import generate as gen
+from audio_llama_tpu.inference.speculative import generate_speculative
+from audio_llama_tpu.models import allm, llama as lm
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = AudioLLMConfig.tiny().replace(lora=None)
+    frozen = allm.init_frozen(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    trainable = allm.init_trainable(cfg, jax.random.PRNGKey(1))
+    draft_cfg = LlamaConfig.tiny()  # same vocab, independent weights
+    draft = lm.init_params(draft_cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 12), 3, 250)
+    mask = jnp.ones((1, 12), jnp.int32)
+    audio = jax.random.normal(
+        jax.random.PRNGKey(3), (1, cfg.mel.max_samples)
+    ) * 0.1
+    return cfg, frozen, trainable, draft_cfg, draft, ids, mask, audio
+
+
+def _ref_tokens(cfg, frozen, trainable, ids, mask, audio, n, has_audio):
+    res = gen.generate(
+        frozen, trainable, cfg, ids, mask, audio if has_audio else None,
+        jax.random.PRNGKey(0), max_new_tokens=n, greedy=True,
+        eos_id=2, pad_id=0, audio_start_id=260, audio_end_id=261,
+        compute_dtype=jnp.float32, has_audio=has_audio,
+    )
+    return np.asarray(res.tokens), np.asarray(res.num_generated)
+
+
+@pytest.mark.parametrize("has_audio", [False, True])
+@pytest.mark.parametrize("gamma", [1, 3, 4])
+def test_lossless_vs_greedy_random_draft(setup, has_audio, gamma):
+    cfg, frozen, trainable, draft_cfg, draft, ids, mask, audio = setup
+    n = 12
+    ref_tok, ref_num = _ref_tokens(
+        cfg, frozen, trainable, ids, mask, audio, n, has_audio
+    )
+    res = generate_speculative(
+        frozen, draft, trainable, cfg, draft_cfg, ids, mask,
+        audio if has_audio else None,
+        max_new_tokens=n, gamma=gamma, eos_id=2, pad_id=0,
+        audio_start_id=260, audio_end_id=261,
+        compute_dtype=jnp.float32, has_audio=has_audio,
+    )
+    np.testing.assert_array_equal(np.asarray(res.tokens), ref_tok)
+    np.testing.assert_array_equal(np.asarray(res.num_generated), ref_num)
+    assert int(res.num_drafted) >= gamma
+
+
+def test_self_draft_accepts_everything(setup):
+    """Draft == target: every proposal must be accepted (acceptance rate 1)
+    and the output still identical — the mechanism's upper bound."""
+    cfg, frozen, trainable, draft_cfg, draft, ids, mask, audio = setup
+    n = 12
+    ref_tok, _ = _ref_tokens(cfg, frozen, trainable, ids, mask, audio, n, False)
+    res = generate_speculative(
+        frozen, frozen["llama"], trainable, cfg, cfg.llama, ids, mask, None,
+        max_new_tokens=n, gamma=4, eos_id=2, pad_id=0,
+        audio_start_id=260, audio_end_id=261,
+        compute_dtype=jnp.float32, has_audio=False,
+    )
+    np.testing.assert_array_equal(np.asarray(res.tokens), ref_tok)
+    # every drafted token accepted; target calls ~ n/(gamma+1)
+    assert int(res.num_accepted) == int(res.num_drafted)
+    assert int(res.num_target_calls) <= -(-n // 5) + 1
+
+
+def test_batch_gt1_rejected(setup):
+    cfg, frozen, trainable, draft_cfg, draft, ids, mask, audio = setup
+    with pytest.raises(ValueError, match="batch-1"):
+        generate_speculative(
+            frozen, draft, trainable, cfg, draft_cfg,
+            jnp.tile(ids, (2, 1)), jnp.tile(mask, (2, 1)), None,
+            max_new_tokens=4, has_audio=False, compute_dtype=jnp.float32,
+        )

@@ -4,6 +4,7 @@ Entry points:
   generate.generate         jitted single-host generation (prefill + decode)
   make_dp_generate          batch-sharded generation over a mesh 'dp' axis
   make_tp_generate          Megatron tensor-parallel generation over 'tp'
+  speculative.generate_speculative   lossless greedy draft-and-verify (B=1)
   cli.load_audio_llm        checkpoint -> (cfg, frozen, trainable, tokenizer)
   cli.generate_response     prompt/audio -> text
 

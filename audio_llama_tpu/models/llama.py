@@ -372,6 +372,39 @@ def llama_forward(
     lp = params["layers"]
     lora_scaling = lora["scaling"] if lora is not None else None
 
+    # int4 trees: keep the stacked [L, ...] weight slabs OUT of the scanned
+    # xs — scan would dynamic-slice them per layer, and XLA cannot fuse a
+    # dynamic-slice into a pallas_call operand, so every layer's packed
+    # weights got MATERIALIZED as copies (decode trace r3b8: 2.3 ms/step of
+    # dynamic-slice, a full extra pass over the weight stream). The stacked
+    # kernel selects the layer inside its index maps instead (scalar
+    # prefetch, ops/int4_matmul.py:int4_matmul_stacked).
+    int4_slabs = {}
+    if isinstance(lp.get("q_proj"), dict) and "w_p" in lp["q_proj"]:
+        int4_slabs = {n: lp[n] for n in LINEAR_NAMES}
+        lp = {k: v for k, v in lp.items() if k not in LINEAR_NAMES}
+
+    def _int4_linear(x_in, name, li, lora_branch):
+        from ..ops import int4_matmul as i4
+
+        w = int4_slabs[name]
+        g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
+        if i4.available():
+            y = i4.int4_matmul_stacked(
+                x_in.astype(compute_dtype), w["w_p"], w["w_s"], li, group=g
+            )
+        else:
+            y = i4.int4_matmul_stacked_ref(
+                x_in, w["w_p"], w["w_s"], li, group=g,
+                compute_dtype=compute_dtype,
+            )
+        if lora_branch is not None:
+            a, b, scaling = lora_branch
+            y = y + (x_in @ a.astype(compute_dtype)) @ b.astype(
+                compute_dtype
+            ) * scaling
+        return y
+
     def layer_step(carry, scanned):
         # Carry holds (x, full_k_cache, full_v_cache): the cache is updated
         # with a per-layer dynamic_update_slice ON THE CARRY, which XLA
@@ -391,9 +424,14 @@ def llama_forward(
                 return None
             return (br["a"], br["b"], lora_scaling)
 
-        q = _linear(h, p["q_proj"], lb("q_proj"), compute_dtype)
-        k = _linear(h, p["k_proj"], lb("k_proj"), compute_dtype)
-        v = _linear(h, p["v_proj"], lb("v_proj"), compute_dtype)
+        if int4_slabs:
+            q = _int4_linear(h, "q_proj", li, lb("q_proj"))
+            k = _int4_linear(h, "k_proj", li, lb("k_proj"))
+            v = _int4_linear(h, "v_proj", li, lb("v_proj"))
+        else:
+            q = _linear(h, p["q_proj"], lb("q_proj"), compute_dtype)
+            k = _linear(h, p["k_proj"], lb("k_proj"), compute_dtype)
+            v = _linear(h, p["v_proj"], lb("v_proj"), compute_dtype)
         # -1 head counts: under tp_axis the projections are column-sharded,
         # so each shard sees num_heads/tp local heads.
         q = q.reshape(B, T, -1, cfg.head_dim)
@@ -495,15 +533,23 @@ def llama_forward(
         else:
             attn = mha(q, attn_k, attn_v, bias=bias, scale=cfg.head_dim ** -0.5)
         attn = attn.reshape(B, T, -1)
-        attn = _linear(attn, p["o_proj"], lb("o_proj"), compute_dtype)
+        if int4_slabs:
+            attn = _int4_linear(attn, "o_proj", li, lb("o_proj"))
+        else:
+            attn = _linear(attn, p["o_proj"], lb("o_proj"), compute_dtype)
         if tp_axis is not None:  # row-parallel output projection
             attn = lax.psum(attn, tp_axis)
         x = x + attn
 
         h = rms_norm(x, p["post_attn_ln"].astype(compute_dtype), cfg.rms_norm_eps)
-        g = _linear(h, p["gate_proj"], lb("gate_proj"), compute_dtype)
-        u = _linear(h, p["up_proj"], lb("up_proj"), compute_dtype)
-        d = _linear(jax.nn.silu(g) * u, p["down_proj"], lb("down_proj"), compute_dtype)
+        if int4_slabs:
+            g = _int4_linear(h, "gate_proj", li, lb("gate_proj"))
+            u = _int4_linear(h, "up_proj", li, lb("up_proj"))
+            d = _int4_linear(jax.nn.silu(g) * u, "down_proj", li, lb("down_proj"))
+        else:
+            g = _linear(h, p["gate_proj"], lb("gate_proj"), compute_dtype)
+            u = _linear(h, p["up_proj"], lb("up_proj"), compute_dtype)
+            d = _linear(jax.nn.silu(g) * u, p["down_proj"], lb("down_proj"), compute_dtype)
         if tp_axis is not None:  # row-parallel down projection
             d = lax.psum(d, tp_axis)
         x = x + d

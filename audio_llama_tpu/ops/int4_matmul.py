@@ -226,3 +226,121 @@ def available() -> bool:
     from . import flash_attention as fa
 
     return fa.available()
+
+
+def _kernel_stacked(li_ref, x_ref, p_ref, slo_ref, shi_ref, o_ref, *,
+                    group, n_groups, bm, nh):
+    """Stacked-layer variant: identical math to _kernel, but the weight
+    operands are the FULL [L, ...] slabs and the layer is chosen by the
+    scalar-prefetched index inside the BlockSpec index maps. This exists
+    because XLA cannot fuse a dynamic-slice into a pallas_call operand: the
+    scan's per-layer weight slice was MATERIALIZED as a copy of every
+    layer's packed weights (decode trace: 2.3 ms/step of dynamic-slice —
+    a full extra read+write pass over the weight stream, r3b8 trace)."""
+    del li_ref  # consumed by the index maps
+    x = x_ref[:]
+    acc_lo = jnp.zeros((bm, nh), jnp.float32)
+    acc_hi = jnp.zeros((bm, nh), jnp.float32)
+    for g in range(n_groups):
+        rows = slice(g * group, (g + 1) * group)
+        b = p_ref[0, rows, :].astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(b, 28), 28).astype(x.dtype)
+        hi = jnp.right_shift(jnp.left_shift(b, 24), 28).astype(x.dtype)
+        xg = x[:, rows]
+        plo = jax.lax.dot_general(
+            xg, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        phi = jax.lax.dot_general(
+            xg, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_lo = acc_lo + plo * slo_ref[0, g, :][None, :]
+        acc_hi = acc_hi + phi * shi_ref[0, g, :][None, :]
+    o_ref[0] = acc_lo.astype(o_ref.dtype)
+    o_ref[1] = acc_hi.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "block_m", "block_n", "interpret")
+)
+def int4_matmul_stacked(
+    x: jnp.ndarray,  # [..., K]
+    packed_all: jnp.ndarray,  # [L, K, N/2] int8
+    scales_all: jnp.ndarray,  # [L, K/group, N] f32
+    layer,  # [] int32 traced layer index
+    group: int = GROUP,
+    block_m: int = 0,
+    block_n: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x @ dequant(packed_all[layer]) with the layer chosen INSIDE the
+    kernel's index maps (scalar prefetch) — no host-side slice, no copy."""
+    *lead, K = x.shape
+    L, _, Nh = packed_all.shape
+    N = Nh * 2
+    n_groups = K // group
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+
+    def fits(bm_, nh_):
+        per = bm_ * K * 2 + K * nh_ + 2 * bm_ * nh_ * 2 + 8 * nh_ * 4 * 2
+        return 2 * per <= 11 * 2 ** 20
+
+    if block_m:
+        bm = block_m
+    else:
+        bm = 256 if M >= 256 else -(-M // 8) * 8
+    nh = block_n or _pick(Nh, (512, 256, 128))
+    if not (block_m or block_n):
+        while not fits(bm, nh):
+            if bm > 8 and bm * K * 2 >= K * nh:
+                bm //= 2
+            elif nh > 128 and Nh % (nh // 2) == 0:
+                nh //= 2
+            elif bm > 8:
+                bm //= 2
+            else:
+                break
+    M_pad = -(-M // bm) * bm
+    if M_pad != M:
+        x2 = jnp.pad(x2, ((0, M_pad - M), (0, 0)))
+    nm, nn = M_pad // bm, Nh // nh
+
+    kernel = functools.partial(
+        _kernel_stacked, group=group, n_groups=n_groups, bm=bm, nh=nh
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nm, nn),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda mi, ni, li: (mi, 0)),
+            pl.BlockSpec((1, K, nh), lambda mi, ni, li: (li[0], 0, ni)),
+            # scale lo/hi halves addressed by BLOCK column offset into the
+            # same [L, n_groups, N] array — no host-side lane slicing
+            pl.BlockSpec((1, n_groups, nh), lambda mi, ni, li: (li[0], 0, ni)),
+            pl.BlockSpec(
+                (1, n_groups, nh), lambda mi, ni, li, _nn=nn: (li[0], 0, ni + _nn)
+            ),
+        ],
+        out_specs=pl.BlockSpec((2, bm, nh), lambda mi, ni, li: (0, mi, ni)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, M_pad, Nh), x.dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x2, packed_all, scales_all,
+    )
+    y = jnp.concatenate([out[0], out[1]], axis=-1)
+    if M_pad != M:
+        y = y[:M]
+    return y.reshape(*lead, N)
+
+
+def int4_matmul_stacked_ref(x, packed_all, scales_all, layer,
+                            group: int = GROUP, compute_dtype=jnp.bfloat16):
+    """XLA fallback/oracle for the stacked variant."""
+    p = jax.lax.dynamic_index_in_dim(packed_all, layer, 0, keepdims=False)
+    s = jax.lax.dynamic_index_in_dim(scales_all, layer, 0, keepdims=False)
+    return int4_matmul_ref(x, p, s, group=group, compute_dtype=compute_dtype)

@@ -330,7 +330,9 @@ def int4_matmul_stacked(
         interpret=interpret,
     )(
         jnp.asarray(layer, jnp.int32).reshape(1),
-        x2, packed_all, scales_all,
+        # scales_all rides in TWICE (lo and hi halves read different block
+        # columns of the same array — one spec each, no host-side slicing)
+        x2, packed_all, scales_all, scales_all,
     )
     y = jnp.concatenate([out[0], out[1]], axis=-1)
     if M_pad != M:

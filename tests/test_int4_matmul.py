@@ -83,3 +83,36 @@ def test_quantization_error_bounded():
         np.asarray(exact)
     )
     assert 0.08 < rel < 0.15, rel
+
+
+def test_stacked_kernel_matches_ref_interpret():
+    """int4_matmul_stacked (scalar-prefetch layer selection — the decode
+    production path) vs the per-layer oracle, in INTERPRET mode so the
+    actual pallas_call structure is validated on CPU (the first TPU run
+    caught an in_specs/operand mismatch the ref-path tests couldn't)."""
+    from audio_llama_tpu.ops.int4_matmul import int4_matmul_stacked
+
+    rng = np.random.RandomState(5)
+    L, K, N = 3, 256, 512
+    packed_l, scales_l = [], []
+    ws = []
+    for l in range(L):
+        w = jnp.asarray(rng.randn(K, N).astype(np.float32)) * 0.05
+        ws.append(w)
+        p, s = quantize_pack(w, group=128)
+        packed_l.append(p)
+        scales_l.append(s)
+    packed_all = jnp.stack(packed_l)
+    scales_all = jnp.stack(scales_l)
+    x = jnp.asarray(rng.randn(4, K).astype(np.float32)) * 0.5
+    for l in range(L):
+        ref = int4_matmul_ref(x, packed_l[l], scales_l[l],
+                              compute_dtype=jnp.float32)
+        got = int4_matmul_stacked(
+            x, packed_all, scales_all, jnp.asarray(l, jnp.int32),
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4,
+            err_msg=f"layer {l}",
+        )

@@ -25,13 +25,17 @@ def main():
         decode_attention_db, decode_attention_quantized_db,
     )
 
-    cfg = LlamaConfig.llama32_3b()
+    # 2-layer config: the kernel reads one layer's slab; a full 28-layer
+    # cache x4 variants OOM'd HBM at B32 (first run)
+    cfg = LlamaConfig.llama32_3b().replace(num_layers=2)
     Hq, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     max_len = 2048
     offset = jnp.asarray(2014, jnp.int32)
     print(json.dumps({"backend": jax.default_backend()}), flush=True)
 
-    for B in (1, 32):
+    import sys as _s
+    bs = [int(a) for a in (_s.argv[1:] or ['1', '32'])]
+    for B in bs:
         for quant in (False, True):
             key = jax.random.PRNGKey(0)
             cache = lm.KVCache.zeros(cfg, B, max_len, dtype=jnp.bfloat16,

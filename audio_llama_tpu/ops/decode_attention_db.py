@@ -19,6 +19,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# DMA pipeline depth (round 3): at 2048-slot/hd-128 slabs (~0.25-0.5 MB)
+# the transfers are LATENCY-bound, not bandwidth-bound — one-ahead
+# prefetch measured only ~260 GB/s effective inside the decode step
+# (BASELINE.md r3b10). Four slabs in flight hide the fixed per-DMA cost.
+DEPTH = 4
+
 
 def _kernel(
     li_ref, off_ref,
@@ -40,8 +46,7 @@ def _kernel(
     n = pl.num_programs(0)
     li = li_ref[0]
     off = off_ref[0]
-    slot = jax.lax.rem(i, 2)
-    nxt = jax.lax.rem(i + 1, 2)
+    slot = jax.lax.rem(i, DEPTH)
 
     def slab_dma(idx, s):
         b = idx // n_heads
@@ -51,17 +56,18 @@ def _kernel(
             pltpu.make_async_copy(cv_any.at[li, b, h], v_db.at[s], sems.at[s, 1]),
         )
 
-    # Warm-up: the first invocation starts its own slab DMA.
-    @pl.when(i == 0)
-    def _():
-        ka, va = slab_dma(0, 0)
-        ka.start()
-        va.start()
+    # Warm-up: the first invocation starts the first DEPTH-1 slabs.
+    for j in range(DEPTH - 1):
+        @pl.when((i == 0) & (j < n))
+        def _(j=j):
+            ka, va = slab_dma(j, j % DEPTH)
+            ka.start()
+            va.start()
 
-    # Prefetch the next invocation's slabs before waiting on ours.
-    @pl.when(i + 1 < n)
+    # Keep DEPTH slabs in flight: start slab i+DEPTH-1.
+    @pl.when(i + DEPTH - 1 < n)
     def _():
-        kn, vn = slab_dma(i + 1, nxt)
+        kn, vn = slab_dma(i + DEPTH - 1, jax.lax.rem(i + DEPTH - 1, DEPTH))
         kn.start()
         vn.start()
 
@@ -74,9 +80,12 @@ def _kernel(
     is_new = row == off
     k_full = jnp.where(is_new, knew_ref[0, 0], k_db[slot])
     v_full = jnp.where(is_new, vnew_ref[0, 0], v_db[slot])
-    k_db[slot] = k_full
-    v_db[slot] = v_full
+    # Insert ONLY the new row into the buffered slab (the write-back window
+    # below reads it); rewriting the whole merged slab cost a full VMEM
+    # store per program.
     off_clamped = jnp.minimum(off, max_len - 1)
+    k_db[slot, pl.ds(off_clamped, 1), :] = knew_ref[0, 0]
+    v_db[slot, pl.ds(off_clamped, 1), :] = vnew_ref[0, 0]
     # 32-row window covers every dtype's HBM sublane tile (bf16 needs 16)
     off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
     b = i // n_heads
@@ -131,8 +140,7 @@ def _kernel_quantized(
     n = pl.num_programs(0)
     li = li_ref[0]
     off = off_ref[0]
-    slot = jax.lax.rem(i, 2)
-    nxt = jax.lax.rem(i + 1, 2)
+    slot = jax.lax.rem(i, DEPTH)
 
     def slab_dma(idx, s):
         b = idx // n_heads
@@ -142,15 +150,16 @@ def _kernel_quantized(
             pltpu.make_async_copy(cv_any.at[li, b, h], v_db.at[s], sems.at[s, 1]),
         )
 
-    @pl.when(i == 0)
-    def _():
-        ka, va = slab_dma(0, 0)
-        ka.start()
-        va.start()
+    for j in range(DEPTH - 1):
+        @pl.when((i == 0) & (j < n))
+        def _(j=j):
+            ka, va = slab_dma(j, j % DEPTH)
+            ka.start()
+            va.start()
 
-    @pl.when(i + 1 < n)
+    @pl.when(i + DEPTH - 1 < n)
     def _():
-        kn, vn = slab_dma(i + 1, nxt)
+        kn, vn = slab_dma(i + DEPTH - 1, jax.lax.rem(i + DEPTH - 1, DEPTH))
         kn.start()
         vn.start()
 
@@ -163,9 +172,9 @@ def _kernel_quantized(
     is_new = row == off
     k_full = jnp.where(is_new, knew_ref[0, 0], k_db[slot])
     v_full = jnp.where(is_new, vnew_ref[0, 0], v_db[slot])
-    k_db[slot] = k_full
-    v_db[slot] = v_full
     off_clamped = jnp.minimum(off, max_len - 1)
+    k_db[slot, pl.ds(off_clamped, 1), :] = knew_ref[0, 0]
+    v_db[slot, pl.ds(off_clamped, 1), :] = vnew_ref[0, 0]
     off_al = pl.multiple_of((off_clamped // 32) * 32, 32)  # int8 tile
     b = i // n_heads
     h = jax.lax.rem(i, n_heads)
@@ -243,9 +252,9 @@ def decode_attention_quantized_db(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, max_len, hd), jnp.int8),
-            pltpu.VMEM((2, max_len, hd), jnp.int8),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((DEPTH, max_len, hd), jnp.int8),
+            pltpu.VMEM((DEPTH, max_len, hd), jnp.int8),
+            pltpu.SemaphoreType.DMA((DEPTH, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -307,9 +316,9 @@ def decode_attention_db(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, max_len, hd), cache_k.dtype),
-            pltpu.VMEM((2, max_len, hd), cache_v.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((DEPTH, max_len, hd), cache_k.dtype),
+            pltpu.VMEM((DEPTH, max_len, hd), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((DEPTH, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -80,12 +80,12 @@ def _kernel(
     is_new = row == off
     k_full = jnp.where(is_new, knew_ref[0, 0], k_db[slot])
     v_full = jnp.where(is_new, vnew_ref[0, 0], v_db[slot])
-    # Insert ONLY the new row into the buffered slab (the write-back window
-    # below reads it); rewriting the whole merged slab cost a full VMEM
-    # store per program.
+    # (A single-row insert instead of this full-slab merged store fails to
+    # lower: Mosaic cannot prove dynamic sublane-store alignment. The slab
+    # store is VMEM-bandwidth — not the bottleneck.)
+    k_db[slot] = k_full
+    v_db[slot] = v_full
     off_clamped = jnp.minimum(off, max_len - 1)
-    k_db[slot, pl.ds(off_clamped, 1), :] = knew_ref[0, 0]
-    v_db[slot, pl.ds(off_clamped, 1), :] = vnew_ref[0, 0]
     # 32-row window covers every dtype's HBM sublane tile (bf16 needs 16)
     off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
     b = i // n_heads
@@ -172,9 +172,9 @@ def _kernel_quantized(
     is_new = row == off
     k_full = jnp.where(is_new, knew_ref[0, 0], k_db[slot])
     v_full = jnp.where(is_new, vnew_ref[0, 0], v_db[slot])
+    k_db[slot] = k_full
+    v_db[slot] = v_full
     off_clamped = jnp.minimum(off, max_len - 1)
-    k_db[slot, pl.ds(off_clamped, 1), :] = knew_ref[0, 0]
-    v_db[slot, pl.ds(off_clamped, 1), :] = vnew_ref[0, 0]
     off_al = pl.multiple_of((off_clamped // 32) * 32, 32)  # int8 tile
     b = i // n_heads
     h = jax.lax.rem(i, n_heads)

@@ -221,14 +221,29 @@ def make_tp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
 
     tp = mesh.shape["tp"]
 
-    def _check_no_int4(frozen):
+    def _check_int4_layout(frozen):
+        """int4 trees must be pack-after-shard quantized for THIS tp:
+        quantize_llama_int4(..., tp=tp) (models/llama_int4.py). Canonical
+        (tp=1) packing pairs output column j with j+N/2 — a tp shard of the
+        packed dim would split the pairs."""
         w = frozen["llama"]["layers"]["q_proj"]
-        if isinstance(w, dict) and "w_p" in w:
+        if not (isinstance(w, dict) and "w_p" in w):
+            return
+        p = w["w_p"]
+        if p.ndim != 4 or p.shape[2] != tp:
+            got = p.shape[2] if p.ndim == 4 else 1
             raise ValueError(
-                "make_tp_generate does not support the int4 tree: its byte "
-                "packing pairs output column j with j+N/2, which a tp shard "
-                "of the packed dim would split (models/llama_int4.py). Use "
-                "dp generation or the int8 tree for tp."
+                f"make_tp_generate(tp={tp}) needs an int4 tree quantized "
+                f"with quantize_llama_int4(..., tp={tp}); this one was "
+                f"packed for tp={got}"
+            )
+        dw = frozen["llama"]["layers"]["down_proj"]
+        K = dw["w_p"].shape[1]
+        g = K // dw["w_s"].shape[1]
+        if K % tp or (K // tp) % g:
+            raise ValueError(
+                f"int4 row-parallel scales misalign: need group ({g}) | "
+                f"K/tp ({K}/{tp})"
             )
 
     if cfg.llama.num_kv_heads % tp or cfg.llama.num_heads % tp:
@@ -268,7 +283,7 @@ def make_tp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
     cache = {}
 
     def fn(frozen, trainable, input_ids, attention_mask, audio, key):
-        _check_no_int4(frozen)
+        _check_int4_layout(frozen)
         # Build shard_map + jit ONCE (keyed by weight-tree structure): a
         # fresh jit per call would recompile the whole prefill+decode
         # program every time (minutes per compile on remote TPU).

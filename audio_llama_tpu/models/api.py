@@ -150,7 +150,7 @@ class AudioLLM:
         return AudioLLM(self.cfg, frozen, self.trainable, self.tokenizer)
 
     def quantize_decoder(
-        self, include_embed: bool = True, bits: int = 8
+        self, include_embed: bool = True, bits: int = 8, tp: int = 1
     ) -> "AudioLLM":
         """Weight-only quantized frozen Llama for decode serving — bits=8
         (W8A16, models/llama_int8.py) halves the per-step HBM weight stream
@@ -164,7 +164,7 @@ class AudioLLM:
             from . import llama_int4 as l4
 
             frozen["llama"] = l4.quantize_llama_int4(
-                frozen["llama"], include_embed=include_embed
+                frozen["llama"], include_embed=include_embed, tp=tp
             )
         elif bits == 8:
             from . import llama_int8 as l8

@@ -198,6 +198,15 @@ def _linear(x, w, lora_branch, compute_dtype):
     if isinstance(w, dict) and "w_p" in w:
         from ..ops import int4_matmul as i4
 
+        if w["w_p"].ndim == 3:  # per-layer pack-after-shard blocks
+            p3 = w["w_p"]
+            if p3.shape[1] != 1:
+                raise ValueError(
+                    f"int4 weight packed for tp={p3.shape[1]} used without "
+                    "tensor-parallel sharding (models/llama_int4.py)"
+                )
+            w = dict(w)
+            w["w_p"] = p3.reshape(p3.shape[0], p3.shape[2])
         # group size is encoded in the shapes: w_p [K, N/2], w_s [K/g, N]
         g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
         if i4.available():
@@ -216,6 +225,26 @@ def _linear(x, w, lora_branch, compute_dtype):
         a, b, scaling = lora_branch
         y = y + (x @ a.astype(compute_dtype)) @ b.astype(compute_dtype) * scaling
     return y
+
+
+def _squeeze_int4_blocks(w: dict) -> dict:
+    """Pack-after-shard int4 slabs arrive 4-D [L, K, tp, N/(2*tp)]
+    (models/llama_int4.py); inside a tensor-parallel shard the block axis is
+    a singleton — squeeze back to the canonical [L, K, N/2] the kernel
+    consumes. A multi-block slab on an unsharded path means a tree quantized
+    for tp is being used without tensor-parallel sharding: the byte layout
+    would silently permute output columns, so refuse."""
+    p = w["w_p"]
+    if p.ndim == 4:
+        if p.shape[2] != 1:
+            raise ValueError(
+                f"int4 tree packed for tp={p.shape[2]} used without "
+                "tensor-parallel sharding (make_tp_generate); quantize with "
+                "tp=1 for dp/single-chip serving"
+            )
+        w = dict(w)
+        w["w_p"] = p.reshape(p.shape[0], p.shape[1], p.shape[3])
+    return w
 
 
 def llama_forward(
@@ -381,7 +410,9 @@ def llama_forward(
     # prefetch, ops/int4_matmul.py:int4_matmul_stacked).
     int4_slabs = {}
     if isinstance(lp.get("q_proj"), dict) and "w_p" in lp["q_proj"]:
-        int4_slabs = {n: lp[n] for n in LINEAR_NAMES}
+        int4_slabs = {
+            n: _squeeze_int4_blocks(lp[n]) for n in LINEAR_NAMES
+        }
         lp = {k: v for k, v in lp.items() if k not in LINEAR_NAMES}
 
     def _int4_linear(x_in, name, li, lora_branch):

@@ -19,10 +19,14 @@ standard W4A16 envelope — see tests/test_int4_matmul.py for the math);
 end-task WER before serving (the toy-WER gate covers the mechanism;
 real-weight WER needs checkpoints).
 
-Sharding: dp generation replicates this tree (works as-is). TENSOR-parallel
-generation is NOT supported: the byte packing pairs output column j with
-j + N/2, which a tp shard of the packed dim would split across devices —
-pack-after-shard is the future fix. make_tp_generate raises on this tree.
+Sharding: dp generation replicates this tree (works as-is). Tensor-parallel
+generation uses PACK-AFTER-SHARD: quantize with tp=N and column-parallel
+slabs become 4-D [L, K, tp, N/(2*tp)] — each tp block is the canonical
+packing of that shard's output columns, so sharding the block axis hands
+every device a self-contained slab (llama_forward squeezes the singleton
+block axis inside the shard). Row-parallel slabs shard the contraction dim,
+which the packing never pairs across. make_tp_generate validates the
+layout matches its mesh tp.
 
 Reference analog: none (reference serves fp16 HF modules,
 src/inference.py:24-49). Opt-in via bench.py --mode decode --int4_weights
@@ -39,8 +43,38 @@ from .llama import LINEAR_NAMES, Params
 from .llama_int8 import _quantize_rows, _quantize_stacked
 
 
-def _quantize_stacked_int4(w: jnp.ndarray, group: int = i4.GROUP) -> dict:
-    """[L, K, N] -> {'w_p' int8 [L, K, N/2], 'w_s' f32 [L, K/group, N]}."""
+# Megatron roles for pack-after-shard (mirror parallel/sharding.py):
+# column-parallel linears shard the OUT dim — exactly the dim the byte
+# packing pairs across — so their packing must be blockwise per tp shard.
+_COL_NAMES = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+
+
+def _quantize_stacked_int4(
+    w: jnp.ndarray, group: int = i4.GROUP, tp: int = 1,
+    col_parallel: bool = False,
+) -> dict:
+    """[L, K, N] -> {'w_p' int8 [L, K, N/2], 'w_s' f32 [L, K/group, N]}.
+
+    tp > 1 + col_parallel: PACK-AFTER-SHARD layout — w_p becomes 4-D
+    [L, K, tp, N/(2*tp)] where block s is the canonical packing of out
+    columns [s*N/tp, (s+1)*N/tp). Sharding axis 2 over 'tp' hands every
+    shard a self-contained canonically-packed slab (llama_forward squeezes
+    the singleton block axis). w_s stays canonical [L, K/g, N] — scales
+    carry no pairing, so a plain last-dim shard aligns.
+    """
+    if tp > 1 and col_parallel:
+        L, K, N = w.shape
+        if N % (2 * tp):
+            raise ValueError(
+                f"int4 pack-after-shard needs (2*tp) | N; got N={N} tp={tp}"
+            )
+        blocks = w.reshape(L, K, tp, N // tp).transpose(0, 2, 1, 3)
+        packed, scales = jax.vmap(jax.vmap(
+            lambda m: i4.quantize_pack(m, group=group)
+        ))(blocks)                       # [L, tp, K, N/2tp], [L, tp, K/g, N/tp]
+        packed = packed.transpose(0, 2, 1, 3)           # [L, K, tp, N/2tp]
+        scales = scales.transpose(0, 2, 1, 3).reshape(L, K // group, N)
+        return {"w_p": packed, "w_s": scales}
     packed, scales = jax.vmap(
         lambda m: i4.quantize_pack(m, group=group)
     )(w)
@@ -48,9 +82,17 @@ def _quantize_stacked_int4(w: jnp.ndarray, group: int = i4.GROUP) -> dict:
 
 
 def quantize_llama_int4(
-    params: Params, include_embed: bool = True, group: int = i4.GROUP
+    params: Params, include_embed: bool = True, group: int = i4.GROUP,
+    tp: int = 1,
 ) -> Params:
-    """Llama param tree -> weight-only-int4 tree (see module docstring)."""
+    """Llama param tree -> weight-only-int4 tree (see module docstring).
+
+    tp > 1: pack-after-shard layout for tensor-parallel generation
+    (make_tp_generate) — column-parallel slabs pack per tp block (4-D w_p);
+    row-parallel slabs shard the contraction dim, which the packing never
+    pairs across, but their group scales must stay shard-aligned:
+    (K/tp) % group == 0 is validated here.
+    """
     if isinstance(params["layers"]["q_proj"], dict):
         raise ValueError(
             "quantize_llama_int4 expects a full-precision tree "
@@ -59,7 +101,17 @@ def quantize_llama_int4(
     out = dict(params)
     layers = dict(params["layers"])
     for name in LINEAR_NAMES:
-        layers[name] = _quantize_stacked_int4(layers[name], group)
+        col = name in _COL_NAMES
+        if tp > 1 and not col:
+            K = layers[name].shape[1]
+            if K % tp or (K // tp) % group:
+                raise ValueError(
+                    f"int4 row-parallel slab {name}: need group "
+                    f"({group}) | K/tp ({K}/{tp})"
+                )
+        layers[name] = _quantize_stacked_int4(
+            layers[name], group, tp=tp, col_parallel=col
+        )
     out["layers"] = layers
     if include_embed:
         q, s = _quantize_rows(params["embed"]["weight"])
@@ -76,6 +128,17 @@ def dequantize_llama_int4(params: Params) -> Params:
     layers = dict(params["layers"])
     for name in LINEAR_NAMES:
         w = layers[name]
+        if w["w_p"].ndim == 4:  # pack-after-shard blocks [L, K, tp, N/2tp]
+            L, K, tp, nh = w["w_p"].shape
+            g = K // w["w_s"].shape[-2]
+            nl = 2 * nh
+            pb = w["w_p"].transpose(0, 2, 1, 3)           # [L, tp, K, nh]
+            sb = w["w_s"].reshape(L, K // g, tp, nl).transpose(0, 2, 1, 3)
+            deq = jax.vmap(jax.vmap(
+                lambda p, s: i4.dequantize_ref(p, s, group=g)
+            ))(pb, sb)                                    # [L, tp, K, nl]
+            layers[name] = deq.transpose(0, 2, 1, 3).reshape(L, K, tp * nl)
+            continue
         g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
         layers[name] = jax.vmap(
             lambda p, s: i4.dequantize_ref(p, s, group=g)

@@ -62,6 +62,19 @@ def _frozen_leaf_spec(path, leaf) -> P:
         return P("fsdp", "tp")  # [D, V] (w or w_q)
     if "pos_embed" in names or "conv1" in names or "conv2" in names:
         return P()
+    # int4 (W4A16) leaves — models/llama_int4.py pack-after-shard layout:
+    # COL w_p [L, K, tp, N/(2tp)] shards the block axis; ROW w_p [L, K, N/2]
+    # shards the contraction dim (packing pairs only out columns). The 3-D
+    # group scales w_s [L, K/g, N] follow the same role. A COL w_p that is
+    # still 3-D was packed tp=1 (canonical) and cannot be column-sharded —
+    # replicate it (make_tp_generate rejects that tree anyway).
+    if last == "w_p":
+        if mod in _COL:
+            return P(None, None, "tp", None) if ndim == 4 else P()
+        if mod in _ROW:
+            return P(None, "tp", None)
+    if last == "w_s" and ndim == 3 and mod is not None:
+        return P(None, None, "tp") if mod in _COL else P(None, "tp", None)
     if mod in _COL:
         if ndim == 3:  # stacked weight [L, in, out] (w or int8 w_q)
             return P(None, "fsdp", "tp")

@@ -133,3 +133,65 @@ def test_tp_generate_rejects_int4(trees):
     frozen = {"llama": q, "whisper": None}
     with pytest.raises(ValueError, match="int4"):
         fn(frozen, None, None, None, None, None)
+
+
+# ---- pack-after-shard (tp) layout -----------------------------------------
+
+def test_tp_pack_matches_canonical_numerics(trees):
+    """Blockwise (tp) packing changes the byte layout, not the values:
+    dequantizing a tp=2 tree must equal dequantizing the tp=1 tree."""
+    cfg, params, q, deq = trees
+    q2 = quantize_llama_int4(params, tp=2, group=64)
+    d2 = dequantize_llama_int4(q2)
+    q1 = quantize_llama_int4(params, group=64)
+    d1 = dequantize_llama_int4(q1)
+    for name in lm.LINEAR_NAMES:
+        np.testing.assert_array_equal(
+            np.asarray(d1["layers"][name]), np.asarray(d2["layers"][name])
+        )
+
+
+def test_tp_pack_shard_slices_are_canonical(trees):
+    """Block s of a tp-packed COL slab == canonical pack of that shard's
+    column slice (the property make_tp_generate's in_specs rely on)."""
+    from audio_llama_tpu.ops import int4_matmul as i4
+
+    cfg, params, q, deq = trees
+    tp, g = 2, 64
+    q2 = quantize_llama_int4(params, tp=tp, group=g)
+    w = np.asarray(params["layers"]["q_proj"])  # [L, K, N] col-parallel
+    L, K, N = w.shape
+    for s in range(tp):
+        blk = w[:, :, s * N // tp:(s + 1) * N // tp]
+        pk, sc = jax.vmap(lambda m: i4.quantize_pack(m, group=g))(
+            jnp.asarray(blk)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(q2["layers"]["q_proj"]["w_p"][:, :, s]),
+            np.asarray(pk),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(
+                q2["layers"]["q_proj"]["w_s"][:, :, s * N // tp:(s + 1) * N // tp]
+            ),
+            np.asarray(sc),
+        )
+
+
+def test_tp_packed_tree_rejected_unsharded(trees):
+    cfg, params, q, deq = trees
+    q2 = quantize_llama_int4(params, tp=2, group=64)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, 8), 3, 500)
+    with pytest.raises(ValueError, match="tensor-parallel"):
+        lm.llama_forward(
+            q2, cfg, input_ids=ids,
+            attention_mask=jnp.ones((1, 8), jnp.int32),
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+
+
+def test_tp_pack_validates_row_group_alignment(trees):
+    cfg, params, q, deq = trees
+    # o_proj K=128: K/tp=64 is not a multiple of group=128
+    with pytest.raises(ValueError, match="row-parallel"):
+        quantize_llama_int4(params, tp=2, group=128)

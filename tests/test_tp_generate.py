@@ -88,3 +88,40 @@ def test_tp_generate_with_int8_decoder(model):
     fn = gen.make_tp_generate(cfg, mesh, **STATIC)
     out = fn(qfrozen, trainable, ids, mask, audio, key)
     np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+
+
+def test_tp_generate_with_int4_decoder(model):
+    """Pack-after-shard W4A16 (models/llama_int4.py tp layout): each tp
+    shard receives a self-contained canonically-packed slab via the 4-D
+    block axis; greedy output must match single-device generation over the
+    DEQUANTIZED tree (a tp-packed tree cannot run unsharded by design)."""
+    from audio_llama_tpu.models import llama_int4 as l4
+
+    cfg, frozen, trainable = model
+    qfrozen = dict(frozen)
+    qfrozen["llama"] = l4.quantize_llama_int4(
+        frozen["llama"], tp=2, group=32
+    )
+    dfrozen = dict(frozen)
+    dfrozen["llama"] = l4.dequantize_llama_int4(qfrozen["llama"])
+    ids, mask, audio = _inputs(cfg)
+    key = jax.random.PRNGKey(3)
+    ref = gen.generate(dfrozen, trainable, cfg, ids, mask, audio, key, **STATIC)
+
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=2), devices=jax.devices()[:2])
+    fn = gen.make_tp_generate(cfg, mesh, **STATIC)
+    out = fn(qfrozen, trainable, ids, mask, audio, key)
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+
+
+def test_tp_generate_rejects_canonical_int4_tree(model):
+    from audio_llama_tpu.models import llama_int4 as l4
+
+    cfg, frozen, trainable = model
+    qfrozen = dict(frozen)
+    qfrozen["llama"] = l4.quantize_llama_int4(frozen["llama"], group=32)
+    ids, mask, audio = _inputs(cfg)
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=2), devices=jax.devices()[:2])
+    fn = gen.make_tp_generate(cfg, mesh, **STATIC)
+    with pytest.raises(ValueError, match="packed for tp=1"):
+        fn(qfrozen, trainable, ids, mask, audio, jax.random.PRNGKey(0))

@@ -14,10 +14,19 @@ both KV caches ride the carry, rejection is just rewinding the cache
 `length` scalar (stale slots are never attendable and get overwritten),
 and the whole prefill+draft+verify loop is ONE compiled XLA program.
 
-v1 scope (documented): batch 1 (per-row acceptance lengths diverge, and the
-cache timeline offset is a scalar — the latency use case spec decode exists
-for), greedy sampling (the lossless case; stochastic accept/reject a la
-Leviathan et al. is the follow-up), text or audio prompts.
+Scope: batch 1 (per-row acceptance lengths diverge, and the cache timeline
+offset is a scalar — the latency use case spec decode exists for), text or
+audio prompts. Two sampling modes:
+  - greedy=True: LOSSLESS — bit-identical to plain greedy target decoding.
+  - greedy=False: STOCHASTIC speculative sampling (Leviathan et al. 2023,
+    arXiv:2211.17192): draft samples x_i ~ q_i, the target accepts with
+    probability min(1, p_i(x_i)/q_i(x_i)) and on rejection resamples from
+    the normalized residual max(p_i - q_i, 0) — the output is EXACTLY
+    target-distributed (p, q are the post-temperature/top-p/top-k SAMPLING
+    distributions, ops/sampling.filtered_probs). The all-accept bonus token
+    falls out of the same residual formula with q := 0.
+    tests/test_speculative.py checks the marginal empirically and the
+    all-accept invariant when draft == target.
 
 Throughput honesty: with RANDOM weights draft/target agreement is chance,
 so no speedup can be demonstrated in this environment — the mechanism +
@@ -37,6 +46,7 @@ from jax import lax
 
 from ..config import AudioLLMConfig
 from ..models import llama as llama_mod
+from ..ops import sampling
 from . import generate as gen
 
 
@@ -57,6 +67,7 @@ def _greedy(logits):
     static_argnames=(
         "cfg", "draft_cfg", "max_new_tokens", "gamma", "eos_id", "pad_id",
         "audio_start_id", "audio_end_id", "compute_dtype", "has_audio",
+        "greedy", "temperature", "top_p", "top_k",
     ),
 )
 def generate_speculative(
@@ -68,6 +79,7 @@ def generate_speculative(
     input_ids: jnp.ndarray,  # [1, T]
     attention_mask: jnp.ndarray,  # [1, T]
     audio_features: Optional[jnp.ndarray],
+    key: Optional[jax.Array] = None,  # required when greedy=False
     *,
     max_new_tokens: int = 64,
     gamma: int = 4,
@@ -77,11 +89,25 @@ def generate_speculative(
     audio_end_id: int = 0,
     compute_dtype=jnp.bfloat16,
     has_audio: bool = True,
+    greedy: bool = True,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    top_k: int = 0,
 ) -> SpecResult:
     if input_ids.shape[0] != 1:
         raise ValueError("speculative decoding v1 is batch-1 (latency path)")
     if cfg.llama.vocab_size != draft_cfg.vocab_size:
         raise ValueError("draft and target must share the vocabulary")
+    if not greedy and key is None:
+        raise ValueError("stochastic speculative sampling needs a PRNG key")
+    if key is None:
+        key = jax.random.PRNGKey(0)  # greedy path never consumes it
+    k_first, k_loop = jax.random.split(key)
+
+    def _probs(logits):
+        return sampling.filtered_probs(
+            logits, temperature=temperature, top_p=top_p, top_k=top_k
+        )
 
     if not has_audio:
         audio_features = None
@@ -109,10 +135,16 @@ def generate_speculative(
     last_hidden = jnp.take_along_axis(
         hidden, (real_len - 1)[:, None, None], axis=1
     )
-    first_tok = _greedy(
-        llama_mod.unembed(frozen["llama"], cfg.llama, last_hidden,
-                          compute_dtype)[:, 0]
-    )  # [1]
+    first_logits = llama_mod.unembed(
+        frozen["llama"], cfg.llama, last_hidden, compute_dtype
+    )[:, 0]
+    if greedy:
+        first_tok = _greedy(first_logits)  # [1]
+    else:
+        first_tok = sampling.sample_token(
+            first_logits, k_first, temperature=temperature, top_p=top_p,
+            top_k=top_k,
+        )
 
     # --- draft prefill: TEXT prompt only (the draft is a text LM; it sees
     # the token prompt — audio conditioning lives in the target, which is
@@ -145,6 +177,7 @@ def generate_speculative(
     def body(carry):
         t_cache, d_cache, tokens, n_out, last_tok, done, stats = carry
         n_calls, n_draft, n_acc = stats
+        k_round = jax.random.fold_in(k_loop, n_calls)
 
         # ----- draft proposes gamma tokens (its cache tracks the target's
         # accepted prefix; rewind happens by resetting length below) -----
@@ -158,12 +191,23 @@ def generate_speculative(
                 attention_mask=d_mask, positions=pos,
                 kv_cache=d_cache, compute_dtype=compute_dtype,
             )
-            nxt = _greedy(logits[:, 0])
-            return (d_cache, nxt), nxt
+            if greedy:
+                nxt = _greedy(logits[:, 0])
+                return (d_cache, nxt), nxt
+            q = _probs(logits[:, 0])  # [1, V] — the draft's SAMPLING dist
+            nxt = sampling.sample_token(
+                logits[:, 0], jax.random.fold_in(k_round, i),
+                temperature=temperature, top_p=top_p, top_k=top_k,
+            )
+            return (d_cache, nxt), (nxt, q[0])
 
-        (d_cache, last_drafted), drafted = lax.scan(
+        (d_cache, last_drafted), d_ys = lax.scan(
             d_step, (d_cache, last_tok), jnp.arange(gamma)
-        )  # drafted: [gamma, 1]
+        )
+        if greedy:
+            drafted, qs = d_ys, None  # [gamma, 1]
+        else:
+            drafted, qs = d_ys  # [gamma, 1], [gamma, V]
         drafted = drafted[:, 0]  # [gamma]
         # One extra draft forward feeding the FINAL drafted token: the scan
         # writes K/V only for its inputs, so without this the all-accept
@@ -181,20 +225,53 @@ def generate_speculative(
             kv_cache=t_cache, compute_dtype=compute_dtype,
             lora=None if trainable is None else _lora(trainable, cfg),
         )
-        t_next = _greedy(t_logits[0])  # [gamma+1] target's token after each
-
-        # accepted[i] = drafted[i] agreed with the target at position i
-        agree = drafted == t_next[:gamma]
+        if greedy:
+            t_next = _greedy(t_logits[0])  # [gamma+1] token after each pos
+            # accepted[i] = drafted[i] agreed with the target at position i
+            agree = drafted == t_next[:gamma]
+        else:
+            # Leviathan accept/reject on the post-filter distributions:
+            # accept x_i ~ q_i with prob min(1, p_i(x_i)/q_i(x_i))
+            # <=> u * q_i(x_i) < p_i(x_i), u ~ U(0,1)
+            t_probs = _probs(t_logits[0])  # [gamma+1, V]
+            idx = jnp.arange(gamma)
+            p_x = t_probs[idx, drafted]
+            q_x = qs[idx, drafted]
+            u = jax.random.uniform(
+                jax.random.fold_in(k_round, gamma), (gamma,)
+            )
+            agree = u * jnp.maximum(q_x, 1e-30) < p_x
         n_match = jnp.argmin(
             jnp.concatenate([agree.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])
         )  # first disagreement (gamma if all agree)
-        # emitted this round: drafted[:n_match] ++ target's correction/bonus
+        if greedy:
+            fix = t_next[n_match]  # target's correction/bonus token
+        else:
+            # rejection at n_match < gamma: resample from the normalized
+            # residual max(p - q, 0); all-accept (n_match == gamma): the
+            # bonus token is the same formula with q := 0, i.e. p itself
+            p_r = t_probs[n_match]
+            q_r = jnp.where(
+                n_match < gamma,
+                qs[jnp.minimum(n_match, gamma - 1)],
+                jnp.zeros_like(p_r),
+            )
+            r = jnp.maximum(p_r - q_r, 0.0)
+            rs = jnp.sum(r)
+            # rs == 0 only if p <= q everywhere => p == q => rejection had
+            # probability 0; numerically fall back to p
+            r = jnp.where(rs > 0, r / rs, p_r)
+            fix = jax.random.categorical(
+                jax.random.fold_in(k_round, gamma + 1),
+                jnp.where(r > 0, jnp.log(jnp.maximum(r, 1e-30)), -jnp.inf),
+            ).astype(jnp.int32)
+        # emitted this round: drafted[:n_match] ++ correction/bonus
         n_emit = n_match + 1
         emit = jnp.where(
             jnp.arange(gamma + 1) < n_match,
             jnp.concatenate([drafted, jnp.zeros((1,), jnp.int32)]),
-            jnp.broadcast_to(t_next[n_match], (gamma + 1,)),
-        )  # positions >= n_match all hold the target token; only
+            jnp.broadcast_to(fix, (gamma + 1,)),
+        )  # positions >= n_match all hold the fix token; only
         # index n_match of those is actually written (see write mask)
 
         # write emit[0..n_emit) into tokens at n_out: gather formulation

@@ -42,6 +42,31 @@ def apply_top_p(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     return jnp.where(logits < threshold, NEG_INF, logits)
 
 
+def filtered_logits(
+    logits: jnp.ndarray, temperature: float = 1.0, top_p: float = 1.0,
+    top_k: int = 0,
+) -> jnp.ndarray:
+    """Post-filter (temperature -> top-k -> top-p) logits in f32 — the log
+    of the actual SAMPLING distribution. Speculative decoding's
+    accept/reject must compare these distributions, not the raw ones."""
+    x = apply_temperature(logits.astype(jnp.float32), temperature)
+    if top_k > 0:
+        x = apply_top_k(x, top_k)
+    if top_p < 1.0:
+        x = apply_top_p(x, top_p)
+    return x
+
+
+def filtered_probs(
+    logits: jnp.ndarray, temperature: float = 1.0, top_p: float = 1.0,
+    top_k: int = 0,
+) -> jnp.ndarray:
+    """Normalized post-filter sampling distribution (see filtered_logits)."""
+    return jax.nn.softmax(
+        filtered_logits(logits, temperature, top_p, top_k), axis=-1
+    )
+
+
 def sample_token(
     logits: jnp.ndarray,  # [B, V] f32
     key: jax.Array,
@@ -53,9 +78,5 @@ def sample_token(
     """-> [B] int32 next tokens. All filter params are static (trace-time)."""
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    x = apply_temperature(logits.astype(jnp.float32), temperature)
-    if top_k > 0:
-        x = apply_top_k(x, top_k)
-    if top_p < 1.0:
-        x = apply_top_p(x, top_p)
+    x = filtered_logits(logits, temperature, top_p, top_k)
     return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)

@@ -87,3 +87,67 @@ def test_batch_gt1_rejected(setup):
             jnp.tile(ids, (2, 1)), jnp.tile(mask, (2, 1)), None,
             max_new_tokens=4, has_audio=False, compute_dtype=jnp.float32,
         )
+
+
+# ---- stochastic speculative sampling (Leviathan accept/reject) -------------
+
+def test_stochastic_requires_key(setup):
+    cfg, frozen, trainable, draft_cfg, draft, ids, mask, audio = setup
+    with pytest.raises(ValueError, match="PRNG key"):
+        generate_speculative(
+            frozen, draft, trainable, cfg, draft_cfg, ids, mask, None,
+            max_new_tokens=4, gamma=2, eos_id=2, pad_id=0,
+            audio_start_id=260, audio_end_id=261,
+            compute_dtype=jnp.float32, has_audio=False, greedy=False,
+        )
+
+
+def test_stochastic_self_draft_accepts_everything(setup):
+    """Draft == target => p == q => accept probability min(1, p/q) == 1:
+    every proposal must be accepted even under sampling."""
+    cfg, frozen, trainable, draft_cfg, draft, ids, mask, audio = setup
+    res = generate_speculative(
+        frozen, frozen["llama"], trainable, cfg, cfg.llama, ids, mask, None,
+        jax.random.PRNGKey(11),
+        max_new_tokens=10, gamma=3, eos_id=2, pad_id=0,
+        audio_start_id=260, audio_end_id=261,
+        compute_dtype=jnp.float32, has_audio=False,
+        greedy=False, temperature=0.8, top_k=16,
+    )
+    assert int(res.num_drafted) > 0
+    assert int(res.num_accepted) == int(res.num_drafted)
+
+
+def test_stochastic_marginal_matches_target_sampling(setup):
+    """The spec-sampled SECOND token (produced by draft-accept-or-residual)
+    must be distributed like direct target sampling. Empirical total-
+    variation check over seeds with top_k=8 (support <= 8 per position)."""
+    from collections import Counter
+
+    cfg, frozen, trainable, draft_cfg, draft, ids, mask, audio = setup
+    N = 400
+    kw = dict(temperature=0.9, top_k=8)
+    spec_counts, ref_counts = Counter(), Counter()
+    for s in range(N):
+        res = generate_speculative(
+            frozen, draft, trainable, cfg, draft_cfg, ids, mask, None,
+            jax.random.PRNGKey(1000 + s),
+            max_new_tokens=2, gamma=2, eos_id=-1, pad_id=0,
+            audio_start_id=260, audio_end_id=261,
+            compute_dtype=jnp.float32, has_audio=False, greedy=False, **kw,
+        )
+        spec_counts[int(res.tokens[0, 1])] += 1
+        ref = gen.generate(
+            frozen, trainable, cfg, ids, mask, None,
+            jax.random.PRNGKey(5000 + s), max_new_tokens=2, greedy=False,
+            eos_id=-1, pad_id=0, audio_start_id=260, audio_end_id=261,
+            compute_dtype=jnp.float32, has_audio=False, **kw,
+        )
+        ref_counts[int(ref.tokens[0, 1])] += 1
+    support = set(spec_counts) | set(ref_counts)
+    tv = 0.5 * sum(
+        abs(spec_counts[t] / N - ref_counts[t] / N) for t in support
+    )
+    # sampling noise at N=400 over <=16 joint-support points is ~0.1;
+    # a broken accept/reject (e.g. raw-logit ratios) lands far above 0.25
+    assert tv < 0.22, f"TV {tv:.3f}, support {len(support)}"

@@ -256,6 +256,7 @@ def llama_forward(
     attention_mask: Optional[jnp.ndarray] = None,  # [B, T_total] 1=attend
     positions: Optional[jnp.ndarray] = None,  # [B, T] int32
     kv_cache: Optional[KVCache] = None,
+    cache_offsets: Optional[jnp.ndarray] = None,  # [B] int32 per-row append offsets
     lora: Optional[dict] = None,
     compute_dtype=jnp.bfloat16,
     return_hidden: bool = False,
@@ -277,6 +278,15 @@ def llama_forward(
     the whole cache timeline; returns (logits, updated_cache). attention_mask,
     if given, covers the full cache timeline [B, max_len].
 
+    cache_offsets ([B] int32) overrides cache.length with PER-ROW physical
+    append offsets — rows whose timelines have diverged (batched speculative
+    decoding: per-row acceptance lengths) each write their T new K/V rows at
+    their own slot and attend slot-causally relative to it. Writes go through
+    per-row dynamic_update_slice (B static, unrolled) and attention takes the
+    XLA path (the fused decode kernels are scalar-offset; vector-offset kernel
+    dispatch is the follow-up). The returned cache.length is max(offsets) + T
+    — an upper bound; per-row bookkeeping lives with the caller.
+
     tp_axis: set when running INSIDE shard_map with Megatron-sharded weights
     (column-parallel q/k/v/gate/up, row-parallel o/down — parallel/sharding.py
     specs). Head counts are then derived from the local weight shapes and the
@@ -288,8 +298,13 @@ def llama_forward(
     x = inputs_embeds.astype(compute_dtype)
     B, T, D = x.shape
 
+    if cache_offsets is not None:
+        if kv_cache is None:
+            raise ValueError("cache_offsets requires kv_cache")
+        if assume_fresh_cache:
+            raise ValueError("cache_offsets contradicts assume_fresh_cache")
     if kv_cache is not None:
-        offset = kv_cache.length
+        offset = kv_cache.length if cache_offsets is None else cache_offsets
         Tk = kv_cache.k.shape[3]
         if attention_mask is not None and attention_mask.shape[1] < Tk:
             # cache timelines are tile-rounded; the extra slots never attend
@@ -299,6 +314,9 @@ def llama_forward(
     else:
         offset = 0
         Tk = T
+    # [1, 1] (shared scalar offset) or [B, 1] (per-row): downstream position
+    # defaults, validity masks, and bias all broadcast over this column.
+    off_col = jnp.reshape(jnp.asarray(offset, jnp.int32), (-1, 1))
 
     # Full-sequence paths can use flash attention: training/scoring (no
     # cache) and PREFILL into a fresh cache (assume_fresh_cache=True promises
@@ -347,7 +365,7 @@ def llama_forward(
             Tk = T
 
     if positions is None:
-        positions = jnp.arange(T)[None, :] + offset  # [1|B, T]
+        positions = jnp.arange(T)[None, :] + off_col  # [1|B, T]
         positions = jnp.broadcast_to(positions, (B, T))
 
     inv_freq = rope_for_config(cfg)
@@ -361,6 +379,7 @@ def llama_forward(
     use_decode_kernel = (
         kv_cache is not None
         and T == 1
+        and cache_offsets is None  # kernels are scalar-offset (see docstring)
         and not (use_flash or use_causal_kernel)
         and (
             attn_impl == "decode_kernel"
@@ -370,7 +389,7 @@ def llama_forward(
     decode_valid = None
     if use_decode_kernel:
         kpos = jnp.arange(Tk)[None, :]
-        decode_valid = (kpos <= offset).astype(jnp.int32)
+        decode_valid = (kpos <= off_col).astype(jnp.int32)
         decode_valid = jnp.broadcast_to(decode_valid, (B, Tk))
         if attention_mask is not None:
             decode_valid = decode_valid * attention_mask.astype(jnp.int32)
@@ -385,9 +404,9 @@ def llama_forward(
         # slot-causality keeps earlier decode tokens visible while the
         # padding mask hides pad slots.
         kpos = jnp.arange(Tk)[None, :]
-        qslot = offset + jnp.arange(T)[None, :]  # [1, T] physical
-        allowed = kpos[:, None, :] <= qslot[:, :, None]  # [1, T, Tk]
-        written = kpos < (offset + T)
+        qslot = off_col + jnp.arange(T)[None, :]  # [1|B, T] physical
+        allowed = kpos[:, None, :] <= qslot[:, :, None]  # [1|B, T, Tk]
+        written = kpos < (off_col + T)  # [1|B, Tk]
         allowed = allowed & written[:, None, :]
         bias = jnp.where(allowed, 0.0, NEG_INF)
         bias = bias[:, None, :, :].astype(jnp.float32)
@@ -435,6 +454,22 @@ def llama_forward(
                 compute_dtype
             ) * scaling
         return y
+
+    def _cache_write(buf, val, li):
+        """Append val [1, B, Hkv, T, ...] into the [L, B, Hkv, Tk, ...] slab.
+
+        Scalar offset: one dynamic_update_slice (all rows share the slot).
+        Per-row offsets: B unrolled single-row updates (B is static) — the
+        price of divergent timelines, paid only on the cache_offsets path."""
+        if cache_offsets is None:
+            idx = (li, 0, 0, offset) + (0,) * (buf.ndim - 4)
+            return lax.dynamic_update_slice(buf, val.astype(buf.dtype), idx)
+        for b in range(val.shape[1]):
+            idx = (li, b, 0, cache_offsets[b]) + (0,) * (buf.ndim - 4)
+            buf = lax.dynamic_update_slice(
+                buf, val[:, b : b + 1].astype(buf.dtype), idx
+            )
+        return buf
 
     def layer_step(carry, scanned):
         # Carry holds (x, full_k_cache, full_v_cache): the cache is updated
@@ -507,17 +542,13 @@ def llama_forward(
             if quantized:
                 khq, khs = quantize_kv_rows(kh)
                 vhq, vhs = quantize_kv_rows(vh)
-                ck_all = lax.dynamic_update_slice(ck_all, khq, (li, 0, 0, offset, 0))
-                cv_all = lax.dynamic_update_slice(cv_all, vhq, (li, 0, 0, offset, 0))
-                ks_all = lax.dynamic_update_slice(ks_all, khs, (li, 0, 0, offset))
-                vs_all = lax.dynamic_update_slice(vs_all, vhs, (li, 0, 0, offset))
+                ck_all = _cache_write(ck_all, khq, li)
+                cv_all = _cache_write(cv_all, vhq, li)
+                ks_all = _cache_write(ks_all, khs, li)
+                vs_all = _cache_write(vs_all, vhs, li)
             else:
-                ck_all = lax.dynamic_update_slice(
-                    ck_all, kh.astype(ck_all.dtype), (li, 0, 0, offset, 0)
-                )
-                cv_all = lax.dynamic_update_slice(
-                    cv_all, vh.astype(cv_all.dtype), (li, 0, 0, offset, 0)
-                )
+                ck_all = _cache_write(ck_all, kh, li)
+                cv_all = _cache_write(cv_all, vh, li)
             if use_flash or use_causal_kernel:
                 # kernel prefill attends over the fresh k/v directly; the
                 # cache timeline is only written, never read here
@@ -617,8 +648,12 @@ def llama_forward(
 
     new_cache = None
     if kv_cache is not None:
+        new_len = (
+            offset + T if cache_offsets is None
+            else jnp.max(cache_offsets) + T  # upper bound (caller tracks rows)
+        )
         new_cache = KVCache(
-            k=ck_out, v=cv_out, length=offset + T,
+            k=ck_out, v=cv_out, length=new_len,
             k_scale=ks_out, v_scale=vs_out,
         )
     if return_hidden:

@@ -12,7 +12,10 @@ import pytest
 
 from audio_llama_tpu.config import AudioLLMConfig, LlamaConfig, MelConfig, WhisperConfig
 from audio_llama_tpu.inference import generate as gen
-from audio_llama_tpu.inference.speculative import generate_speculative
+from audio_llama_tpu.inference.speculative import (
+    generate_speculative,
+    generate_speculative_batched,
+)
 from audio_llama_tpu.models import allm, llama as lm
 
 
@@ -116,6 +119,113 @@ def test_stochastic_self_draft_accepts_everything(setup):
     )
     assert int(res.num_drafted) > 0
     assert int(res.num_accepted) == int(res.num_drafted)
+
+
+# ---- batched speculative decoding (per-row divergent timelines) ------------
+
+@pytest.fixture(scope="module")
+def batch_setup(setup):
+    """3 rows with DIFFERENT real prompt lengths (right-padded): per-row
+    acceptance lengths diverge immediately, exercising cache_offsets."""
+    cfg, frozen, trainable, draft_cfg, draft, _, _, _ = setup
+    rng = np.random.default_rng(21)
+    lens = [12, 8, 10]
+    T = max(lens)
+    ids = rng.integers(3, 250, (3, T)).astype(np.int32)
+    mask = np.zeros((3, T), np.int32)
+    for b, l in enumerate(lens):
+        mask[b, :l] = 1
+        ids[b, l:] = 0
+    audio = jax.random.normal(
+        jax.random.PRNGKey(4), (3, cfg.mel.max_samples)
+    ) * 0.1
+    return jnp.asarray(ids), jnp.asarray(mask), audio
+
+
+@pytest.mark.parametrize("has_audio", [False, True])
+@pytest.mark.parametrize("gamma", [2, 4])
+def test_batched_lossless_vs_greedy(setup, batch_setup, has_audio, gamma):
+    """Greedy batched spec decode must be bit-identical PER ROW to plain
+    batched greedy decoding, with divergent prompt lengths in the batch."""
+    cfg, frozen, trainable, draft_cfg, draft, _, _, _ = setup
+    ids, mask, audio = batch_setup
+    n = 12
+    ref_tok, ref_num = _ref_tokens(
+        cfg, frozen, trainable, ids, mask, audio, n, has_audio
+    )
+    res = generate_speculative_batched(
+        frozen, draft, trainable, cfg, draft_cfg, ids, mask,
+        audio if has_audio else None,
+        max_new_tokens=n, gamma=gamma, eos_id=2, pad_id=0,
+        audio_start_id=260, audio_end_id=261,
+        compute_dtype=jnp.float32, has_audio=has_audio,
+    )
+    np.testing.assert_array_equal(np.asarray(res.tokens), ref_tok)
+    np.testing.assert_array_equal(np.asarray(res.num_generated), ref_num)
+    assert res.num_drafted.shape == (3,)
+
+
+def test_batched_self_draft_accepts_everything(setup, batch_setup):
+    """Draft == target: every row must accept every proposal, and the round
+    count collapses to ~n/(gamma+1) for the LONGEST row."""
+    cfg, frozen, trainable, draft_cfg, draft, _, _, _ = setup
+    ids, mask, _ = batch_setup
+    n, gamma = 12, 4
+    ref_tok, _ = _ref_tokens(cfg, frozen, trainable, ids, mask, None, n, False)
+    res = generate_speculative_batched(
+        frozen, frozen["llama"], trainable, cfg, cfg.llama, ids, mask, None,
+        max_new_tokens=n, gamma=gamma, eos_id=2, pad_id=0,
+        audio_start_id=260, audio_end_id=261,
+        compute_dtype=jnp.float32, has_audio=False,
+    )
+    np.testing.assert_array_equal(np.asarray(res.tokens), ref_tok)
+    np.testing.assert_array_equal(
+        np.asarray(res.num_accepted), np.asarray(res.num_drafted)
+    )
+    assert int(res.num_target_calls) <= -(-n // (gamma + 1)) + 1
+
+
+def test_batched_matches_batch1_per_row(setup, batch_setup):
+    """Each row of the batched run must equal its own batch-1 spec run
+    (greedy; same draft) — the batched path adds no cross-row interference."""
+    cfg, frozen, trainable, draft_cfg, draft, _, _, _ = setup
+    ids, mask, _ = batch_setup
+    n = 10
+    res_b = generate_speculative_batched(
+        frozen, draft, trainable, cfg, draft_cfg, ids, mask, None,
+        max_new_tokens=n, gamma=3, eos_id=2, pad_id=0,
+        audio_start_id=260, audio_end_id=261,
+        compute_dtype=jnp.float32, has_audio=False,
+    )
+    for b in range(ids.shape[0]):
+        l = int(jnp.sum(mask[b]))
+        res_1 = generate_speculative(
+            frozen, draft, trainable, cfg, draft_cfg,
+            ids[b : b + 1, :l], mask[b : b + 1, :l], None,
+            max_new_tokens=n, gamma=3, eos_id=2, pad_id=0,
+            audio_start_id=260, audio_end_id=261,
+            compute_dtype=jnp.float32, has_audio=False,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_b.tokens[b]), np.asarray(res_1.tokens[0])
+        )
+
+
+def test_batched_stochastic_self_draft_accepts_everything(setup, batch_setup):
+    cfg, frozen, trainable, draft_cfg, draft, _, _, _ = setup
+    ids, mask, _ = batch_setup
+    res = generate_speculative_batched(
+        frozen, frozen["llama"], trainable, cfg, cfg.llama, ids, mask, None,
+        jax.random.PRNGKey(13),
+        max_new_tokens=10, gamma=3, eos_id=2, pad_id=0,
+        audio_start_id=260, audio_end_id=261,
+        compute_dtype=jnp.float32, has_audio=False,
+        greedy=False, temperature=0.8, top_k=16,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.num_accepted), np.asarray(res.num_drafted)
+    )
+    assert np.all(np.asarray(res.num_drafted) > 0)
 
 
 def test_stochastic_marginal_matches_target_sampling(setup):

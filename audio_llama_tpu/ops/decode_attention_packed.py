@@ -151,13 +151,17 @@ def _kernel(
     # pass cost on the [G, CH] tiles (f32 inputs keep f32 for tight parity)
     cdt = q_ref.dtype
     edt = cdt
-    ones_col = jnp.ones((CH, 1), edt)
     # one-hot of the appended row: the slab in HBM is STALE at column `off`
     # (the new K/V row is an operand, not yet written back). Instead of
     # merging the row into the whole [CH, hd] slab (two full VMEM passes
-    # per head), fix the score column and the PV contribution directly —
-    # the one-hot dots ride the MXU for ~free.
-    onehot = is_new_col.astype(cdt)      # [CH, 1]
+    # per head), fix the score column and the PV contribution directly.
+    # All the skinny [*, 1] contractions below are explicit f32 VPU
+    # multiply-reduces: Mosaic lowers N=1/M=1 dot_generals as
+    # broadcast-multiply anyway, and the mixed bf16->f32 broadcast it
+    # emits for them fails MLIR verification on real TPUs ('vector.
+    # broadcast' element-type error; r3 packed-bench log).
+    onehot_col = is_new_col.astype(jnp.float32)  # [CH, 1]
+    onehot_row = is_new_r.astype(jnp.float32)    # [1, CH]
 
     last = c == NC - 1
     for h in range(hkv):
@@ -175,9 +179,9 @@ def _kernel(
             q_h, kcast, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                # [G, CH]
-        s_new = jax.lax.dot_general(
-            q_h, kn_cast, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        s_new = jnp.sum(
+            q_h.astype(jnp.float32) * kn_cast.astype(jnp.float32),
+            axis=1, keepdims=True,
         )                                # [G, 1]
         if quantized:
             k_srow = jnp.where(is_new_r, ks_new_ref[0, h], ks_ref[0, h])
@@ -197,11 +201,7 @@ def _kernel(
             valid_row > 0, jnp.exp((s - m_new).astype(edt)),
             jnp.zeros((), edt),
         )                                # [G, CH] edt
-        # denominator rides the MXU (ones column) instead of a VPU reduce
-        lsum = jax.lax.dot_general(
-            p, ones_col, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        lsum = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
         l_new = alpha * l_old + lsum
         if quantized:
             v_srow = jnp.where(is_new_r, vs_new_ref[0, h], vs_ref[0, h])
@@ -213,13 +213,11 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )                                # [G, hd]
         # appended-row PV fix: swap the stale row's contribution for vnew
-        pn = jax.lax.dot_general(
-            pv_in, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        pn = jnp.sum(
+            pv_in.astype(jnp.float32) * onehot_row, axis=1, keepdims=True
         )                                # [G, 1] = (p*v_s)[:, off]
-        v_old = jax.lax.dot_general(
-            onehot, vcast, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        v_old = jnp.sum(
+            vcast.astype(jnp.float32) * onehot_col, axis=0, keepdims=True
         )                                # [1, hd] stale slab row
         pv = pv + pn * (vn_cast.astype(jnp.float32) - v_old)
         acc_new = alpha * acc_old + pv
@@ -261,7 +259,7 @@ def _kernel(
 
 def _call(
     q, k_new, v_new, cache_k, cache_v, layer, offset, valid, scale,
-    chunk, interpret, quant_args=None,
+    chunk, interpret, quant_args=None, depth_override=None,
 ):
     L, B, Hkv, max_len, hd = cache_k.shape
     if max_len % 32 != 0:
@@ -273,7 +271,8 @@ def _call(
     quantized = quant_args is not None
     esize = jnp.dtype(cache_k.dtype).itemsize
     slab_pair = 2 * Hkv * CH * hd * esize
-    depth = max(2, min(DEPTH, _SLAB_BUDGET // max(slab_pair, 1)))
+    depth_cap = DEPTH if depth_override is None else depth_override
+    depth = max(2, min(depth_cap, _SLAB_BUDGET // max(slab_pair, 1)))
     vmem_limit = min(110 * 1024 * 1024, depth * slab_pair + 8 * 1024 * 1024)
 
     def bmap(i, *_):
@@ -385,12 +384,12 @@ def _call(
 
 def decode_attention_packed(
     q, k_new, v_new, cache_k, cache_v, layer, offset, valid, scale,
-    chunk: int = DEFAULT_CHUNK, interpret: bool = False,
+    chunk: int = DEFAULT_CHUNK, interpret: bool = False, depth=None,
 ):
     """Drop-in for decode_attention_db (head-packed chunked grid)."""
     return _call(
         q, k_new, v_new, cache_k, cache_v, layer, offset, valid, scale,
-        chunk, interpret,
+        chunk, interpret, depth_override=depth,
     )
 
 
@@ -398,11 +397,12 @@ def decode_attention_quantized_packed(
     q, k_new_q, v_new_q, cache_k, cache_v,
     k_scales, v_scales, k_new_scale, v_new_scale,
     layer, offset, valid, scale,
-    chunk: int = DEFAULT_CHUNK, interpret: bool = False,
+    chunk: int = DEFAULT_CHUNK, interpret: bool = False, depth=None,
 ):
     """Drop-in for decode_attention_quantized_db (head-packed chunked)."""
     return _call(
         q, k_new_q, v_new_q, cache_k, cache_v, layer, offset, valid, scale,
         chunk, interpret,
         quant_args=(k_scales, v_scales, k_new_scale, v_new_scale),
+        depth_override=depth,
     )

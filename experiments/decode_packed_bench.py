@@ -38,6 +38,7 @@ def main():
     chunks = [int(c) for c in os.environ.get("CHUNKS", "512,2048").split(",")]
     quants = [bool(int(x)) for x in os.environ.get("QUANTS", "0,1").split(",")]
     time_db = bool(int(os.environ.get("DB", "0")))
+    depths = [int(d) for d in os.environ.get("DEPTHS", "4").split(",")]
 
     for B in bs:
         for quant in quants:
@@ -99,11 +100,14 @@ def main():
                 report(f"db_B{B}_{tag}", sec, elems=bytes_per,
                        note=f"floor {floor_ms:.3f} ms")
             for chv in chunks:
-                fn = decode_attention_quantized_packed if quant \
-                    else decode_attention_packed
-                sec = timed_loop(make_step(fn, chunk=chv), (q,), iters)
-                report(f"packed_B{B}_{tag}_c{chv}", sec, elems=bytes_per,
-                       note=f"floor {floor_ms:.3f} ms")
+                for dv in depths:
+                    fn = decode_attention_quantized_packed if quant \
+                        else decode_attention_packed
+                    sec = timed_loop(
+                        make_step(fn, chunk=chv, depth=dv), (q,), iters
+                    )
+                    report(f"packed_B{B}_{tag}_c{chv}_d{dv}", sec,
+                           elems=bytes_per, note=f"floor {floor_ms:.3f} ms")
     print(json.dumps({"done": True}), flush=True)
 
 

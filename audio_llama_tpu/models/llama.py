@@ -365,11 +365,15 @@ def llama_forward(
             Tk = T
 
     if positions is None:
+        # Stays [1, T] when the offset is shared (training / scalar decode):
+        # the RoPE tables are then [1, T, hd] and broadcast over batch inside
+        # the per-layer apply instead of materializing B copies (the B8 train
+        # trace showed RoPE fusions scaling x5-13 with batch — table traffic,
+        # not FLOPs; BASELINE.md round-4 attribution).
         positions = jnp.arange(T)[None, :] + off_col  # [1|B, T]
-        positions = jnp.broadcast_to(positions, (B, T))
 
     inv_freq = rope_for_config(cfg)
-    cos, sin = rope_tables(positions, inv_freq)  # [B, T, hd]
+    cos, sin = rope_tables(positions, inv_freq)  # [1|B, T, hd]
 
     # Single-token decode uses the fused Pallas append+attention kernel: the
     # cache operands are input_output_aliased, so the cache stays in HBM with

@@ -82,6 +82,26 @@ def load_audio_llm(
     return cfg, frozen, trainable, tk
 
 
+def load_draft_llama(path: str, vocab_size: int, seed: int = 0):
+    """(draft_params, draft_cfg) for speculative decoding: a text-only Llama
+    sharing the target's vocabulary. The special value 'toy' inits a random
+    tiny draft (offline smoke / tests). No reference analog (the reference
+    delegates decode to HF generate, src/models/allm.py:326-331)."""
+    import jax
+
+    from ..config import LlamaConfig
+    from ..models import hf_loader
+    from ..models import llama as llama_mod
+
+    if path == "toy":
+        cfg = LlamaConfig.tiny(vocab_size=vocab_size)
+        return llama_mod.init_params(cfg, jax.random.PRNGKey(seed + 17)), cfg
+    params, cfg = hf_loader.load_llama(path)
+    params = llama_mod.resize_embeddings(params, vocab_size, cfg)
+    cfg = cfg.replace(vocab_size=max(cfg.vocab_size, vocab_size))
+    return params, cfg
+
+
 def process_audio(audio_path: str, mel_cfg) -> np.ndarray:
     """Host-side audio prep: decode -> mono -> resample 16k -> crop/pad to the
     static clip length. Returns waveform [1, S] (mel runs on-device).
@@ -110,11 +130,19 @@ def generate_response(
     greedy: bool = False,
     seed: int = 0,
     kv_quant: bool = False,
+    draft: Optional[Tuple] = None,
+    gamma: int = 4,
 ) -> str:
     """Tokenize prompt -> (optional) audio -> jitted generate -> decode.
     Reference: generate_response, src/inference.py:114-172. Returns exactly
     the newly generated text (the intended capability; see generate.py note
-    about the reference's over-trim quirk)."""
+    about the reference's over-trim quirk).
+
+    draft: optional (draft_params, draft_cfg) — a text Llama sharing the
+    tokenizer — switches decoding to speculative draft-and-verify
+    (inference/speculative.py): identical output distribution (bit-identical
+    under greedy), fewer target forwards when the draft agrees. gamma =
+    draft tokens proposed per verify round."""
     import jax
     import jax.numpy as jnp
 
@@ -137,6 +165,36 @@ def generate_response(
     audio = None
     if audio_path:
         audio = jnp.asarray(process_audio(audio_path, cfg.mel))
+
+    if draft is not None:
+        if kv_quant:
+            raise ValueError(
+                "speculative decoding does not compose with --kv_quant yet "
+                "(the verify pass appends multi-token blocks; the int8 KV "
+                "write path is tested for it but the combination is "
+                "unmeasured — drop one of the two flags)"
+            )
+        from .speculative import generate_speculative
+
+        draft_params, draft_cfg = draft
+        res = generate_speculative(
+            frozen, draft_params, trainable, cfg, draft_cfg,
+            input_ids, attention_mask, audio,
+            jax.random.PRNGKey(seed),
+            max_new_tokens=max_new_tokens, gamma=gamma,
+            eos_id=tokenizer.eos_id, pad_id=tokenizer.pad_id,
+            audio_start_id=tokenizer.token_to_id(cfg.audio_start_token),
+            audio_end_id=tokenizer.token_to_id(cfg.audio_end_token),
+            has_audio=audio is not None, greedy=greedy,
+            temperature=temperature, top_p=top_p, top_k=top_k,
+        )
+        logger.info(
+            "speculative: %d/%d drafts accepted over %d verify rounds",
+            int(res.num_accepted), int(res.num_drafted),
+            int(res.num_target_calls),
+        )
+        tokens = np.asarray(res.tokens[0])[: int(res.num_generated[0])]
+        return tokenizer.decode(tokens, skip_special_tokens=True)
 
     result = gen.generate(
         frozen,
@@ -197,6 +255,17 @@ def parse_args(argv=None):
              "models/llama_int8.py). LoRA deltas are merged into the bf16 "
              "weights first so serving sees zero LoRA overhead.",
     )
+    p.add_argument(
+        "--draft_llama_path", type=str, default=None,
+        help="HF dir of a small text Llama sharing the tokenizer: enables "
+             "speculative decoding (draft-and-verify; identical output "
+             "distribution, fewer target forwards). 'toy' = random tiny "
+             "draft for offline smoke runs.",
+    )
+    p.add_argument(
+        "--gamma", type=int, default=4,
+        help="speculative decoding: draft tokens proposed per verify round",
+    )
     return p.parse_args(argv)
 
 
@@ -232,6 +301,11 @@ def main(argv=None):
             frozen["llama"] = l4.quantize_llama_int4(frozen["llama"])
         else:
             frozen["llama"] = l8.quantize_llama(frozen["llama"])
+    draft = None
+    if args.draft_llama_path:
+        draft = load_draft_llama(
+            args.draft_llama_path, cfg.llama.vocab_size, seed=args.seed
+        )
     text = generate_response(
         cfg, frozen, trainable, tk,
         prompt=args.prompt,
@@ -243,6 +317,8 @@ def main(argv=None):
         greedy=args.greedy,
         seed=args.seed,
         kv_quant=args.kv_quant,
+        draft=draft,
+        gamma=args.gamma,
     )
     print(text)
     return text

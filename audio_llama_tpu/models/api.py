@@ -104,18 +104,26 @@ class AudioLLM:
         greedy: bool = False,
         seed: int = 0,
         kv_quant: bool = False,
+        draft=None,
+        gamma: int = 4,
     ) -> str:
         """Prompt (+ optional audio file) -> generated text (reference
         AudioLLM.generate, src/models/allm.py:263-348, with the prompt-strip
         already handled). kv_quant: int8 KV cache (pairs with
-        quantize_decoder() for max decode throughput)."""
-        from ..inference.cli import generate_response
+        quantize_decoder() for max decode throughput). draft: a (params,
+        LlamaConfig) pair or a path for inference.cli.load_draft_llama —
+        switches to speculative draft-and-verify decoding (same output
+        distribution, fewer target forwards)."""
+        from ..inference.cli import generate_response, load_draft_llama
 
+        if isinstance(draft, str):
+            draft = load_draft_llama(draft, self.cfg.llama.vocab_size, seed)
         return generate_response(
             self.cfg, self.frozen, self.trainable, self.tokenizer,
             prompt=prompt, audio_path=audio_path,
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, greedy=greedy, seed=seed, kv_quant=kv_quant,
+            draft=draft, gamma=gamma,
         )
 
     def get_trainable_params(self) -> dict:

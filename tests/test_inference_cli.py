@@ -65,6 +65,41 @@ def test_generate_text_only(trained):
     assert t1 == t2  # greedy decode is deterministic
 
 
+def test_cli_speculative_matches_plain_greedy(trained):
+    """--draft_llama_path toy routes through speculative decoding; greedy
+    output must be IDENTICAL to the plain greedy path (losslessness at the
+    CLI surface, audio and text-only)."""
+    ckpt_path, wav = trained
+    cfg, frozen, trainable, tk = load_audio_llm(ckpt_path, toy_model=True)
+    from audio_llama_tpu.inference.cli import load_draft_llama
+
+    draft = load_draft_llama("toy", cfg.llama.vocab_size, seed=0)
+    for audio in (None, wav):
+        plain = generate_response(
+            cfg, frozen, trainable, tk, prompt="Transcribe: <audio>",
+            audio_path=audio, max_new_tokens=8, greedy=True,
+        )
+        spec = generate_response(
+            cfg, frozen, trainable, tk, prompt="Transcribe: <audio>",
+            audio_path=audio, max_new_tokens=8, greedy=True,
+            draft=draft, gamma=3,
+        )
+        assert spec == plain
+
+
+def test_cli_speculative_kv_quant_rejected(trained):
+    ckpt_path, _ = trained
+    cfg, frozen, trainable, tk = load_audio_llm(ckpt_path, toy_model=True)
+    from audio_llama_tpu.inference.cli import load_draft_llama
+
+    draft = load_draft_llama("toy", cfg.llama.vocab_size)
+    with pytest.raises(ValueError, match="kv_quant"):
+        generate_response(
+            cfg, frozen, trainable, tk, prompt="x", max_new_tokens=4,
+            greedy=True, draft=draft, kv_quant=True,
+        )
+
+
 def test_cli_main(trained, capsys):
     ckpt_path, wav = trained
     out = cli_main([

@@ -89,10 +89,18 @@ def _generate_impl(
     has_audio: bool = True,
     tp_axis=None,
     tp_size: int = 1,
+    sp_axis=None,
+    sp_size: int = 1,
     kv_quant: bool = False,
 ) -> GenerateResult:
     """Sampling defaults mirror the reference CLI (temperature 0.7, top_p 0.9,
-    max_new_tokens 256; reference src/inference.py:186-194)."""
+    max_new_tokens 256; reference src/inference.py:186-194).
+
+    sp_axis/sp_size (inside shard_map, parallel.make_sp_generate): the KV
+    cache TIMELINE is sharded — each shard allocates max_len/sp slots and
+    decode attention merges partial softmax stats across shards
+    (models/llama.py sp_axis docs). Serves contexts larger than one chip's
+    HBM cache budget."""
     lora = None
     if trainable is not None and "lora" in trainable and cfg.lora is not None:
         lora = lora_mod.with_scaling(trainable["lora"], cfg.lora)
@@ -110,19 +118,25 @@ def _generate_impl(
         [mask.astype(jnp.int32), jnp.ones((B, max_new_tokens), jnp.int32)], axis=1
     )
 
+    if sp_axis is not None and kv_quant:
+        raise ValueError("sp generation v1 supports bf16/f32 KV caches only")
     cache = llama_mod.KVCache.zeros(
-        cfg.llama, B, total, dtype=compute_dtype,
+        cfg.llama, B, -(-total // sp_size), dtype=compute_dtype,
         kv_heads=cfg.llama.num_kv_heads // tp_size,
         quantized=kv_quant,
     )
     _, cache, hidden = llama_mod.llama_forward(
         frozen["llama"], cfg.llama,
-        inputs_embeds=embeds, attention_mask=full_mask,
+        inputs_embeds=embeds,
+        # sp prefill attends the fresh tokens only: the prompt mask is the
+        # right shape; the timeline mask is for decode steps
+        attention_mask=mask if sp_axis is not None else full_mask,
         kv_cache=cache, lora=lora, compute_dtype=compute_dtype,
         # Fresh cache: prefill self-attention can run as one flash pass
         # instead of materializing [B, H, P, total] logits.
         assume_fresh_cache=True,
         tp_axis=tp_axis,
+        sp_axis=sp_axis, sp_size=sp_size,
         # Only each row's last real position feeds sampling; unembedding the
         # whole prefill would materialize [B, P, V] f32 (~15 GB at B16
         # flagship dims) and burn ~P times the needed unembed FLOPs.
@@ -161,7 +175,7 @@ def _generate_impl(
             input_ids=tok[:, None], attention_mask=full_mask,
             positions=positions,
             kv_cache=cache, lora=lora, compute_dtype=compute_dtype,
-            tp_axis=tp_axis,
+            tp_axis=tp_axis, sp_axis=sp_axis, sp_size=sp_size,
         )
         nxt = sample(step_logits[:, 0], k)
         nxt = jnp.where(done, pad_id, nxt)
@@ -188,7 +202,7 @@ generate = functools.partial(
     static_argnames=(
         "cfg", "max_new_tokens", "temperature", "top_p", "top_k", "greedy",
         "eos_id", "pad_id", "audio_start_id", "audio_end_id", "compute_dtype",
-        "has_audio", "tp_axis", "tp_size", "kv_quant",
+        "has_audio", "tp_axis", "tp_size", "sp_axis", "sp_size", "kv_quant",
     ),
 )(_generate_impl)
 

@@ -33,7 +33,14 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import LlamaConfig
-from ..ops.attention import NEG_INF, causal_bias, combine_bias, mha, padding_bias
+from ..ops.attention import (
+    NEG_INF,
+    causal_bias,
+    combine_bias,
+    mha,
+    padding_bias,
+    sp_partial_attention,
+)
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_for_config, rope_tables
 
@@ -264,6 +271,8 @@ def llama_forward(
     remat: bool = False,
     assume_fresh_cache: bool = False,
     tp_axis: Optional[str] = None,
+    sp_axis: Optional[str] = None,
+    sp_size: int = 1,
     unembed_logits: bool = True,
 ):
     """Decoder forward.
@@ -292,6 +301,21 @@ def llama_forward(
     specs). Head counts are then derived from the local weight shapes and the
     two row-parallel matmuls are psum'd over the axis. Embedding/unembedding
     stay replicated.
+
+    sp_axis (+ static sp_size): timeline-sharded decode (docs/LONG_CONTEXT.md
+    step 3) — set when running INSIDE shard_map with the KV-cache TIMELINE
+    sharded over `sp_axis` (kv_cache holds this shard's [.., max_len/sp, ..]
+    window; contexts larger than one chip's HBM). Weights/activations stay
+    replicated; `offset` stays the GLOBAL fill. Two call shapes:
+      - fresh prefill (assume_fresh_cache, T>1): attention runs over the
+        fresh tokens (kernels or XLA, unchanged); each shard stores only its
+        window of the new K/V rows. attention_mask = prompt mask [B, T].
+      - decode (T==1): the owning shard appends the new row; every shard
+        computes partial flash stats over its slab and the global softmax is
+        merged with one pmax + one psum pair per layer
+        (ops.attention.sp_partial_attention). attention_mask = the GLOBAL
+        timeline mask (the shard's window is sliced internally), or an
+        already-local [B, max_len/sp] window.
     """
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids, compute_dtype)
@@ -303,10 +327,29 @@ def llama_forward(
             raise ValueError("cache_offsets requires kv_cache")
         if assume_fresh_cache:
             raise ValueError("cache_offsets contradicts assume_fresh_cache")
+    sp_g0 = None
+    sp_fresh = False
+    if sp_axis is not None:
+        if kv_cache is None:
+            raise ValueError("sp_axis requires kv_cache (timeline-sharded)")
+        if cache_offsets is not None:
+            raise ValueError("sp_axis does not compose with cache_offsets")
+        if kv_cache.quantized:
+            raise ValueError("sp decode v1 supports bf16/f32 KV caches only")
+        if sp_size <= 1:
+            raise ValueError("sp_axis needs its static sp_size (> 1)")
+        sp_fresh = assume_fresh_cache and T > 1
+        if not sp_fresh and T != 1:
+            raise ValueError("sp decode supports fresh prefill or T==1 steps")
+        sp_g0 = lax.axis_index(sp_axis) * kv_cache.k.shape[3]
     if kv_cache is not None:
         offset = kv_cache.length if cache_offsets is None else cache_offsets
         Tk = kv_cache.k.shape[3]
-        if attention_mask is not None and attention_mask.shape[1] < Tk:
+        if (
+            sp_axis is None
+            and attention_mask is not None
+            and attention_mask.shape[1] < Tk
+        ):
             # cache timelines are tile-rounded; the extra slots never attend
             attention_mask = jnp.pad(
                 attention_mask, ((0, 0), (0, Tk - attention_mask.shape[1]))
@@ -384,6 +427,7 @@ def llama_forward(
         kv_cache is not None
         and T == 1
         and cache_offsets is None  # kernels are scalar-offset (see docstring)
+        and sp_axis is None  # sharded timelines merge partial stats in XLA
         and not (use_flash or use_causal_kernel)
         and (
             attn_impl == "decode_kernel"
@@ -398,9 +442,42 @@ def llama_forward(
         if attention_mask is not None:
             decode_valid = decode_valid * attention_mask.astype(jnp.int32)
 
+    # sp decode: per-shard slot validity over the LOCAL timeline window
+    # (global slot-causality vs the global offset + the local mask window);
+    # attention itself is the cross-shard partial-stats merge.
+    sp_valid = None
+    if sp_axis is not None and not sp_fresh:
+        kpos_g = sp_g0 + jnp.arange(Tk)[None, :]
+        sp_valid = (kpos_g <= offset).astype(jnp.int32)
+        sp_valid = jnp.broadcast_to(sp_valid, (B, Tk))
+        if attention_mask is not None:
+            am = attention_mask
+            if am.shape[1] != Tk:  # GLOBAL timeline mask: take our window
+                full = Tk * sp_size
+                if am.shape[1] < full:
+                    # slots past the declared timeline can never satisfy
+                    # slot-causality (> offset), so the pad value is moot
+                    am = jnp.pad(
+                        am, ((0, 0), (0, full - am.shape[1])),
+                        constant_values=1,
+                    )
+                am = lax.dynamic_slice(am, (0, sp_g0), (am.shape[0], Tk))
+            sp_valid = sp_valid * am.astype(jnp.int32)
+
     # Attention bias over the (possibly cached) key timeline.
     if use_flash or use_causal_kernel or use_decode_kernel:
         bias = None
+    elif sp_axis is not None:
+        if sp_fresh:
+            # fresh-cache prefill under sp attends the fresh tokens only
+            # (the cache holds nothing yet); plain causal + prompt padding
+            bias = causal_bias(T, T)
+            if attention_mask is not None:
+                bias = combine_bias(
+                    bias, padding_bias(attention_mask[:, :T])
+                )
+        else:
+            bias = None  # sp_partial_attention masks via sp_valid
     elif kv_cache is not None:
         # Causality is over PHYSICAL cache slots (append order), not the
         # logical `positions` used for RoPE — with right-padded prompts the
@@ -475,6 +552,31 @@ def llama_forward(
             )
         return buf
 
+    def _sp_window_write(buf, val, li):
+        """Fresh-prefill write under sp: store only this shard's window
+        (global slots [sp_g0, sp_g0 + Tk)) of the T new K/V rows."""
+        pad_to = Tk * sp_size
+        v = val.astype(buf.dtype)
+        v = jnp.pad(
+            v, ((0, 0), (0, 0), (0, 0), (0, pad_to - v.shape[3]), (0, 0))
+        )
+        win = lax.dynamic_slice(
+            v, (0, 0, 0, sp_g0, 0), v.shape[:3] + (Tk,) + v.shape[4:]
+        )
+        return lax.dynamic_update_slice(buf, win, (li, 0, 0, 0, 0))
+
+    def _sp_row_write(buf, val, li):
+        """Decode append under sp: only the shard owning global slot
+        `offset` stores the new row; the rest re-write their own row
+        unchanged (a one-row read/select/write, not a slab-wide select)."""
+        loc = jnp.clip(offset - sp_g0, 0, Tk - 1)
+        idx = (li, 0, 0, loc, 0)
+        cur = lax.dynamic_slice(buf, idx, val.shape)
+        owner = (offset >= sp_g0) & (offset < sp_g0 + Tk)
+        return lax.dynamic_update_slice(
+            buf, jnp.where(owner, val.astype(buf.dtype), cur), idx
+        )
+
     def layer_step(carry, scanned):
         # Carry holds (x, full_k_cache, full_v_cache): the cache is updated
         # with a per-layer dynamic_update_slice ON THE CARRY, which XLA
@@ -543,7 +645,14 @@ def llama_forward(
         elif ck_all is not None:
             kh = jnp.swapaxes(k, 1, 2)[None]  # [1,B,Hkv,T,hd]
             vh = jnp.swapaxes(v, 1, 2)[None]
-            if quantized:
+            if sp_axis is not None:
+                if sp_fresh:
+                    ck_all = _sp_window_write(ck_all, kh, li)
+                    cv_all = _sp_window_write(cv_all, vh, li)
+                else:
+                    ck_all = _sp_row_write(ck_all, kh, li)
+                    cv_all = _sp_row_write(cv_all, vh, li)
+            elif quantized:
                 khq, khs = quantize_kv_rows(kh)
                 vhq, vhs = quantize_kv_rows(vh)
                 ck_all = _cache_write(ck_all, khq, li)
@@ -557,6 +666,10 @@ def llama_forward(
                 # kernel prefill attends over the fresh k/v directly; the
                 # cache timeline is only written, never read here
                 attn_k = attn_v = None
+            elif sp_axis is not None and sp_fresh:
+                # fresh-prefill attention under sp runs over the fresh
+                # tokens (no shard holds the full timeline)
+                attn_k, attn_v = k, v
             else:
                 attn_k = lax.dynamic_index_in_dim(
                     ck_all, li, axis=0, keepdims=False
@@ -590,6 +703,16 @@ def llama_forward(
                 attn = fa.flash_mha(
                     q, k, v,
                     mask=fmask, causal=True, scale=cfg.head_dim ** -0.5,
+                )
+        elif sp_axis is not None:
+            if sp_fresh:  # fresh tokens, [B, T, Hkv, hd] layout
+                attn = mha(
+                    q, attn_k, attn_v, bias=bias, scale=cfg.head_dim ** -0.5
+                )
+            else:  # cross-shard partial-softmax merge over the timeline
+                attn = sp_partial_attention(
+                    q, attn_k, attn_v, sp_valid, cfg.head_dim ** -0.5,
+                    sp_axis,
                 )
         elif ck_all is not None:
             attn = mha(

@@ -67,6 +67,59 @@ def mha(
     return out.reshape(B, Tq, Hq, hd)
 
 
+def sp_partial_attention(
+    q: jnp.ndarray,  # [B, Tq, Hq, hd]
+    k_local: jnp.ndarray,  # [B, Hkv, S, hd] — this shard's timeline slab
+    v_local: jnp.ndarray,
+    valid_local: jnp.ndarray,  # [B, S] 1 = this local slot is attendable
+    scale: float,
+    axis_name: str,
+) -> jnp.ndarray:
+    """Timeline-sharded decode attention (docs/LONG_CONTEXT.md step 3).
+
+    Runs INSIDE shard_map over `axis_name`: each shard owns an S-slot window
+    of the KV-cache timeline, computes its partial flash statistics
+    (rowmax m, denominator l, numerator acc) over its slab, and the exact
+    global softmax is assembled with one pmax + one psum pair — the same
+    (m, l, o) merge the online-softmax kernels use, here across chips.
+    f32 statistics throughout (softmax numerics policy; no bounded shift).
+
+    A shard whose slots are ALL invalid (e.g. the timeline hasn't reached it
+    yet) contributes l = 0, acc = 0 and a clamped m, so it is a no-op in the
+    merge. Returns [B, Tq, Hq, hd] in q.dtype, identical on every shard.
+
+    Reference analog: none (reference decode is single-GPU HF generate,
+    src/models/allm.py:326-331).
+    """
+    from jax import lax
+
+    B, Tq, Hq, hd = q.shape
+    _, Hkv, S, _ = k_local.shape
+    G = Hq // Hkv
+    qg = q.reshape(B, Tq, Hkv, G, hd)
+    s = jnp.einsum(
+        "bqhgd,bhkd->bhgqk", qg, k_local, preferred_element_type=jnp.float32
+    ) * scale  # [B, Hkv, G, Tq, S]
+    vmask = (valid_local > 0)[:, None, None, None, :]
+    s = jnp.where(vmask, s, NEG_INF)
+    # clamp the all-invalid rowmax so exp(s - m) stays finite (the masked
+    # lanes then exp to ~0 and the explicit where() zeroes them exactly)
+    m_l = jnp.maximum(jnp.max(s, axis=-1), NEG_INF * 0.5)  # [B, Hkv, G, Tq]
+    p = jnp.where(vmask, jnp.exp(s - m_l[..., None]), 0.0)
+    l_l = jnp.sum(p, axis=-1)  # [B, Hkv, G, Tq]
+    acc_l = jnp.einsum(
+        "bhgqk,bhkd->bhgqd", p.astype(v_local.dtype), v_local,
+        preferred_element_type=jnp.float32,
+    )  # [B, Hkv, G, Tq, hd]
+    m_g = lax.pmax(m_l, axis_name)
+    corr = jnp.exp(m_l - m_g)
+    l_g = lax.psum(l_l * corr, axis_name)
+    acc_g = lax.psum(acc_l * corr[..., None], axis_name)
+    out = acc_g / jnp.maximum(l_g, 1e-30)[..., None]
+    out = jnp.moveaxis(out, 3, 1)  # [B, Tq, Hkv, G, hd]
+    return out.reshape(B, Tq, Hq, hd).astype(q.dtype)
+
+
 def causal_bias(Tq: int, Tk: int, offset: int = 0) -> jnp.ndarray:
     """[1, 1, Tq, Tk] causal additive bias. Query i attends keys j <= i + offset.
 

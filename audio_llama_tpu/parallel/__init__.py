@@ -21,7 +21,7 @@ from .sharding import (
     trainable_specs,
     whisper_specs,
 )
-from .seq_parallel import make_sp_encode
+from .seq_parallel import make_sp_encode, make_sp_generate
 from .sharded_train import (
     init_sharded_state,
     make_sharded_eval_step,
@@ -46,4 +46,5 @@ __all__ = [
     "init_sharded_state",
     "shard_train_state",
     "make_sp_encode",
+    "make_sp_generate",
 ]

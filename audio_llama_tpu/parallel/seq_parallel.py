@@ -82,3 +82,78 @@ def make_sp_encode(
         return smapped(frozen, audio)
 
     return fn
+
+
+def make_sp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
+    """Timeline-sharded generation (docs/LONG_CONTEXT.md step 3): the KV
+    cache — the decode memory ceiling for long contexts — is sharded over the
+    'sp' axis, each shard holding max_len/sp slots of every timeline.
+
+    Weights and activations stay replicated (decode is weight-stream-bound;
+    sp buys MEMORY, not per-token FLOPs): every shard computes the same
+    q/k/v, the shard owning the current slot appends the row, and per-layer
+    attention assembles the exact global softmax from per-shard flash
+    statistics with one pmax + one psum pair over 'sp'
+    (ops.attention.sp_partial_attention). Composes with a 'dp' batch axis.
+
+    Same calling convention as make_dp_generate: fn(frozen, trainable,
+    input_ids, attention_mask, audio, key) -> GenerateResult, replicated
+    (identical on every sp shard). Reference analog: none (reference decode
+    is single-GPU HF generate, src/models/allm.py:326-331).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..inference import generate as gen
+
+    if "sp" not in mesh.axis_names:
+        raise ValueError(f"mesh {mesh.axis_names} has no 'sp' axis")
+    extra = {
+        k: v for k, v in mesh.shape.items()
+        if k not in ("sp", "dp") and v != 1
+    }
+    if extra:
+        raise ValueError(
+            f"make_sp_generate shards over 'sp' (+ optional 'dp'); mesh has "
+            f"extra non-trivial axes {extra}"
+        )
+    sp = mesh.shape["sp"]
+    has_audio = static_kw.get("has_audio", True)
+    batch_axis = "dp" if "dp" in mesh.axis_names else None
+    bspec = P(batch_axis)
+    kw = dict(static_kw, sp_axis="sp", sp_size=sp)
+
+    if has_audio:
+        def local(frozen, trainable, input_ids, attention_mask, audio, key):
+            if batch_axis is not None:
+                key = jax.random.fold_in(key, jax.lax.axis_index(batch_axis))
+            return gen._generate_impl(
+                frozen, trainable, cfg, input_ids, attention_mask, audio,
+                key, **kw,
+            )
+
+        in_specs = (P(), P(), bspec, bspec, bspec, P())
+    else:
+        def local(frozen, trainable, input_ids, attention_mask, key):
+            if batch_axis is not None:
+                key = jax.random.fold_in(key, jax.lax.axis_index(batch_axis))
+            return gen._generate_impl(
+                frozen, trainable, cfg, input_ids, attention_mask, None,
+                key, **kw,
+            )
+
+        in_specs = (P(), P(), bspec, bspec, P())
+
+    inner = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=in_specs,
+        out_specs=gen.GenerateResult(tokens=bspec, num_generated=bspec),
+        check_vma=False,
+    ))
+    if has_audio:
+        return inner
+
+    def fn(frozen, trainable, input_ids, attention_mask, audio=None, key=None):
+        del audio  # ignored in text-only mode
+        return inner(frozen, trainable, input_ids, attention_mask, key)
+
+    return fn

@@ -132,6 +132,7 @@ def generate_response(
     kv_quant: bool = False,
     draft: Optional[Tuple] = None,
     gamma: int = 4,
+    decode_impl: str = "auto",
 ) -> str:
     """Tokenize prompt -> (optional) audio -> jitted generate -> decode.
     Reference: generate_response, src/inference.py:114-172. Returns exactly
@@ -215,6 +216,7 @@ def generate_response(
         audio_end_id=tokenizer.token_to_id(cfg.audio_end_token),
         has_audio=audio is not None,
         kv_quant=kv_quant,
+        attn_impl=decode_impl,
     )
     tokens = np.asarray(result.tokens[0])[: int(result.num_generated[0])]
     return tokenizer.decode(tokens, skip_special_tokens=True)
@@ -265,6 +267,13 @@ def parse_args(argv=None):
     p.add_argument(
         "--gamma", type=int, default=4,
         help="speculative decoding: draft tokens proposed per verify round",
+    )
+    p.add_argument(
+        "--decode_impl", type=str, default="auto",
+        choices=["auto", "decode_kernel", "decode_packed"],
+        help="decode-step attention kernel (TPU): double-buffered "
+             "(decode_kernel, the auto default) or head-packed chunked "
+             "(decode_packed; wins at small batch — KERNELS.md §3)",
     )
     return p.parse_args(argv)
 
@@ -319,6 +328,7 @@ def main(argv=None):
         kv_quant=args.kv_quant,
         draft=draft,
         gamma=args.gamma,
+        decode_impl=args.decode_impl,
     )
     print(text)
     return text

@@ -92,6 +92,7 @@ def _generate_impl(
     sp_axis=None,
     sp_size: int = 1,
     kv_quant: bool = False,
+    attn_impl: str = "auto",
 ) -> GenerateResult:
     """Sampling defaults mirror the reference CLI (temperature 0.7, top_p 0.9,
     max_new_tokens 256; reference src/inference.py:186-194).
@@ -176,6 +177,9 @@ def _generate_impl(
             positions=positions,
             kv_cache=cache, lora=lora, compute_dtype=compute_dtype,
             tp_axis=tp_axis, sp_axis=sp_axis, sp_size=sp_size,
+            # decode-step kernel choice only; prefill stays auto (the
+            # packed/db split is a single-token-decode distinction)
+            attn_impl=attn_impl,
         )
         nxt = sample(step_logits[:, 0], k)
         nxt = jnp.where(done, pad_id, nxt)
@@ -203,6 +207,7 @@ generate = functools.partial(
         "cfg", "max_new_tokens", "temperature", "top_p", "top_k", "greedy",
         "eos_id", "pad_id", "audio_start_id", "audio_end_id", "compute_dtype",
         "has_audio", "tp_axis", "tp_size", "sp_axis", "sp_size", "kv_quant",
+        "attn_impl",
     ),
 )(_generate_impl)
 

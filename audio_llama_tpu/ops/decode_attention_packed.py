@@ -56,7 +56,7 @@ _NEG = -1e30
 
 
 def _pick_chunk(max_len: int, chunk: int) -> int:
-    c = min(chunk, max_len)
+    c = (min(chunk, max_len) // 32) * 32  # 32-slot DMA/tile granularity
     while max_len % c != 0:
         c -= 32
         if c <= 32:
@@ -69,7 +69,7 @@ def _kernel(
     q_ref,      # [1, Hkv, G, hd]
     knew_ref,   # [1, Hkv, 1, hd]
     vnew_ref,   # [1, Hkv, 1, hd]
-    valid_ref,  # [1, 1, CH]
+    valid_ref,  # [1, 1, 1, CHp] (this chunk's slot validity, lane-padded)
     ck_any, cv_any,
     out_ref,    # [1, Hkv, G, hd]
     ck_out, cv_out,
@@ -87,7 +87,7 @@ def _kernel(
     depth: int,
     ks_new_ref=None,  # [1, Hkv, 1, 1] f32   (quantized only)
     vs_new_ref=None,
-    ks_ref=None,      # [1, Hkv, 1, CH] f32
+    ks_ref=None,      # [1, 1, Hkv, 1, CHp] f32 (this chunk's scales)
     vs_ref=None,
 ):
     i = pl.program_id(0)
@@ -142,7 +142,7 @@ def _kernel(
     is_new_col = row_col == off          # [CH, 1]
     row_r = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1) + c0
     is_new_r = row_r == off              # [1, CH]
-    valid_row = valid_ref[0]             # [1, CH] int32
+    valid_row = valid_ref[0, 0][:, :CH]  # [1, CH] int32 (pad lanes dropped)
 
     off_cl = jnp.minimum(off, NC * CH - 1)
     is_off_chunk = (off_cl // CH) == c
@@ -184,7 +184,9 @@ def _kernel(
             axis=1, keepdims=True,
         )                                # [G, 1]
         if quantized:
-            k_srow = jnp.where(is_new_r, ks_new_ref[0, h], ks_ref[0, h])
+            k_srow = jnp.where(
+                is_new_r, ks_new_ref[0, h], ks_ref[0, 0, h][:, :CH]
+            )
             s = jnp.where(is_new_r, s_new, s) * (k_srow * scale)
         else:
             s = jnp.where(is_new_r, s_new, s) * scale
@@ -204,7 +206,9 @@ def _kernel(
         lsum = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
         l_new = alpha * l_old + lsum
         if quantized:
-            v_srow = jnp.where(is_new_r, vs_new_ref[0, h], vs_ref[0, h])
+            v_srow = jnp.where(
+                is_new_r, vs_new_ref[0, h], vs_ref[0, 0, h][:, :CH]
+            )
             pv_in = (p.astype(jnp.float32) * v_srow).astype(cdt)
         else:
             pv_in = p
@@ -288,6 +292,21 @@ def _call(
         k_new.astype(cache_k.dtype).reshape(B, Hkv, 1, hd),
         v_new.astype(cache_v.dtype).reshape(B, Hkv, 1, hd),
     ]
+    # Chunk-indexed lane operands (per-slot validity, per-row scales) are
+    # laid out ONE CHUNK PER BLOCK with the chunk padded up to a lane tile:
+    # [B, NC, ..., CHp] with CHp = roundup(CH, 128). A [.., 1, CHp] block is
+    # legal for ANY 32-multiple CH (Mosaic wants the last two block dims
+    # divisible by (8, 128) or equal to the array dims — 32-slot-rounded
+    # timelines like 2080 have no 128-multiple divisor, so blocking the
+    # flat [.., max_len] row by CH is not). The kernel slices off the pad.
+    CHp = -(-CH // 128) * 128
+
+    def _chunked_rows(x, inner):  # [B, *inner, max_len] -> [B, NC, *inner, 1, CHp]
+        x = x.reshape(x.shape[:-1] + (NC, CH))
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, CHp - CH)])
+        x = jnp.moveaxis(x, -2, 1)  # NC right after B
+        return x.reshape((B, NC) + inner + (1, CHp))
+
     kw = {}
     if quantized:
         ks, vs, ks_new, vs_new = quant_args
@@ -295,32 +314,30 @@ def _call(
             pl.BlockSpec((1, Hkv, 1, 1), bmap),
             pl.BlockSpec((1, Hkv, 1, 1), bmap),
             pl.BlockSpec(
-                (1, Hkv, 1, CH),
-                lambda i, *_: (i // NC, 0, 0, jax.lax.rem(i, NC)),
+                (1, 1, Hkv, 1, CHp),
+                lambda i, *_: (i // NC, jax.lax.rem(i, NC), 0, 0, 0),
             ),
             pl.BlockSpec(
-                (1, Hkv, 1, CH),
-                lambda i, *_: (i // NC, 0, 0, jax.lax.rem(i, NC)),
+                (1, 1, Hkv, 1, CHp),
+                lambda i, *_: (i // NC, jax.lax.rem(i, NC), 0, 0, 0),
             ),
         ]
         args += [
             ks_new.astype(jnp.float32).reshape(B, Hkv, 1, 1),
             vs_new.astype(jnp.float32).reshape(B, Hkv, 1, 1),
-            ks.astype(jnp.float32).reshape(B, Hkv, 1, max_len),
-            vs.astype(jnp.float32).reshape(B, Hkv, 1, max_len),
+            _chunked_rows(ks.astype(jnp.float32), (Hkv,)),
+            _chunked_rows(vs.astype(jnp.float32), (Hkv,)),
         ]
     in_specs += [
-        # middle singleton keeps the sublane block equal to its array dim
-        # (Mosaic: last two block dims must divide (8,128) or equal the
-        # array's) for any B
         pl.BlockSpec(
-            (1, 1, CH), lambda i, *_: (i // NC, 0, jax.lax.rem(i, NC))
+            (1, 1, 1, CHp),
+            lambda i, *_: (i // NC, jax.lax.rem(i, NC), 0, 0),
         ),
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     args += [
-        valid.astype(jnp.int32).reshape(B, 1, max_len), cache_k, cache_v
+        _chunked_rows(valid.astype(jnp.int32), ()), cache_k, cache_v
     ]
 
     # alias the cache operands (count includes the 2 scalar-prefetch args)

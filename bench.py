@@ -67,6 +67,13 @@ def main():
              "batches at 3B dims)",
     )
     ap.add_argument(
+        "--decode_impl", type=str, default="auto",
+        choices=["auto", "decode_kernel", "decode_packed"],
+        help="decode-step attention kernel: double-buffered (decode_kernel, "
+             "the auto default on TPU) or head-packed chunked (decode_packed"
+             "; ops/decode_attention_packed.py)",
+    )
+    ap.add_argument(
         "--accum", type=int, default=1,
         help="grad-accumulation microbatches in train mode",
     )
@@ -379,7 +386,7 @@ def run_decode(args):
             tok, cache = carry
             logits, cache = lm.llama_forward(
                 params, cfg, input_ids=tok[:, None], kv_cache=cache,
-                compute_dtype=jnp.bfloat16,
+                compute_dtype=jnp.bfloat16, attn_impl=args.decode_impl,
             )
             nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
             return (nxt, cache)

@@ -125,3 +125,82 @@ def test_packed_fully_masked_leading_chunk():
     np.testing.assert_allclose(
         np.asarray(out[0]), np.asarray(ref[0]), atol=2e-5, rtol=2e-5
     )
+
+
+def test_llama_decode_step_packed_matches_xla():
+    """Full llama_forward single-token decode with attn_impl='decode_packed'
+    (interpret mode) vs the XLA path — validates the production dispatch
+    wiring, including the in-place cache append."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from audio_llama_tpu.config import LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+
+    cfg = LlamaConfig.tiny()
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    B, P, total = 2, 10, 16
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, P), 3, 500)
+    mask = np.ones((B, total), np.int32)
+    mask[1, 7:P] = 0
+    mask = jnp.asarray(mask)
+    cache0 = lm.KVCache.zeros(cfg, B, total, dtype=jnp.float32)
+    _, cache = lm.llama_forward(
+        params, cfg, input_ids=ids, attention_mask=mask, kv_cache=cache0,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    tok = jnp.asarray([[7], [9]], jnp.int32)
+    ref, ref_cache = lm.llama_forward(
+        params, cfg, input_ids=tok, attention_mask=mask, kv_cache=cache,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, p_cache = lm.llama_forward(
+            params, cfg, input_ids=tok, attention_mask=mask, kv_cache=cache,
+            compute_dtype=jnp.float32, attn_impl="decode_packed",
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_cache.k), np.asarray(ref_cache.k), atol=1e-5
+    )
+    assert int(p_cache.length) == int(ref_cache.length)
+
+
+def test_llama_decode_step_packed_quantized_matches_xla():
+    """int8-KV variant of the dispatch test."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from audio_llama_tpu.config import LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+
+    cfg = LlamaConfig.tiny()
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    B, P, total = 2, 10, 20
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, P), 3, 500)
+    cache0 = lm.KVCache.zeros(cfg, B, total, dtype=jnp.float32, quantized=True)
+    Tk = cache0.k.shape[3]
+    mask = jnp.ones((B, Tk), jnp.int32)
+    _, cache = lm.llama_forward(
+        params, cfg, input_ids=ids, attention_mask=mask, kv_cache=cache0,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    tok = jnp.asarray([[7], [9]], jnp.int32)
+    ref, ref_cache = lm.llama_forward(
+        params, cfg, input_ids=tok, attention_mask=mask, kv_cache=cache,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, p_cache = lm.llama_forward(
+            params, cfg, input_ids=tok, attention_mask=mask, kv_cache=cache,
+            compute_dtype=jnp.float32, attn_impl="decode_packed",
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-3, rtol=5e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p_cache.k), np.asarray(ref_cache.k)
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_cache.k_scale), np.asarray(ref_cache.k_scale), atol=1e-6
+    )

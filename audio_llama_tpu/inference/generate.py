@@ -119,8 +119,6 @@ def _generate_impl(
         [mask.astype(jnp.int32), jnp.ones((B, max_new_tokens), jnp.int32)], axis=1
     )
 
-    if sp_axis is not None and kv_quant:
-        raise ValueError("sp generation v1 supports bf16/f32 KV caches only")
     cache = llama_mod.KVCache.zeros(
         cfg.llama, B, -(-total // sp_size), dtype=compute_dtype,
         kv_heads=cfg.llama.num_kv_heads // tp_size,

@@ -334,8 +334,6 @@ def llama_forward(
             raise ValueError("sp_axis requires kv_cache (timeline-sharded)")
         if cache_offsets is not None:
             raise ValueError("sp_axis does not compose with cache_offsets")
-        if kv_cache.quantized:
-            raise ValueError("sp decode v1 supports bf16/f32 KV caches only")
         if sp_size <= 1:
             raise ValueError("sp_axis needs its static sp_size (> 1)")
         sp_fresh = assume_fresh_cache and T > 1
@@ -560,23 +558,24 @@ def llama_forward(
 
     def _sp_window_write(buf, val, li):
         """Fresh-prefill write under sp: store only this shard's window
-        (global slots [sp_g0, sp_g0 + Tk)) of the T new K/V rows."""
+        (global slots [sp_g0, sp_g0 + Tk)) of the T new K/V rows. Rank-
+        agnostic over the trailing dims (5-D value slabs, 4-D scale slabs —
+        the timeline is axis 3 in both)."""
         pad_to = Tk * sp_size
         v = val.astype(buf.dtype)
-        v = jnp.pad(
-            v, ((0, 0), (0, 0), (0, 0), (0, pad_to - v.shape[3]), (0, 0))
-        )
-        win = lax.dynamic_slice(
-            v, (0, 0, 0, sp_g0, 0), v.shape[:3] + (Tk,) + v.shape[4:]
-        )
-        return lax.dynamic_update_slice(buf, win, (li, 0, 0, 0, 0))
+        pad = [(0, 0)] * v.ndim
+        pad[3] = (0, pad_to - v.shape[3])
+        v = jnp.pad(v, pad)
+        start = (0, 0, 0, sp_g0) + (0,) * (v.ndim - 4)
+        win = lax.dynamic_slice(v, start, v.shape[:3] + (Tk,) + v.shape[4:])
+        return lax.dynamic_update_slice(buf, win, (li,) + (0,) * (v.ndim - 1))
 
     def _sp_row_write(buf, val, li):
         """Decode append under sp: only the shard owning global slot
         `offset` stores the new row; the rest re-write their own row
         unchanged (a one-row read/select/write, not a slab-wide select)."""
         loc = jnp.clip(offset - sp_g0, 0, Tk - 1)
-        idx = (li, 0, 0, loc, 0)
+        idx = (li, 0, 0, loc) + (0,) * (val.ndim - 4)
         cur = lax.dynamic_slice(buf, idx, val.shape)
         owner = (offset >= sp_g0) & (offset < sp_g0 + Tk)
         return lax.dynamic_update_slice(
@@ -664,12 +663,17 @@ def llama_forward(
             kh = jnp.swapaxes(k, 1, 2)[None]  # [1,B,Hkv,T,hd]
             vh = jnp.swapaxes(v, 1, 2)[None]
             if sp_axis is not None:
-                if sp_fresh:
-                    ck_all = _sp_window_write(ck_all, kh, li)
-                    cv_all = _sp_window_write(cv_all, vh, li)
+                _w = _sp_window_write if sp_fresh else _sp_row_write
+                if quantized:
+                    khq, khs = quantize_kv_rows(kh)
+                    vhq, vhs = quantize_kv_rows(vh)
+                    ck_all = _w(ck_all, khq, li)
+                    cv_all = _w(cv_all, vhq, li)
+                    ks_all = _w(ks_all, khs, li)
+                    vs_all = _w(vs_all, vhs, li)
                 else:
-                    ck_all = _sp_row_write(ck_all, kh, li)
-                    cv_all = _sp_row_write(cv_all, vh, li)
+                    ck_all = _w(ck_all, kh, li)
+                    cv_all = _w(cv_all, vh, li)
             elif quantized:
                 khq, khs = quantize_kv_rows(kh)
                 vhq, vhs = quantize_kv_rows(vh)

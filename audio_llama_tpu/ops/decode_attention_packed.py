@@ -35,6 +35,7 @@ generate path); this is the TPU-native replacement.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,12 +46,13 @@ from .decode_attention import available  # noqa: F401  (same TPU gate)
 
 # Max DMA pipeline depth across grid programs (slabs in flight); large
 # chunks reduce it to fit the ~16 MB scoped-VMEM default (we also raise
-# vmem_limit_bytes to cover the slab buffers explicitly).
-DEPTH = 4
+# vmem_limit_bytes to cover the slab buffers explicitly). Env knobs so TPU
+# sweeps can tune the production dispatch without an API thread-through.
+DEPTH = int(os.environ.get("PACKED_DEPTH", "4"))
 _SLAB_BUDGET = 24 * 1024 * 1024
 # Default timeline-chunk length; actual chunk is the largest divisor of
 # max_len that is <= this (timelines are 32-row multiples by contract).
-DEFAULT_CHUNK = 512
+DEFAULT_CHUNK = int(os.environ.get("PACKED_CHUNK", "512"))
 
 _NEG = -1e30
 

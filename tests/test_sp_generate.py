@@ -110,15 +110,26 @@ def test_sp_generate_with_audio_sp4(model):
     np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
 
 
-def test_sp_generate_validates(model):
+def test_sp_generate_kv_quant_matches_single_device(model):
+    """int8 KV cache under a sharded timeline: each shard quantizes and
+    stores its own window (values + per-row scales) and decode dequantizes
+    the local slab before the cross-shard merge — same rows quantize to the
+    same int8+scale on every path, so greedy tokens match the single-device
+    kv_quant program."""
     cfg, frozen, trainable = model
+    B, T = 2, 40
+    ids, mask = _text_inputs(cfg, B, T, seed=4)
+    static = _static(kv_quant=True)
+    key = jax.random.PRNGKey(0)
+    ref = gen.generate(frozen, trainable, cfg, ids, mask, None, key, **static)
+    sp_fn = make_sp_generate(cfg, _mesh([("sp", 2)]), **static)
+    out = sp_fn(frozen, trainable, ids, mask, None, key)
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+
+
+def test_sp_generate_validates(model):
+    cfg, _, _ = model
     with pytest.raises(ValueError, match="no 'sp' axis"):
         make_sp_generate(cfg, _mesh([("dp", 2)]), **_static())
     with pytest.raises(ValueError, match="extra non-trivial axes"):
         make_sp_generate(cfg, _mesh([("sp", 2), ("tp", 2)]), **_static())
-    ids, mask = _text_inputs(cfg, 2, 8)
-    fn = make_sp_generate(
-        cfg, _mesh([("sp", 2)]), kv_quant=True, **_static()
-    )
-    with pytest.raises(ValueError, match="bf16/f32 KV caches"):
-        fn(frozen, trainable, ids, mask, None, jax.random.PRNGKey(0))

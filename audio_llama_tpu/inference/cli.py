@@ -168,13 +168,6 @@ def generate_response(
         audio = jnp.asarray(process_audio(audio_path, cfg.mel))
 
     if draft is not None:
-        if kv_quant:
-            raise ValueError(
-                "speculative decoding does not compose with --kv_quant yet "
-                "(the verify pass appends multi-token blocks; the int8 KV "
-                "write path is tested for it but the combination is "
-                "unmeasured — drop one of the two flags)"
-            )
         from .speculative import generate_speculative
 
         draft_params, draft_cfg = draft
@@ -188,6 +181,7 @@ def generate_response(
             audio_end_id=tokenizer.token_to_id(cfg.audio_end_token),
             has_audio=audio is not None, greedy=greedy,
             temperature=temperature, top_p=top_p, top_k=top_k,
+            kv_quant=kv_quant,
         )
         logger.info(
             "speculative: %d/%d drafts accepted over %d verify rounds",

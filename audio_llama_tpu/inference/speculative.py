@@ -67,7 +67,7 @@ def _greedy(logits):
     static_argnames=(
         "cfg", "draft_cfg", "max_new_tokens", "gamma", "eos_id", "pad_id",
         "audio_start_id", "audio_end_id", "compute_dtype", "has_audio",
-        "greedy", "temperature", "top_p", "top_k",
+        "greedy", "temperature", "top_p", "top_k", "kv_quant",
     ),
 )
 def generate_speculative(
@@ -93,6 +93,7 @@ def generate_speculative(
     temperature: float = 1.0,
     top_p: float = 1.0,
     top_k: int = 0,
+    kv_quant: bool = False,
 ) -> SpecResult:
     if input_ids.shape[0] != 1:
         raise ValueError("speculative decoding v1 is batch-1 (latency path)")
@@ -123,7 +124,9 @@ def generate_speculative(
     )
 
     # --- target prefill (multimodal prefix) ---
-    t_cache = llama_mod.KVCache.zeros(cfg.llama, B, total, dtype=compute_dtype)
+    t_cache = llama_mod.KVCache.zeros(
+        cfg.llama, B, total, dtype=compute_dtype, quantized=kv_quant
+    )
     _, t_cache, hidden = llama_mod.llama_forward(
         frozen["llama"], cfg.llama,
         inputs_embeds=embeds, attention_mask=full_mask,
@@ -150,7 +153,7 @@ def generate_speculative(
     # the token prompt — audio conditioning lives in the target, which is
     # the only model whose output matters for correctness) ---
     d_cache = llama_mod.KVCache.zeros(
-        draft_cfg, B, total, dtype=compute_dtype
+        draft_cfg, B, total, dtype=compute_dtype, quantized=kv_quant
     )
     d_mask = jnp.concatenate(
         [attention_mask.astype(jnp.int32),
@@ -343,7 +346,7 @@ def _lora(trainable, cfg):
     static_argnames=(
         "cfg", "draft_cfg", "max_new_tokens", "gamma", "eos_id", "pad_id",
         "audio_start_id", "audio_end_id", "compute_dtype", "has_audio",
-        "greedy", "temperature", "top_p", "top_k",
+        "greedy", "temperature", "top_p", "top_k", "kv_quant",
     ),
 )
 def generate_speculative_batched(
@@ -369,6 +372,7 @@ def generate_speculative_batched(
     temperature: float = 1.0,
     top_p: float = 1.0,
     top_k: int = 0,
+    kv_quant: bool = False,
 ) -> SpecResult:
     """Batched speculative decoding: per-row acceptance, divergent timelines.
 
@@ -425,7 +429,9 @@ def generate_speculative_batched(
     lora = None if trainable is None else _lora(trainable, cfg)
 
     # --- target prefill ---
-    t_cache = llama_mod.KVCache.zeros(cfg.llama, B, total, dtype=compute_dtype)
+    t_cache = llama_mod.KVCache.zeros(
+        cfg.llama, B, total, dtype=compute_dtype, quantized=kv_quant
+    )
     _, t_cache, hidden = llama_mod.llama_forward(
         frozen["llama"], cfg.llama,
         inputs_embeds=embeds, attention_mask=full_mask,
@@ -447,7 +453,9 @@ def generate_speculative_batched(
 
     # --- draft prefill (text prompt only; see generate_speculative) ---
     T_text = input_ids.shape[1]
-    d_cache = llama_mod.KVCache.zeros(draft_cfg, B, total, dtype=compute_dtype)
+    d_cache = llama_mod.KVCache.zeros(
+        draft_cfg, B, total, dtype=compute_dtype, quantized=kv_quant
+    )
     d_mask = jnp.concatenate(
         [attention_mask.astype(jnp.int32),
          jnp.ones((B, max_new_tokens + gamma + 1), jnp.int32)], axis=1

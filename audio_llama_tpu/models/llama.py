@@ -425,21 +425,26 @@ def llama_forward(
         kv_cache is not None
         and T == 1
         and cache_offsets is None  # kernels are scalar-offset (see docstring)
-        and sp_axis is None  # sharded timelines merge partial stats in XLA
         and not (use_flash or use_causal_kernel)
         and (
             attn_impl in ("decode_kernel", "decode_packed")
             or (attn_impl == "auto" and da.available())
         )
     )
-    # Head-packed chunked grid (ops/decode_attention_packed.py): fatter
-    # per-program DMAs + an NC-deep pipeline. Measured wins at small batch
-    # (B1 bf16 0.019 vs 0.036 ms, int8 0.014 vs 0.024 ms isolated; r3
-    # packed-bench logs); the double-buffered kernel stays the default
-    # until the auto policy is settled end-to-end.
-    use_packed_kernel = use_decode_kernel and attn_impl == "decode_packed"
+    # Timeline-sharded decode runs the db kernel's STATS variant per shard
+    # (unnormalized m/l/acc over the local slab, owner-gated append via a
+    # local offset) and merges the exact global softmax in XLA with one
+    # pmax+psum pair (ops.attention.merge_partial_stats).
+    sp_decode_kernel = use_decode_kernel and sp_axis is not None
+    # Head-packed chunked grid (ops/decode_attention_packed.py): measured
+    # NEGATIVE end-to-end at every batch (fat slab DMAs serialize against
+    # the weight stream — BASELINE.md late-r3 A/B); dispatchable for A/B
+    # only, db stays the auto default. No stats variant: sp uses db.
+    use_packed_kernel = (
+        use_decode_kernel and attn_impl == "decode_packed" and sp_axis is None
+    )
     decode_valid = None
-    if use_decode_kernel:
+    if use_decode_kernel and sp_axis is None:
         kpos = jnp.arange(Tk)[None, :]
         decode_valid = (kpos <= off_col).astype(jnp.int32)
         decode_valid = jnp.broadcast_to(decode_valid, (B, Tk))
@@ -618,7 +623,38 @@ def llama_forward(
         k = apply_rope(k, cos, sin)
 
         quantized = ks_all is not None
-        if use_decode_kernel:
+        if sp_decode_kernel:
+            from ..ops.attention import merge_partial_stats
+            from ..ops.decode_attention_db import (
+                decode_attention_db_stats,
+                decode_attention_quantized_db_stats,
+            )
+
+            sp_loc = offset - sp_g0  # local slot; out of range off-owner
+            if quantized:
+                kq, kq_s = quantize_kv_rows(k[:, 0])  # [B,Hkv,hd], [B,Hkv]
+                vq, vq_s = quantize_kv_rows(v[:, 0])
+                m_l, l_l, acc_l, ck_all, cv_all = (
+                    decode_attention_quantized_db_stats(
+                        q[:, 0], kq, vq, ck_all, cv_all,
+                        lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
+                        lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
+                        kq_s, vq_s,
+                        li, sp_loc, sp_valid, cfg.head_dim ** -0.5,
+                    )
+                )
+                # owner-gated scale append (kernel only writes values)
+                ks_all = _sp_row_write(ks_all, kq_s[None, :, :, None], li)
+                vs_all = _sp_row_write(vs_all, vq_s[None, :, :, None], li)
+            else:
+                m_l, l_l, acc_l, ck_all, cv_all = decode_attention_db_stats(
+                    q[:, 0], k[:, 0], v[:, 0], ck_all, cv_all,
+                    li, sp_loc, sp_valid, cfg.head_dim ** -0.5,
+                )
+            attn = merge_partial_stats(
+                m_l, l_l, acc_l, sp_axis, out_dtype=q.dtype
+            )[:, None]  # [B, 1, Hq, hd]
+        elif use_decode_kernel:
             if quantized:
                 if use_packed_kernel:
                     from ..ops.decode_attention_packed import (

@@ -120,6 +120,24 @@ def sp_partial_attention(
     return out.reshape(B, Tq, Hq, hd).astype(q.dtype)
 
 
+def merge_partial_stats(m, l, acc, axis_name: str, out_dtype=None):
+    """Assemble the exact global softmax from per-shard unnormalized flash
+    statistics (rowmax m [...], denominator l [...], numerator acc [..., hd])
+    with one pmax + one psum pair over `axis_name` — the cross-chip half of
+    the timeline-sharded decode kernel (decode_attention_db_stats).
+
+    A shard whose slab was fully invalid contributes (clamped m, 0, 0) and
+    drops out via corr -> 0. f32 throughout (softmax numerics policy)."""
+    from jax import lax
+
+    m_g = lax.pmax(m, axis_name)
+    corr = jnp.exp(m - m_g)
+    l_g = lax.psum(l * corr, axis_name)
+    acc_g = lax.psum(acc * corr[..., None], axis_name)
+    out = acc_g / jnp.maximum(l_g, 1e-30)[..., None]
+    return out if out_dtype is None else out.astype(out_dtype)
+
+
 def causal_bias(Tq: int, Tk: int, offset: int = 0) -> jnp.ndarray:
     """[1, 1, Tq, Tk] causal additive bias. Query i attends keys j <= i + offset.
 

@@ -33,15 +33,27 @@ def _kernel(
     vnew_ref,    # [1, 1, 1, hd]
     valid_ref,   # [1, 1, max_len]
     ck_any, cv_any,
-    out_ref, ck_out, cv_out,
-    k_db,        # [2, max_len, hd] scratch (double buffer)
-    v_db,
-    sems,        # DMA semaphores (2, 2) -> [slot, k/v]
-    wsems,       # write-back semaphores (2,)
-    *,
+    *rest,       # outs + scratch; see `stats` below
     scale: float,
     n_heads: int,
+    stats: bool = False,
 ):
+    """stats=False: rest = (out, ck_out, cv_out, k_db, v_db, sems, wsems);
+    out is the NORMALIZED attention [1, 1, G, hd].
+
+    stats=True (timeline-sharded decode, docs/LONG_CONTEXT.md step 3):
+    rest = (m, l, acc, ck_out, cv_out, k_db, v_db, sems, wsems) — the
+    UNNORMALIZED flash statistics over this shard's slab (f32 rowmax m
+    [1,1,G,1], denominator l [1,1,G,1], numerator acc [1,1,G,hd]); the
+    caller assembles the exact global softmax across shards with one
+    pmax + psum pair (ops/attention.merge_partial_stats). `off` is the
+    LOCAL slot — out of [0, max_len) on non-owner shards, which then
+    append nothing and a fully-invalid slab yields (clamped m, 0, 0), a
+    no-op in the merge."""
+    if stats:
+        m_ref, l_ref, acc_ref, ck_out, cv_out, k_db, v_db, sems, wsems = rest
+    else:
+        out_ref, ck_out, cv_out, k_db, v_db, sems, wsems = rest
     i = pl.program_id(0)  # flattened (b * Hkv + h)
     n = pl.num_programs(0)
     li = li_ref[0]
@@ -85,7 +97,7 @@ def _kernel(
     # store is VMEM-bandwidth — not the bottleneck.)
     k_db[slot] = k_full
     v_db[slot] = v_full
-    off_clamped = jnp.minimum(off, max_len - 1)
+    off_clamped = jnp.clip(off, 0, max_len - 1)
     # 32-row window covers every dtype's HBM sublane tile (bf16 needs 16)
     off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
     b = i // n_heads
@@ -108,14 +120,29 @@ def _kernel(
     logits = logits * scale
     valid = valid_ref[0, 0, :]
     logits = jnp.where(valid[None, :] > 0, logits, -1e30)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p.astype(v_full.dtype), v_full, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[0, 0] = out.astype(out_ref.dtype)
+    if stats:
+        # clamp the all-invalid rowmax so exp stays finite; explicit mask
+        # zeroes the invalid lanes (exp(-1e30 - m) is NOT 0 when m is the
+        # sentinel itself)
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), -5e29)
+        p = jnp.where(valid[None, :] > 0, jnp.exp(logits - m), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v_full.dtype), v_full, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[0, 0] = m
+        l_ref[0, 0] = l
+        acc_ref[0, 0] = acc
+    else:
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(v_full.dtype), v_full, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, 0] = out.astype(out_ref.dtype)
 
     wb_k.wait()
     wb_v.wait()
@@ -130,12 +157,15 @@ def _kernel_quantized(
     vs_ref,
     valid_ref,
     ck_any, cv_any,
-    out_ref, ck_out, cv_out,
-    k_db, v_db, sems, wsems,
-    *,
+    *rest,       # outs + scratch; `stats` selects the layout (see _kernel)
     scale: float,
     n_heads: int,
+    stats: bool = False,
 ):
+    if stats:
+        m_ref, l_ref, acc_ref, ck_out, cv_out, k_db, v_db, sems, wsems = rest
+    else:
+        out_ref, ck_out, cv_out, k_db, v_db, sems, wsems = rest
     i = pl.program_id(0)
     n = pl.num_programs(0)
     li = li_ref[0]
@@ -174,7 +204,7 @@ def _kernel_quantized(
     v_full = jnp.where(is_new, vnew_ref[0, 0], v_db[slot])
     k_db[slot] = k_full
     v_db[slot] = v_full
-    off_clamped = jnp.minimum(off, max_len - 1)
+    off_clamped = jnp.clip(off, 0, max_len - 1)
     off_al = pl.multiple_of((off_clamped // 32) * 32, 32)  # int8 tile
     b = i // n_heads
     h = jax.lax.rem(i, n_heads)
@@ -203,15 +233,28 @@ def _kernel_quantized(
     logits = logits * (k_s * scale)
     valid = valid_ref[0, 0, :]
     logits = jnp.where(valid[None, :] > 0, logits, -1e30)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    pv = (p * v_s).astype(cdt)
-    out = jax.lax.dot_general(
-        pv, v_full.astype(cdt), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[0, 0] = out.astype(out_ref.dtype)
+    if stats:
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), -5e29)
+        p = jnp.where(valid[None, :] > 0, jnp.exp(logits - m), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * v_s).astype(cdt)
+        acc = jax.lax.dot_general(
+            pv, v_full.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[0, 0] = m
+        l_ref[0, 0] = l
+        acc_ref[0, 0] = acc
+    else:
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * v_s).astype(cdt)
+        out = jax.lax.dot_general(
+            pv, v_full.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, 0] = out.astype(out_ref.dtype)
 
     wb_k.wait()
     wb_v.wait()
@@ -346,3 +389,140 @@ def decode_attention_db(
         cache_v,
     )
     return out.reshape(B, Hq, hd), ck, cv
+
+
+def _stats_grid(B, Hkv, G, hd, max_len, cache_dtype, extra_specs=()):
+    """Grid spec for the stats variants: same inputs as the normalized
+    kernels, outputs (m, l, acc, ck, cv)."""
+    bmap4 = lambda i, *_: (i, 0, 0, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, 1, G, hd), bmap4),
+        pl.BlockSpec((1, 1, 1, hd), bmap4),
+        pl.BlockSpec((1, 1, 1, hd), bmap4),
+        *extra_specs,
+        pl.BlockSpec((1, 1, max_len), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B * Hkv,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, G, 1), bmap4),
+            pl.BlockSpec((1, 1, G, 1), bmap4),
+            pl.BlockSpec((1, 1, G, hd), bmap4),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH, max_len, hd), cache_dtype),
+            pltpu.VMEM((DEPTH, max_len, hd), cache_dtype),
+            pltpu.SemaphoreType.DMA((DEPTH, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+
+def decode_attention_db_stats(
+    q, k_new, v_new, cache_k, cache_v, layer, local_offset, valid, scale,
+    interpret: bool = False,
+):
+    """Timeline-sharded flavor (docs/LONG_CONTEXT.md step 3): attends this
+    shard's LOCAL cache slab and returns the UNNORMALIZED flash statistics
+    (m, l, acc) — f32 [B, Hq], [B, Hq], [B, Hq, hd] — plus the updated
+    cache. `local_offset` is the append slot in LOCAL coordinates
+    (offset - shard_start); out of [0, max_len) on non-owner shards, which
+    append nothing. Merge across shards with
+    ops.attention.merge_partial_stats. Reference analog: none."""
+    L, B, Hkv, max_len, hd = cache_k.shape
+    if max_len % 32 != 0:
+        raise ValueError(f"max_len % 32 != 0 ({max_len})")
+    Hq = q.shape[1]
+    G = Hq // Hkv
+    valid_bh = jnp.repeat(valid.astype(jnp.int32), Hkv, axis=0)[:, None, :]
+    m, l, acc, ck, cv = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, n_heads=Hkv, stats=True),
+        grid_spec=_stats_grid(B, Hkv, G, hd, max_len, cache_k.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * Hkv, 1, G, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B * Hkv, 1, G, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B * Hkv, 1, G, hd), jnp.float32),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ],
+        # (li, off, q, knew, vnew, valid, ck, cv) -> outs (m, l, acc, ck, cv)
+        input_output_aliases={6: 3, 7: 4},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.asarray(local_offset, jnp.int32).reshape(1),
+        q.reshape(B * Hkv, 1, G, hd),
+        k_new.astype(cache_k.dtype).reshape(B * Hkv, 1, 1, hd),
+        v_new.astype(cache_v.dtype).reshape(B * Hkv, 1, 1, hd),
+        valid_bh,
+        cache_k,
+        cache_v,
+    )
+    return (
+        m.reshape(B, Hq), l.reshape(B, Hq), acc.reshape(B, Hq, hd), ck, cv
+    )
+
+
+def decode_attention_quantized_db_stats(
+    q, k_new_q, v_new_q, cache_k, cache_v,
+    k_scales, v_scales, k_new_scale, v_new_scale,
+    layer, local_offset, valid, scale, interpret: bool = False,
+):
+    """int8 twin of decode_attention_db_stats (same contract; dequantizes
+    with the per-row scales before the statistics)."""
+    L, B, Hkv, max_len, hd = cache_k.shape
+    if max_len % 32 != 0:
+        raise ValueError(f"max_len % 32 != 0 ({max_len})")
+    Hq = q.shape[1]
+    G = Hq // Hkv
+    BH = B * Hkv
+    bmap4 = lambda i, *_: (i, 0, 0, 0)  # noqa: E731
+    extra = (
+        pl.BlockSpec((1, 1, 1, 1), bmap4),
+        pl.BlockSpec((1, 1, 1, 1), bmap4),
+        pl.BlockSpec((1, 1, 1, max_len), bmap4),
+        pl.BlockSpec((1, 1, 1, max_len), bmap4),
+    )
+    m, l, acc, ck, cv = pl.pallas_call(
+        functools.partial(
+            _kernel_quantized, scale=scale, n_heads=Hkv, stats=True
+        ),
+        grid_spec=_stats_grid(
+            B, Hkv, G, hd, max_len, cache_k.dtype, extra_specs=extra
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, 1, G, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, G, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, G, hd), jnp.float32),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ],
+        # inputs: (li, off, q, knew, vnew, ks_new, vs_new, ks, vs, valid,
+        # ck, cv) -> outs (m, l, acc, ck, cv)
+        input_output_aliases={10: 3, 11: 4},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.asarray(local_offset, jnp.int32).reshape(1),
+        q.reshape(BH, 1, G, hd),
+        k_new_q.reshape(BH, 1, 1, hd),
+        v_new_q.reshape(BH, 1, 1, hd),
+        k_new_scale.astype(jnp.float32).reshape(BH, 1, 1, 1),
+        v_new_scale.astype(jnp.float32).reshape(BH, 1, 1, 1),
+        k_scales.astype(jnp.float32).reshape(BH, 1, 1, max_len),
+        v_scales.astype(jnp.float32).reshape(BH, 1, 1, max_len),
+        jnp.repeat(valid.astype(jnp.int32), Hkv, axis=0)[:, None, :],
+        cache_k,
+        cache_v,
+    )
+    return (
+        m.reshape(B, Hq), l.reshape(B, Hq), acc.reshape(B, Hq, hd), ck, cv
+    )

@@ -250,3 +250,120 @@ def test_quantized_db_kernel_matches_simple_quantized():
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-5
         )
+
+
+# ---- timeline-sharded stats variants (docs/LONG_CONTEXT.md step 3) --------
+
+def _stats_ref(q, k, v, valid, scale):
+    """Unnormalized flash stats over a (possibly fully invalid) slab."""
+    B, Hq, hd = q.shape
+    Hkv = k.shape[1]
+    G = Hq // Hkv
+    qg = np.asarray(q, np.float32).reshape(B, Hkv, G, hd)
+    kf = np.asarray(k, np.float32)
+    vf = np.asarray(v, np.float32)
+    s = np.einsum("bhgd,bhsd->bhgs", qg, kf) * scale
+    s = np.where(np.asarray(valid)[:, None, None, :] > 0, s, -1e30)
+    m = np.maximum(s.max(-1), -5e29)
+    p = np.where(
+        np.asarray(valid)[:, None, None, :] > 0, np.exp(s - m[..., None]), 0.0
+    )
+    l = p.sum(-1)
+    acc = np.einsum("bhgs,bhsd->bhgd", p, vf)
+    return (
+        m.reshape(B, Hq), l.reshape(B, Hq), acc.reshape(B, Hq, hd)
+    )
+
+
+@pytest.mark.parametrize("local_offset", [5, -27, 70])
+def test_db_stats_matches_reference(local_offset):
+    """Owner shard (in-range offset) appends + returns stats; non-owner
+    (negative / past-end offset) appends nothing. Against a numpy oracle."""
+    from audio_llama_tpu.ops.decode_attention_db import (
+        decode_attention_db_stats,
+    )
+
+    L, B, Hq, Hkv, S, hd = 2, 2, 4, 2, 64, 32
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    k_new = jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32)
+    v_new = jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32)
+    ck = jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32)
+    cv = jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32)
+    valid = np.zeros((B, S), np.int32)
+    valid[:, :40] = 1
+    m, l, acc, ck2, cv2 = decode_attention_db_stats(
+        q, k_new, v_new, ck, cv, jnp.int32(1), jnp.int32(local_offset),
+        jnp.asarray(valid), hd ** -0.5, interpret=True,
+    )
+    # expected slab: new row merged only when the offset is in range
+    k_exp = np.asarray(ck[1]).copy()
+    v_exp = np.asarray(cv[1]).copy()
+    if 0 <= local_offset < S:
+        k_exp[:, :, local_offset] = np.asarray(k_new)
+        v_exp[:, :, local_offset] = np.asarray(v_new)
+    rm, rl, racc = _stats_ref(q, k_exp, v_exp, valid, hd ** -0.5)
+    np.testing.assert_allclose(np.asarray(m), rm, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(l), rl, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(acc), racc, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ck2[1]), k_exp, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ck2[0]), np.asarray(ck[0]))
+
+
+def test_db_stats_all_invalid_slab_is_merge_noop():
+    """A shard the timeline hasn't reached: l == 0, acc == 0, m clamped —
+    contributes nothing to the cross-shard merge."""
+    from audio_llama_tpu.ops.decode_attention_db import (
+        decode_attention_db_stats,
+    )
+
+    L, B, Hq, Hkv, S, hd = 1, 1, 2, 1, 32, 32
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    k_new = jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32)
+    v_new = jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32)
+    ck = jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32)
+    cv = jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32)
+    valid = jnp.zeros((B, S), jnp.int32)
+    m, l, acc, _, _ = decode_attention_db_stats(
+        q, k_new, v_new, ck, cv, jnp.int32(0), jnp.int32(-5), valid,
+        hd ** -0.5, interpret=True,
+    )
+    assert np.all(np.asarray(l) == 0.0)
+    assert np.all(np.asarray(acc) == 0.0)
+    assert np.all(np.isfinite(np.asarray(m)))
+
+
+def test_quantized_db_stats_matches_reference():
+    from audio_llama_tpu.models.llama import quantize_kv_rows
+    from audio_llama_tpu.ops.decode_attention_db import (
+        decode_attention_quantized_db_stats,
+    )
+
+    L, B, Hq, Hkv, S, hd = 2, 2, 4, 2, 64, 32
+    rng = np.random.RandomState(8)
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    k_new, ks_new = quantize_kv_rows(jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32))
+    v_new, vs_new = quantize_kv_rows(jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32))
+    ckq, ks = quantize_kv_rows(jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32))
+    cvq, vs = quantize_kv_rows(jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32))
+    valid = np.zeros((B, S), np.int32)
+    valid[:, :20] = 1
+    loc = 19
+    m, l, acc, ck2, cv2 = decode_attention_quantized_db_stats(
+        q, k_new, v_new, ckq, cvq, ks[1], vs[1], ks_new, vs_new,
+        jnp.int32(1), jnp.int32(loc), jnp.asarray(valid), hd ** -0.5,
+        interpret=True,
+    )
+    # dequantized expected slab with the new row in place
+    kdq = np.asarray(ckq[1], np.float32) * np.asarray(ks[1])[..., None]
+    vdq = np.asarray(cvq[1], np.float32) * np.asarray(vs[1])[..., None]
+    kdq[:, :, loc] = np.asarray(k_new, np.float32) * np.asarray(ks_new)[..., None]
+    vdq[:, :, loc] = np.asarray(v_new, np.float32) * np.asarray(vs_new)[..., None]
+    rm, rl, racc = _stats_ref(q, kdq, vdq, valid, hd ** -0.5)
+    np.testing.assert_allclose(np.asarray(m), rm, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(l), rl, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(acc), racc, atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(ck2[1][:, :, loc]), np.asarray(k_new)
+    )

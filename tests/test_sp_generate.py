@@ -133,3 +133,25 @@ def test_sp_generate_validates(model):
         make_sp_generate(cfg, _mesh([("dp", 2)]), **_static())
     with pytest.raises(ValueError, match="extra non-trivial axes"):
         make_sp_generate(cfg, _mesh([("sp", 2), ("tp", 2)]), **_static())
+
+
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_sp_generate_decode_kernel_path(model, kv_quant):
+    """The sp decode PERF tier: each shard runs the db kernel's stats
+    variant over its local slab (owner-gated append via local offset) and
+    the global softmax is merged in XLA — tokens must match the plain
+    single-device program (interpret-mode kernels inside shard_map)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, frozen, trainable = model
+    B, T = 2, 40
+    ids, mask = _text_inputs(cfg, B, T, seed=5, pad_last=1)
+    static = _static(kv_quant=kv_quant)
+    key = jax.random.PRNGKey(0)
+    ref = gen.generate(frozen, trainable, cfg, ids, mask, None, key, **static)
+    sp_fn = make_sp_generate(
+        cfg, _mesh([("sp", 2)]), attn_impl="decode_kernel", **static
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = sp_fn(frozen, trainable, ids, mask, None, key)
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))

@@ -87,17 +87,23 @@ def test_cli_speculative_matches_plain_greedy(trained):
         assert spec == plain
 
 
-def test_cli_speculative_kv_quant_rejected(trained):
+def test_cli_speculative_kv_quant_composes(trained):
+    """Speculative decoding composes with the int8 KV cache at the CLI
+    surface: greedy output identical to the plain greedy kv_quant path."""
     ckpt_path, _ = trained
     cfg, frozen, trainable, tk = load_audio_llm(ckpt_path, toy_model=True)
     from audio_llama_tpu.inference.cli import load_draft_llama
 
     draft = load_draft_llama("toy", cfg.llama.vocab_size)
-    with pytest.raises(ValueError, match="kv_quant"):
-        generate_response(
-            cfg, frozen, trainable, tk, prompt="x", max_new_tokens=4,
-            greedy=True, draft=draft, kv_quant=True,
-        )
+    plain = generate_response(
+        cfg, frozen, trainable, tk, prompt="x", max_new_tokens=4,
+        greedy=True, kv_quant=True,
+    )
+    spec = generate_response(
+        cfg, frozen, trainable, tk, prompt="x", max_new_tokens=4,
+        greedy=True, draft=draft, kv_quant=True,
+    )
+    assert spec == plain
 
 
 def test_cli_main(trained, capsys):

@@ -90,7 +90,7 @@ def transcribe_batch(
     max_new_tokens: int = 128,
     seed: int = 0,
     pad_to: Optional[int] = None,
-    kv_quant: bool = False,
+    kv_quant=False,
 ) -> List[str]:
     """Greedy batched decode; prompts are right-padded to a shared length.
 
@@ -150,7 +150,7 @@ def evaluate_wer(
     audio_key: str = "audio_paths",
     text_key: str = "text",
     response_key: str = "response",
-    kv_quant: bool = False,
+    kv_quant=False,
 ) -> Dict[str, float]:
     """Transcribe every entry (batched, fixed shapes) and score corpus WER.
 

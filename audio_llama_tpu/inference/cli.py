@@ -129,7 +129,7 @@ def generate_response(
     top_k: int = 0,
     greedy: bool = False,
     seed: int = 0,
-    kv_quant: bool = False,
+    kv_quant=False,  # False | True/8 (int8 KV) | 4 (nibble-packed int4 KV)
     draft: Optional[Tuple] = None,
     gamma: int = 4,
     decode_impl: str = "auto",
@@ -236,8 +236,13 @@ def parse_args(argv=None):
                    help="force a jax backend, e.g. 'cpu'")
     p.add_argument(
         "--kv_quant", action="store_true",
-        help="int8 KV cache during generation (halves cache HBM; pairs "
-             "with --int8_decoder for max decode throughput)",
+        help="quantized KV cache during generation (int8 by default; pairs "
+             "with --int8_decoder/--int4_decoder for max decode throughput)",
+    )
+    p.add_argument(
+        "--kv_bits", type=int, default=8, choices=[8, 4],
+        help="KV-cache precision with --kv_quant: int8 rows or nibble-"
+             "packed int4 rows (quarter cache HBM; validate WER first)",
     )
     p.add_argument(
         "--int4_decoder", action="store_true",
@@ -319,7 +324,7 @@ def main(argv=None):
         top_k=args.top_k,
         greedy=args.greedy,
         seed=args.seed,
-        kv_quant=args.kv_quant,
+        kv_quant=(4 if args.kv_bits == 4 else True) if args.kv_quant else False,
         draft=draft,
         gamma=args.gamma,
         decode_impl=args.decode_impl,

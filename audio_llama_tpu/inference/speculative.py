@@ -93,7 +93,7 @@ def generate_speculative(
     temperature: float = 1.0,
     top_p: float = 1.0,
     top_k: int = 0,
-    kv_quant: bool = False,
+    kv_quant=False,
 ) -> SpecResult:
     if input_ids.shape[0] != 1:
         raise ValueError("speculative decoding v1 is batch-1 (latency path)")
@@ -372,7 +372,7 @@ def generate_speculative_batched(
     temperature: float = 1.0,
     top_p: float = 1.0,
     top_k: int = 0,
-    kv_quant: bool = False,
+    kv_quant=False,
 ) -> SpecResult:
     """Batched speculative decoding: per-row acceptance, divergent timelines.
 

@@ -103,14 +103,15 @@ class AudioLLM:
         top_p: float = 0.9,
         greedy: bool = False,
         seed: int = 0,
-        kv_quant: bool = False,
+        kv_quant=False,
         draft=None,
         gamma: int = 4,
     ) -> str:
         """Prompt (+ optional audio file) -> generated text (reference
         AudioLLM.generate, src/models/allm.py:263-348, with the prompt-strip
-        already handled). kv_quant: int8 KV cache (pairs with
-        quantize_decoder() for max decode throughput). draft: a (params,
+        already handled). kv_quant: quantized KV cache — True/8 = int8
+        rows, 4 = nibble-packed int4 rows (pairs with quantize_decoder()
+        for max decode throughput). draft: a (params,
         LlamaConfig) pair or a path for inference.cli.load_draft_llama —
         switches to speculative draft-and-verify decoding (same output
         distribution, fewer target forwards)."""

@@ -132,10 +132,20 @@ class KVCache(NamedTuple):
     k_scale/v_scale [L, B, Hkv, max_len] f32 — halves cache HBM (and decode
     cache-read traffic) for ~1e-2 relative K/V error. Scales are exact to
     apply post-matmul: q·(int8·s) == (q·int8)·s per key row.
+
+    int4 mode (zeros(quantized=4)): `k` holds ONE K/V-COMBINED nibble-packed
+    int8 array [L, B, Hkv, max_len, hd] (byte d of a row = K's dim-d int4
+    in the low nibble, V's in the high nibble — quantize_kv_rows4) and `v`
+    is None (the int4 marker); both per-row f32 scale sets remain. Combined
+    packing keeps the slab at a full 128-lane trailing dim (a hd/2-packed
+    slab cannot DMA: Mosaic HBM lane tiling is 128), halves cache HBM and
+    the decode cache-read stream vs int8 (~7e-2 relative row error,
+    absmax/7), and needs no read-modify-write because K and V rows are
+    always appended together. Gate end-task accuracy before serving.
     """
 
     k: jnp.ndarray
-    v: jnp.ndarray
+    v: Optional[jnp.ndarray]  # None in int4 mode (combined packing in k)
     length: jnp.ndarray
     k_scale: Optional[jnp.ndarray] = None
     v_scale: Optional[jnp.ndarray] = None
@@ -144,17 +154,33 @@ class KVCache(NamedTuple):
     def quantized(self) -> bool:
         return self.k_scale is not None
 
+    @property
+    def kv_bits(self) -> int:
+        if not self.quantized:
+            return 16
+        return 4 if self.v is None else 8
+
     @classmethod
     def zeros(cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
-              kv_heads: int | None = None, quantized: bool = False):
+              kv_heads: int | None = None, quantized=False):
         # Round the timeline up to the 32-sublane tile (int8's requirement;
         # also satisfies bf16's 16 and f32's 8) so the decode kernel can DMA
         # whole (batch, head) slabs; extra slots are never attendable (masks
         # zero-pad to the cache length). kv_heads overrides the head count
         # for tensor-parallel shards (num_kv_heads / tp local heads).
+        # quantized: False (store `dtype`), True or 8 (int8 rows), 4
+        # (nibble-packed int4 rows — k/v trailing dim becomes hd//2).
         max_len = -(-max_len // 32) * 32
         heads = kv_heads if kv_heads is not None else cfg.num_kv_heads
         shape = (cfg.num_layers, batch, heads, max_len, cfg.head_dim)
+        if quantized == 4:
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),  # K/V combined packed
+                v=None,
+                length=jnp.zeros((), jnp.int32),
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
         if quantized:
             return cls(
                 k=jnp.zeros(shape, jnp.int8),
@@ -179,6 +205,42 @@ def quantize_kv_rows(x: jnp.ndarray):
         jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
     ).astype(jnp.int8)
     return q, scale
+
+
+def quantize_kv_rows4(k: jnp.ndarray, v: jnp.ndarray):
+    """(k, v) [..., hd] -> (combined packed int8 [..., hd],
+    k_scale f32 [...], v_scale f32 [...]).
+
+    K/V-COMBINED int4 packing: byte d of a row holds K's dim-d int4 in the
+    low nibble and V's in the high nibble (symmetric per-row absmax/7
+    each). K and V rows are always written together, so the byte never
+    needs read-modify-write; the combined slab keeps a full 128-lane
+    trailing dim, which a per-tensor hd/2 packing cannot (Mosaic HBM lane
+    tiling is 128 — a 64-lane slab slice refuses to DMA)."""
+    def q4(x):
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        scale = jnp.maximum(absmax, 1e-8) / 7.0
+        q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / scale[..., None]), -7, 7
+        ).astype(jnp.int32)
+        return q, scale
+
+    kq, ks = q4(k)
+    vq, vs = q4(v)
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(kq, 0xF),
+        jnp.left_shift(jnp.bitwise_and(vq, 0xF), 4),
+    ).astype(jnp.int8)
+    return packed, ks, vs
+
+
+def unpack_kv4(packed: jnp.ndarray):
+    """Combined-packed int8 [..., hd] -> (k, v) int32 [..., hd]
+    (sign-extended nibbles; scales not applied)."""
+    b = packed.astype(jnp.int32)
+    k = jnp.right_shift(jnp.left_shift(b, 28), 28)  # arithmetic shifts
+    v = jnp.right_shift(jnp.left_shift(b, 24), 28)
+    return k, v
 
 
 # ---------------------------------------------------------------------------
@@ -443,6 +505,15 @@ def llama_forward(
     use_packed_kernel = (
         use_decode_kernel and attn_impl == "decode_packed" and sp_axis is None
     )
+    # KV-cache element precision: int8 rows, or K/V-combined nibble-packed
+    # int4 rows (cache.v is None — see KVCache docstring). The db kernels
+    # and the XLA fallbacks below both branch on this.
+    kv_bits = kv_cache.kv_bits if kv_cache is not None else 16
+    if use_packed_kernel and kv_bits == 4:
+        raise ValueError(
+            "attn_impl='decode_packed' has no int4-KV variant; use the "
+            "default db kernel (attn_impl='auto'/'decode_kernel')"
+        )
     decode_valid = None
     if use_decode_kernel and sp_axis is None:
         kpos = jnp.arange(Tk)[None, :]
@@ -473,6 +544,19 @@ def llama_forward(
                 am = lax.dynamic_slice(am, (0, sp_g0), (am.shape[0], Tk))
             sp_valid = sp_valid * am.astype(jnp.int32)
 
+    # Fresh-cache prefill WITHOUT the flash/causal kernels (attn_impl='xla',
+    # or CPU fallback): attend the fresh k/v instead of reading the
+    # just-written cache back — exact under quantized caches and skips a
+    # full slab read.
+    xla_fresh = (
+        kv_cache is not None
+        and assume_fresh_cache
+        and T > 1
+        and not (use_flash or use_causal_kernel)
+        and sp_axis is None
+        and cache_offsets is None
+    )
+
     # Attention bias over the (possibly cached) key timeline.
     if use_flash or use_causal_kernel or use_decode_kernel:
         bias = None
@@ -487,6 +571,15 @@ def llama_forward(
                 )
         else:
             bias = None  # sp_partial_attention masks via sp_valid
+    elif xla_fresh:
+        # Fresh-cache prefill on the XLA path attends the FRESH tokens
+        # directly (layer_step below): the cache holds only (possibly
+        # quantized copies of) these same rows, so reading it back would
+        # add KV-quantization error to prefill attention that the kernel
+        # prefill paths — and therefore production TPU — never see.
+        bias = causal_bias(T, T)
+        if attention_mask is not None:
+            bias = combine_bias(bias, padding_bias(attention_mask[:, :T]))
     elif kv_cache is not None:
         # Causality is over PHYSICAL cache slots (append order), not the
         # logical `positions` used for RoPE — with right-padded prompts the
@@ -631,7 +724,22 @@ def llama_forward(
             )
 
             sp_loc = offset - sp_g0  # local slot; out of range off-owner
-            if quantized:
+            if quantized and kv_bits == 4:
+                from ..ops.decode_attention_db import (
+                    decode_attention_quantized4_db_stats,
+                )
+
+                kvp, kq_s, vq_s = quantize_kv_rows4(k[:, 0], v[:, 0])
+                m_l, l_l, acc_l, ck_all = decode_attention_quantized4_db_stats(
+                    q[:, 0], kvp, ck_all,
+                    lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
+                    lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
+                    kq_s, vq_s,
+                    li, sp_loc, sp_valid, cfg.head_dim ** -0.5,
+                )
+                ks_all = _sp_row_write(ks_all, kq_s[None, :, :, None], li)
+                vs_all = _sp_row_write(vs_all, vq_s[None, :, :, None], li)
+            elif quantized:
                 kq, kq_s = quantize_kv_rows(k[:, 0])  # [B,Hkv,hd], [B,Hkv]
                 vq, vq_s = quantize_kv_rows(v[:, 0])
                 m_l, l_l, acc_l, ck_all, cv_all = (
@@ -655,7 +763,26 @@ def llama_forward(
                 m_l, l_l, acc_l, sp_axis, out_dtype=q.dtype
             )[:, None]  # [B, 1, Hq, hd]
         elif use_decode_kernel:
-            if quantized:
+            if quantized and kv_bits == 4:
+                from ..ops.decode_attention_db import (
+                    decode_attention_quantized4_db,
+                )
+
+                kvp, kq_s, vq_s = quantize_kv_rows4(k[:, 0], v[:, 0])
+                attn_flat, ck_all = decode_attention_quantized4_db(
+                    q[:, 0], kvp, ck_all,
+                    lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
+                    lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
+                    kq_s, vq_s,
+                    li, offset, decode_valid, cfg.head_dim ** -0.5,
+                )
+                ks_all = lax.dynamic_update_slice(
+                    ks_all, kq_s[None, :, :, None], (li, 0, 0, offset)
+                )
+                vs_all = lax.dynamic_update_slice(
+                    vs_all, vq_s[None, :, :, None], (li, 0, 0, offset)
+                )
+            elif quantized:
                 if use_packed_kernel:
                     from ..ops.decode_attention_packed import (
                         decode_attention_quantized_packed as _dq,
@@ -700,7 +827,12 @@ def llama_forward(
             vh = jnp.swapaxes(v, 1, 2)[None]
             if sp_axis is not None:
                 _w = _sp_window_write if sp_fresh else _sp_row_write
-                if quantized:
+                if quantized and kv_bits == 4:
+                    kvh, khs, vhs = quantize_kv_rows4(kh, vh)
+                    ck_all = _w(ck_all, kvh, li)
+                    ks_all = _w(ks_all, khs, li)
+                    vs_all = _w(vs_all, vhs, li)
+                elif quantized:
                     khq, khs = quantize_kv_rows(kh)
                     vhq, vhs = quantize_kv_rows(vh)
                     ck_all = _w(ck_all, khq, li)
@@ -710,6 +842,11 @@ def llama_forward(
                 else:
                     ck_all = _w(ck_all, kh, li)
                     cv_all = _w(cv_all, vh, li)
+            elif quantized and kv_bits == 4:
+                kvh, khs, vhs = quantize_kv_rows4(kh, vh)
+                ck_all = _cache_write(ck_all, kvh, li)
+                ks_all = _cache_write(ks_all, khs, li)
+                vs_all = _cache_write(vs_all, vhs, li)
             elif quantized:
                 khq, khs = quantize_kv_rows(kh)
                 vhq, vhs = quantize_kv_rows(vh)
@@ -724,17 +861,25 @@ def llama_forward(
                 # kernel prefill attends over the fresh k/v directly; the
                 # cache timeline is only written, never read here
                 attn_k = attn_v = None
-            elif sp_axis is not None and sp_fresh:
-                # fresh-prefill attention under sp runs over the fresh
-                # tokens (no shard holds the full timeline)
+            elif (sp_axis is not None and sp_fresh) or xla_fresh:
+                # fresh-prefill attention runs over the fresh tokens — under
+                # sp no shard holds the full timeline; on the plain XLA path
+                # this keeps prefill exact when the cache is quantized
                 attn_k, attn_v = k, v
             else:
-                attn_k = lax.dynamic_index_in_dim(
-                    ck_all, li, axis=0, keepdims=False
-                ).astype(compute_dtype)  # [B, Hkv, Tk, hd]
-                attn_v = lax.dynamic_index_in_dim(
-                    cv_all, li, axis=0, keepdims=False
-                ).astype(compute_dtype)
+                if kv_bits == 4:  # combined-packed: both live in ck_all
+                    attn_k, attn_v = unpack_kv4(
+                        lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
+                    )  # int32 [B, Hkv, Tk, hd] each
+                else:
+                    attn_k = lax.dynamic_index_in_dim(
+                        ck_all, li, axis=0, keepdims=False
+                    )  # [B, Hkv, Tk, hd]
+                    attn_v = lax.dynamic_index_in_dim(
+                        cv_all, li, axis=0, keepdims=False
+                    )
+                attn_k = attn_k.astype(compute_dtype)
+                attn_v = attn_v.astype(compute_dtype)
                 if quantized:  # dequantize with per-row scales
                     k_s = lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False)
                     v_s = lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False)
@@ -772,12 +917,12 @@ def llama_forward(
                     q, attn_k, attn_v, sp_valid, cfg.head_dim ** -0.5,
                     sp_axis,
                 )
-        elif ck_all is not None:
+        elif ck_all is not None and not xla_fresh:
             attn = mha(
                 q, attn_k, attn_v, bias=bias, scale=cfg.head_dim ** -0.5,
                 kv_head_major=True,
             )
-        else:
+        else:  # no cache, or xla_fresh ([B, T, Hkv, hd] fresh k/v)
             attn = mha(q, attn_k, attn_v, bias=bias, scale=cfg.head_dim ** -0.5)
         attn = attn.reshape(B, T, -1)
         if int4_slabs:

@@ -526,3 +526,251 @@ def decode_attention_quantized_db_stats(
     return (
         m.reshape(B, Hq), l.reshape(B, Hq), acc.reshape(B, Hq, hd), ck, cv
     )
+
+
+# ---------------------------------------------------------------------------
+# int4 KV: K/V-combined nibble-packed slabs
+# ---------------------------------------------------------------------------
+
+def _kernel_quantized4(
+    li_ref, off_ref,
+    q_ref,        # [1, 1, G, hd]
+    kvnew_ref,    # [1, 1, 1, hd] int8 — K low nibble | V high nibble
+    ks_new_ref,   # [1, 1, 1, 1] f32
+    vs_new_ref,
+    ks_ref,       # [1, 1, 1, max_len] f32
+    vs_ref,
+    valid_ref,    # [1, 1, max_len]
+    ckv_any,      # combined cache [L, B, Hkv, max_len, hd] int8, ANY
+    *rest,        # (out | m,l,acc), ckv_out, kv_db, sems, wsems
+    scale: float,
+    n_heads: int,
+    stats: bool = False,
+):
+    """int4-KV decode attention over K/V-COMBINED nibble-packed slabs
+    (llama.quantize_kv_rows4: byte d of a cache row = K's dim-d int4 in the
+    low nibble, V's in the high nibble; per-row f32 scales ride separately).
+
+    Why combined: a per-tensor hd/2-packed slab has a 64-lane trailing dim,
+    which Mosaic cannot DMA-slice out of an HBM ref (lane tiling is 128 —
+    the first int4 layout died on exactly that). Packing K with V keeps the
+    slab at full [max_len, hd] lanes, halves the DMA COUNT (one slab per
+    (batch, head) instead of two), and since K and V rows are always
+    appended together the byte never needs read-modify-write. The cache
+    stream is half the int8 kernel's bytes.
+    """
+    if stats:
+        m_ref, l_ref, acc_ref, ckv_out, kv_db, sems, wsems = rest
+    else:
+        out_ref, ckv_out, kv_db, sems, wsems = rest
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    li = li_ref[0]
+    off = off_ref[0]
+    slot = jax.lax.rem(i, DEPTH)
+
+    def slab_dma(idx, s):
+        b = idx // n_heads
+        h = jax.lax.rem(idx, n_heads)
+        return pltpu.make_async_copy(
+            ckv_any.at[li, b, h], kv_db.at[s], sems.at[s]
+        )
+
+    for j in range(DEPTH - 1):
+        @pl.when((i == 0) & (j < n))
+        def _(j=j):
+            slab_dma(j, j % DEPTH).start()
+
+    @pl.when(i + DEPTH - 1 < n)
+    def _():
+        slab_dma(i + DEPTH - 1, jax.lax.rem(i + DEPTH - 1, DEPTH)).start()
+
+    slab_dma(i, slot).wait()
+
+    max_len = kv_db.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (max_len, 1), 0)
+    is_new = row == off
+    kv_full = jnp.where(is_new, kvnew_ref[0, 0], kv_db[slot])
+    kv_db[slot] = kv_full
+    off_clamped = jnp.clip(off, 0, max_len - 1)
+    off_al = pl.multiple_of((off_clamped // 32) * 32, 32)  # int8 tile
+    b = i // n_heads
+    h = jax.lax.rem(i, n_heads)
+    wb = pltpu.make_async_copy(
+        kv_db.at[slot, pl.ds(off_al, 32), :],
+        ckv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[0],
+    )
+    wb.start()
+
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+    is_new_r = row1 == off
+    k_s = jnp.where(is_new_r, ks_new_ref[0, 0], ks_ref[0, 0])
+    v_s = jnp.where(is_new_r, vs_new_ref[0, 0], vs_ref[0, 0])
+
+    q = q_ref[0, 0]
+    cdt = q_ref.dtype
+    b32 = kv_full.astype(jnp.int32)
+    k_q = jnp.right_shift(jnp.left_shift(b32, 28), 28).astype(cdt)
+    v_q = jnp.right_shift(jnp.left_shift(b32, 24), 28).astype(cdt)
+    logits = jax.lax.dot_general(
+        q, k_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    logits = logits * (k_s * scale)
+    valid = valid_ref[0, 0, :]
+    logits = jnp.where(valid[None, :] > 0, logits, -1e30)
+    if stats:
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), -5e29)
+        p = jnp.where(valid[None, :] > 0, jnp.exp(logits - m), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            (p * v_s).astype(cdt), v_q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[0, 0] = m
+        l_ref[0, 0] = l
+        acc_ref[0, 0] = acc
+    else:
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            (p * v_s).astype(cdt), v_q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, 0] = out.astype(out_ref.dtype)
+
+    wb.wait()
+
+
+def _quant4_in_specs(G, hd, max_len):
+    bmap4 = lambda i, *_: (i, 0, 0, 0)  # noqa: E731
+    return [
+        pl.BlockSpec((1, 1, G, hd), bmap4),
+        pl.BlockSpec((1, 1, 1, hd), bmap4),
+        pl.BlockSpec((1, 1, 1, 1), bmap4),
+        pl.BlockSpec((1, 1, 1, 1), bmap4),
+        pl.BlockSpec((1, 1, 1, max_len), bmap4),
+        pl.BlockSpec((1, 1, 1, max_len), bmap4),
+        pl.BlockSpec((1, 1, max_len), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+
+
+def _quant4_operands(q, kv_new, k_new_scale, v_new_scale, k_scales, v_scales,
+                     valid, cache_kv, layer, offset, BH, G, hd, max_len, Hkv):
+    return (
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.asarray(offset, jnp.int32).reshape(1),
+        q.reshape(BH, 1, G, hd),
+        kv_new.reshape(BH, 1, 1, hd),
+        k_new_scale.astype(jnp.float32).reshape(BH, 1, 1, 1),
+        v_new_scale.astype(jnp.float32).reshape(BH, 1, 1, 1),
+        k_scales.astype(jnp.float32).reshape(BH, 1, 1, max_len),
+        v_scales.astype(jnp.float32).reshape(BH, 1, 1, max_len),
+        jnp.repeat(valid.astype(jnp.int32), Hkv, axis=0)[:, None, :],
+        cache_kv,
+    )
+
+
+def decode_attention_quantized4_db(
+    q, kv_new, cache_kv, k_scales, v_scales, k_new_scale, v_new_scale,
+    layer, offset, valid, scale, interpret: bool = False,
+):
+    """int4-KV double-buffered decode attention.
+
+    cache_kv [L, B, Hkv, max_len, hd] int8: K/V-combined nibble-packed rows
+    (llama.quantize_kv_rows4); kv_new [B, Hkv, hd] int8 likewise. Returns
+    (out [B, Hq, hd], updated cache_kv). Scales have the int8 kernel's
+    shapes ([B, Hkv, max_len] slab scales, [B, Hkv] new-row scales).
+    Reference analog: none (reference serves f16 HF KV)."""
+    L, B, Hkv, max_len, hd = cache_kv.shape
+    if max_len % 32 != 0:
+        raise ValueError(f"max_len % 32 != 0 ({max_len})")
+    Hq = q.shape[1]
+    G = Hq // Hkv
+    BH = B * Hkv
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(BH,),
+        in_specs=_quant4_in_specs(G, hd, max_len),
+        out_specs=[
+            pl.BlockSpec((1, 1, G, hd), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH, max_len, hd), jnp.int8),
+            pltpu.SemaphoreType.DMA((DEPTH,)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    out, ckv = pl.pallas_call(
+        functools.partial(_kernel_quantized4, scale=scale, n_heads=Hkv),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, 1, G, hd), q.dtype),
+            jax.ShapeDtypeStruct(cache_kv.shape, cache_kv.dtype),
+        ],
+        # (li, off, q, kvnew, ksn, vsn, ks, vs, valid, ckv) -> (out, ckv)
+        input_output_aliases={9: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*_quant4_operands(
+        q, kv_new, k_new_scale, v_new_scale, k_scales, v_scales,
+        valid, cache_kv, layer, offset, BH, G, hd, max_len, Hkv,
+    ))
+    return out.reshape(B, Hq, hd), ckv
+
+
+def decode_attention_quantized4_db_stats(
+    q, kv_new, cache_kv, k_scales, v_scales, k_new_scale, v_new_scale,
+    layer, local_offset, valid, scale, interpret: bool = False,
+):
+    """int4-KV twin of decode_attention_db_stats (timeline-sharded decode):
+    UNNORMALIZED flash stats (m, l, acc) over this shard's combined-packed
+    slab + the updated cache. Same owner-gating semantics as the bf16/int8
+    stats kernels."""
+    L, B, Hkv, max_len, hd = cache_kv.shape
+    if max_len % 32 != 0:
+        raise ValueError(f"max_len % 32 != 0 ({max_len})")
+    Hq = q.shape[1]
+    G = Hq // Hkv
+    BH = B * Hkv
+    bmap4 = lambda i, *_: (i, 0, 0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(BH,),
+        in_specs=_quant4_in_specs(G, hd, max_len),
+        out_specs=[
+            pl.BlockSpec((1, 1, G, 1), bmap4),
+            pl.BlockSpec((1, 1, G, 1), bmap4),
+            pl.BlockSpec((1, 1, G, hd), bmap4),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH, max_len, hd), jnp.int8),
+            pltpu.SemaphoreType.DMA((DEPTH,)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    m, l, acc, ckv = pl.pallas_call(
+        functools.partial(
+            _kernel_quantized4, scale=scale, n_heads=Hkv, stats=True
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, 1, G, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, G, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, G, hd), jnp.float32),
+            jax.ShapeDtypeStruct(cache_kv.shape, cache_kv.dtype),
+        ],
+        input_output_aliases={9: 3},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*_quant4_operands(
+        q, kv_new, k_new_scale, v_new_scale, k_scales, v_scales,
+        valid, cache_kv, jnp.asarray(layer), jnp.asarray(local_offset),
+        BH, G, hd, max_len, Hkv,
+    ))
+    return (
+        m.reshape(B, Hq), l.reshape(B, Hq), acc.reshape(B, Hq, hd), ckv
+    )

@@ -63,8 +63,14 @@ def main():
     )
     ap.add_argument(
         "--kv_quant", action="store_true",
-        help="int8 KV cache in decode mode (halves cache HBM; enables larger "
-             "batches at 3B dims)",
+        help="quantized KV cache in decode mode (halves cache HBM at int8; "
+             "enables larger batches at 3B dims)",
+    )
+    ap.add_argument(
+        "--kv_bits", type=int, default=8, choices=[8, 4],
+        help="KV-cache precision with --kv_quant: int8 rows or nibble-"
+             "packed int4 rows (quarters cache HBM, halves the decode "
+             "cache-read stream vs int8; validate WER before serving)",
     )
     ap.add_argument(
         "--decode_impl", type=str, default="auto",
@@ -359,10 +365,12 @@ def run_decode(args):
         jax.random.PRNGKey(1), (B, prefill_len), 3, cfg.vocab_size - 8
     )
 
+    kvq = (4 if args.kv_bits == 4 else True) if args.kv_quant else False
+
     @jax.jit
     def prefill(params, ids):
         cache = lm.KVCache.zeros(
-            cfg, B, max_len, dtype=jnp.bfloat16, quantized=args.kv_quant
+            cfg, B, max_len, dtype=jnp.bfloat16, quantized=kvq
         )
         _, cache, hidden = lm.llama_forward(
             params, cfg, input_ids=ids, kv_cache=cache,

@@ -334,6 +334,252 @@ def test_db_stats_all_invalid_slab_is_merge_noop():
     assert np.all(np.isfinite(np.asarray(m)))
 
 
+# ---- int4 (K/V-combined nibble-packed) KV cache ----------------------------
+
+def test_quantize_kv_rows4_roundtrip():
+    """Combined pack/unpack inverts up to the absmax/7 rounding step, per
+    row and per tensor."""
+    from audio_llama_tpu.models.llama import quantize_kv_rows4, unpack_kv4
+
+    rng = np.random.RandomState(9)
+    k = jnp.asarray(rng.randn(2, 3, 8, 32) * 3.0, jnp.float32)
+    v = jnp.asarray(rng.randn(2, 3, 8, 32) * 0.7, jnp.float32)
+    packed, ks, vs = quantize_kv_rows4(k, v)
+    assert packed.shape == (2, 3, 8, 32) and packed.dtype == jnp.int8
+    assert ks.shape == (2, 3, 8) and vs.shape == (2, 3, 8)
+    ku, vu = unpack_kv4(packed)
+    for x, u, s in ((k, ku, ks), (v, vu, vs)):
+        deq = np.asarray(u, np.float32) * np.asarray(s)[..., None]
+        err = np.abs(deq - np.asarray(x))
+        bound = np.broadcast_to(
+            np.asarray(s)[..., None] * 0.5 + 1e-6, err.shape
+        )
+        np.testing.assert_array_less(err, bound)
+
+
+def _int4_oracle(q, ckv, ks, vs, valid, scale):
+    """Dequantize a combined-packed int4 slab (new row already merged) and
+    run masked GQA softmax — the parity oracle for the int4 kernels."""
+    from audio_llama_tpu.models.llama import unpack_kv4
+
+    B, Hkv, S, _ = ckv.shape
+    Hq = q.shape[1]
+    G = Hq // Hkv
+    ku, vu = unpack_kv4(jnp.asarray(ckv))
+    kdq = np.asarray(ku, np.float32) * np.asarray(ks)[..., None]
+    vdq = np.asarray(vu, np.float32) * np.asarray(vs)[..., None]
+    qg = np.asarray(q, np.float32).reshape(B, Hkv, G, -1)
+    s = np.einsum("bhgd,bhkd->bhgk", qg, kdq) * scale
+    s = np.where(np.asarray(valid)[:, None, None, :] > 0, s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    out = np.einsum("bhgk,bhkd->bhgd", p, vdq)
+    return out.reshape(B, Hq, -1)
+
+
+def _int4_fixture(L, B, Hkv, S, hd, seed):
+    from audio_llama_tpu.models.llama import quantize_kv_rows4
+
+    rng = np.random.RandomState(seed)
+    kv_new, ks_new, vs_new = quantize_kv_rows4(
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+    )
+    ckv, ks, vs = quantize_kv_rows4(
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+    )
+    return rng, kv_new, ks_new, vs_new, ckv, ks, vs
+
+
+def test_int4_db_kernel_matches_oracle():
+    from audio_llama_tpu.ops.decode_attention_db import (
+        decode_attention_quantized4_db,
+    )
+
+    L, B, Hkv, S, hd = 3, 2, 2, 64, 32
+    Hq = 4
+    rng, kv_new, ks_new, vs_new, ckv, ks, vs = _int4_fixture(
+        L, B, Hkv, S, hd, seed=10
+    )
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    valid = np.zeros((B, S), np.int32)
+    valid[:, :20] = 1
+    valid[1, 3:5] = 0
+    loc = 19
+    out, ockv = decode_attention_quantized4_db(
+        q, kv_new, ckv, ks[1], vs[1], ks_new, vs_new,
+        jnp.int32(1), jnp.int32(loc), jnp.asarray(valid), hd ** -0.5,
+        interpret=True,
+    )
+    # expected packed slab with the new combined row merged in
+    kv_exp = np.asarray(ckv[1]).copy()
+    kv_exp[:, :, loc] = np.asarray(kv_new)
+    ks_exp = np.asarray(ks[1]).copy()
+    vs_exp = np.asarray(vs[1]).copy()
+    ks_exp[:, :, loc] = np.asarray(ks_new)
+    vs_exp[:, :, loc] = np.asarray(vs_new)
+    ref = _int4_oracle(q, kv_exp, ks_exp, vs_exp, valid, hd ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(ockv[1]), kv_exp)
+    np.testing.assert_array_equal(np.asarray(ockv[0]), np.asarray(ckv[0]))
+
+
+def test_int4_db_stats_matches_oracle():
+    from audio_llama_tpu.models.llama import unpack_kv4
+    from audio_llama_tpu.ops.decode_attention_db import (
+        decode_attention_quantized4_db_stats,
+    )
+
+    L, B, Hq, Hkv, S, hd = 2, 2, 4, 2, 64, 32
+    rng, kv_new, ks_new, vs_new, ckv, ks, vs = _int4_fixture(
+        L, B, Hkv, S, hd, seed=11
+    )
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    valid = np.zeros((B, S), np.int32)
+    valid[:, :20] = 1
+    loc = 19
+    m, l, acc, ckv2 = decode_attention_quantized4_db_stats(
+        q, kv_new, ckv, ks[1], vs[1], ks_new, vs_new,
+        jnp.int32(1), jnp.int32(loc), jnp.asarray(valid), hd ** -0.5,
+        interpret=True,
+    )
+    kv_exp = np.asarray(ckv[1]).copy()
+    kv_exp[:, :, loc] = np.asarray(kv_new)
+    ks_exp = np.asarray(ks[1]).copy()
+    vs_exp = np.asarray(vs[1]).copy()
+    ks_exp[:, :, loc] = np.asarray(ks_new)
+    vs_exp[:, :, loc] = np.asarray(vs_new)
+    ku, vu = unpack_kv4(jnp.asarray(kv_exp))
+    kdq = np.asarray(ku, np.float32) * ks_exp[..., None]
+    vdq = np.asarray(vu, np.float32) * vs_exp[..., None]
+    rm, rl, racc = _stats_ref(q, kdq, vdq, valid, hd ** -0.5)
+    np.testing.assert_allclose(np.asarray(m), rm, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(l), rl, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(acc), racc, atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(ckv2[1][:, :, loc]), np.asarray(kv_new)
+    )
+
+
+def test_int4_db_stats_nonowner_appends_nothing():
+    from audio_llama_tpu.ops.decode_attention_db import (
+        decode_attention_quantized4_db_stats,
+    )
+
+    L, B, Hq, Hkv, S, hd = 1, 1, 2, 1, 32, 32
+    rng, kv_new, ks_new, vs_new, ckv, ks, vs = _int4_fixture(
+        L, B, Hkv, S, hd, seed=12
+    )
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    valid = jnp.zeros((B, S), jnp.int32)
+    m, l, acc, ckv2 = decode_attention_quantized4_db_stats(
+        q, kv_new, ckv, ks[0], vs[0], ks_new, vs_new,
+        jnp.int32(0), jnp.int32(-5), valid, hd ** -0.5, interpret=True,
+    )
+    assert np.all(np.asarray(l) == 0.0)
+    assert np.all(np.asarray(acc) == 0.0)
+    assert np.all(np.isfinite(np.asarray(m)))
+    np.testing.assert_array_equal(np.asarray(ckv2), np.asarray(ckv))
+
+
+def test_int4_cache_xla_path_close_to_f32():
+    """int4 KV through llama_forward (XLA path): prefill+decode stays
+    usably close to full precision (absmax/7 rows; looser than int8)."""
+    from audio_llama_tpu.config import LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+
+    cfg = LlamaConfig.tiny()
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    B, P, total = 2, 10, 18
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, P), 3, 500)
+    mask = jnp.ones((B, total), jnp.int32)
+
+    def run(quantized):
+        cache = lm.KVCache.zeros(
+            cfg, B, total, dtype=jnp.float32, quantized=quantized
+        )
+        Tk = cache.k.shape[3]
+        m = jnp.pad(mask, ((0, 0), (0, Tk - total)))
+        logits, cache = lm.llama_forward(
+            params, cfg, input_ids=ids, attention_mask=m, kv_cache=cache,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        # fixed decode token: an argmax'd one would let the two runs
+        # legitimately diverge and void the comparison
+        tok = jnp.asarray([[7], [9]], jnp.int32)
+        d, _ = lm.llama_forward(
+            params, cfg, input_ids=tok, attention_mask=m, kv_cache=cache,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        return logits, d
+
+    ref_l, ref_d = run(False)
+    q_l, q_d = run(4)
+    assert np.max(np.abs(np.asarray(q_l) - np.asarray(ref_l))) < 1.0
+    assert np.max(np.abs(np.asarray(q_d) - np.asarray(ref_d))) < 1.0
+    # int8 should be strictly tighter than int4 on the same program
+    i8_l, _ = run(True)
+    assert (
+        np.max(np.abs(np.asarray(i8_l) - np.asarray(ref_l)))
+        <= np.max(np.abs(np.asarray(q_l) - np.asarray(ref_l))) + 1e-3
+    )
+
+
+def test_int4_decode_kernel_matches_xla_int4():
+    """Fused int4 kernel vs the XLA int4 path through llama_forward
+    (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from audio_llama_tpu.config import LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+
+    cfg = LlamaConfig.tiny()
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    B, P, total = 2, 10, 20
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, P), 3, 500)
+    cache0 = lm.KVCache.zeros(cfg, B, total, dtype=jnp.float32, quantized=4)
+    Tk = cache0.k.shape[3]
+    mask = jnp.ones((B, Tk), jnp.int32)
+    _, cache = lm.llama_forward(
+        params, cfg, input_ids=ids, attention_mask=mask, kv_cache=cache0,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    tok = jnp.asarray([[7], [9]], jnp.int32)
+    ref, ref_cache = lm.llama_forward(
+        params, cfg, input_ids=tok, attention_mask=mask, kv_cache=cache,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, k_cache = lm.llama_forward(
+            params, cfg, input_ids=tok, attention_mask=mask, kv_cache=cache,
+            compute_dtype=jnp.float32, attn_impl="decode_kernel",
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-3, rtol=5e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(k_cache.k), np.asarray(ref_cache.k)
+    )
+    np.testing.assert_allclose(
+        np.asarray(k_cache.k_scale), np.asarray(ref_cache.k_scale), atol=1e-6
+    )
+
+
+def test_int4_kv_packed_kernel_rejected():
+    from audio_llama_tpu.config import LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+
+    cfg = LlamaConfig.tiny()
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    cache = lm.KVCache.zeros(cfg, 1, 32, quantized=4)
+    with pytest.raises(ValueError, match="int4-KV"):
+        lm.llama_forward(
+            params, cfg, input_ids=jnp.ones((1, 1), jnp.int32),
+            kv_cache=cache, attn_impl="decode_packed",
+        )
+
+
 def test_quantized_db_stats_matches_reference():
     from audio_llama_tpu.models.llama import quantize_kv_rows
     from audio_llama_tpu.ops.decode_attention_db import (

@@ -177,3 +177,11 @@ def test_quantized_serving_matches_bf16_wer(tone_corpus, trained_run):
     )(frozen["llama"])
     dec4 = score(frozen_dec4)
     assert dec4["wer"] <= bound, ("int4 decoder degraded WER", dec4, base)
+
+    # --kv_quant --kv_bits 4 (nibble-packed int4 KV cache)
+    kv4 = score(frozen, kv_quant=4)
+    assert kv4["wer"] <= bound, ("int4 KV cache degraded WER", kv4, base)
+
+    # max-compression serving stack: int4 weights + int4 KV composed
+    all4 = score(frozen_dec4, kv_quant=4)
+    assert all4["wer"] <= bound, ("int4 w + int4 KV degraded WER", all4, base)

@@ -135,7 +135,7 @@ def test_sp_generate_validates(model):
         make_sp_generate(cfg, _mesh([("sp", 2), ("tp", 2)]), **_static())
 
 
-@pytest.mark.parametrize("kv_quant", [False, True])
+@pytest.mark.parametrize("kv_quant", [False, True, 4])
 def test_sp_generate_decode_kernel_path(model, kv_quant):
     """The sp decode PERF tier: each shard runs the db kernel's stats
     variant over its local slab (owner-gated append via local offset) and

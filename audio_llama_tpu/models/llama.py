@@ -489,7 +489,7 @@ def llama_forward(
         and cache_offsets is None  # kernels are scalar-offset (see docstring)
         and not (use_flash or use_causal_kernel)
         and (
-            attn_impl in ("decode_kernel", "decode_packed")
+            attn_impl in ("decode_kernel", "decode_packed", "decode_mono")
             or (attn_impl == "auto" and da.available())
         )
     )
@@ -505,6 +505,13 @@ def llama_forward(
     use_packed_kernel = (
         use_decode_kernel and attn_impl == "decode_packed" and sp_axis is None
     )
+    # Mono-grid kernels (ops/decode_attention_mono.py): grid (B,) with the
+    # Hkv loop unrolled inside — 8x fewer grid programs than db (the
+    # measured per-program overhead), same thin slab DMAs. Quantized caches
+    # only (the serving configs).
+    use_mono_kernel = (
+        use_decode_kernel and attn_impl == "decode_mono" and sp_axis is None
+    )
     # KV-cache element precision: int8 rows, or K/V-combined nibble-packed
     # int4 rows (cache.v is None — see KVCache docstring). The db kernels
     # and the XLA fallbacks below both branch on this.
@@ -513,6 +520,11 @@ def llama_forward(
         raise ValueError(
             "attn_impl='decode_packed' has no int4-KV variant; use the "
             "default db kernel (attn_impl='auto'/'decode_kernel')"
+        )
+    if use_mono_kernel and kv_bits not in (4, 8):
+        raise ValueError(
+            "attn_impl='decode_mono' needs a quantized KV cache "
+            "(kv_quant int8/int4 — the serving configs)"
         )
     decode_valid = None
     if use_decode_kernel and sp_axis is None:
@@ -764,12 +776,17 @@ def llama_forward(
             )[:, None]  # [B, 1, Hq, hd]
         elif use_decode_kernel:
             if quantized and kv_bits == 4:
-                from ..ops.decode_attention_db import (
-                    decode_attention_quantized4_db,
-                )
+                if use_mono_kernel:
+                    from ..ops.decode_attention_mono import (
+                        decode_attention_quantized4_mono as _dq4,
+                    )
+                else:
+                    from ..ops.decode_attention_db import (
+                        decode_attention_quantized4_db as _dq4,
+                    )
 
                 kvp, kq_s, vq_s = quantize_kv_rows4(k[:, 0], v[:, 0])
-                attn_flat, ck_all = decode_attention_quantized4_db(
+                attn_flat, ck_all = _dq4(
                     q[:, 0], kvp, ck_all,
                     lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
                     lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
@@ -786,6 +803,10 @@ def llama_forward(
                 if use_packed_kernel:
                     from ..ops.decode_attention_packed import (
                         decode_attention_quantized_packed as _dq,
+                    )
+                elif use_mono_kernel:
+                    from ..ops.decode_attention_mono import (
+                        decode_attention_quantized_mono as _dq,
                     )
                 else:
                     from ..ops.decode_attention_db import (

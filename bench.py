@@ -74,10 +74,11 @@ def main():
     )
     ap.add_argument(
         "--decode_impl", type=str, default="auto",
-        choices=["auto", "decode_kernel", "decode_packed"],
+        choices=["auto", "decode_kernel", "decode_packed", "decode_mono"],
         help="decode-step attention kernel: double-buffered (decode_kernel, "
-             "the auto default on TPU) or head-packed chunked (decode_packed"
-             "; ops/decode_attention_packed.py)",
+             "the auto default on TPU), head-packed chunked (decode_packed; "
+             "ops/decode_attention_packed.py), or mono-grid (decode_mono; "
+             "ops/decode_attention_mono.py, quantized caches only)",
     )
     ap.add_argument(
         "--accum", type=int, default=1,

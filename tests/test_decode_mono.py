@@ -1,0 +1,122 @@
+"""Mono-grid decode-attention kernels (ops/decode_attention_mono.py):
+parity vs the db kernels (interpret mode) and end-to-end dispatch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_mono4_matches_db4():
+    from audio_llama_tpu.models.llama import quantize_kv_rows4
+    from audio_llama_tpu.ops.decode_attention_db import (
+        decode_attention_quantized4_db,
+    )
+    from audio_llama_tpu.ops.decode_attention_mono import (
+        decode_attention_quantized4_mono,
+    )
+
+    L, B, Hkv, S, hd = 2, 3, 2, 64, 32
+    Hq = 4
+    rng = np.random.RandomState(20)
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    kv_new, ks_new, vs_new = quantize_kv_rows4(
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+    )
+    ckv, ks, vs = quantize_kv_rows4(
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+    )
+    valid = np.zeros((B, S), np.int32)
+    valid[:, :22] = 1
+    valid[1, 3:5] = 0
+    args = (q, kv_new, ckv, ks[1], vs[1], ks_new, vs_new,
+            jnp.int32(1), jnp.int32(21), jnp.asarray(valid), hd ** -0.5)
+    ref_out, ref_ckv = decode_attention_quantized4_db(*args, interpret=True)
+    out, ockv = decode_attention_quantized4_mono(*args, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), atol=2e-5, rtol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(ockv), np.asarray(ref_ckv))
+
+
+def test_mono_q8_matches_db_q8():
+    from audio_llama_tpu.models.llama import quantize_kv_rows
+    from audio_llama_tpu.ops.decode_attention_db import (
+        decode_attention_quantized_db,
+    )
+    from audio_llama_tpu.ops.decode_attention_mono import (
+        decode_attention_quantized_mono,
+    )
+
+    L, B, Hkv, S, hd = 2, 3, 2, 64, 32
+    Hq = 4
+    rng = np.random.RandomState(21)
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    k_new, ks_new = quantize_kv_rows(jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32))
+    v_new, vs_new = quantize_kv_rows(jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32))
+    ckq, ks = quantize_kv_rows(jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32))
+    cvq, vs = quantize_kv_rows(jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32))
+    valid = np.zeros((B, S), np.int32)
+    valid[:, :20] = 1
+    args = (q, k_new, v_new, ckq, cvq, ks[1], vs[1], ks_new, vs_new,
+            jnp.int32(1), jnp.int32(19), jnp.asarray(valid), hd ** -0.5)
+    ref = decode_attention_quantized_db(*args, interpret=True)
+    out = decode_attention_quantized_mono(*args, interpret=True)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-5
+        )
+
+
+@pytest.mark.parametrize("kvq", [True, 4])
+def test_llama_decode_mono_matches_xla(kvq):
+    """llama_forward dispatch: attn_impl='decode_mono' (interpret) matches
+    the XLA quantized path on a full single-token decode step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from audio_llama_tpu.config import LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+
+    cfg = LlamaConfig.tiny()
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    B, P, total = 2, 10, 20
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, P), 3, 500)
+    cache0 = lm.KVCache.zeros(cfg, B, total, dtype=jnp.float32, quantized=kvq)
+    Tk = cache0.k.shape[3]
+    mask = jnp.ones((B, Tk), jnp.int32)
+    _, cache = lm.llama_forward(
+        params, cfg, input_ids=ids, attention_mask=mask, kv_cache=cache0,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    tok = jnp.asarray([[7], [9]], jnp.int32)
+    ref, ref_cache = lm.llama_forward(
+        params, cfg, input_ids=tok, attention_mask=mask, kv_cache=cache,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, m_cache = lm.llama_forward(
+            params, cfg, input_ids=tok, attention_mask=mask, kv_cache=cache,
+            compute_dtype=jnp.float32, attn_impl="decode_mono",
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-3, rtol=5e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_cache.k), np.asarray(ref_cache.k)
+    )
+
+
+def test_mono_rejects_unquantized_cache():
+    from audio_llama_tpu.config import LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+
+    cfg = LlamaConfig.tiny()
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    cache = lm.KVCache.zeros(cfg, 1, 32)
+    with pytest.raises(ValueError, match="decode_mono"):
+        lm.llama_forward(
+            params, cfg, input_ids=jnp.ones((1, 1), jnp.int32),
+            kv_cache=cache, attn_impl="decode_mono",
+        )

@@ -502,20 +502,27 @@ def llama_forward(
     # NEGATIVE end-to-end at every batch (fat slab DMAs serialize against
     # the weight stream — BASELINE.md late-r3 A/B); dispatchable for A/B
     # only, db stays the auto default. No stats variant: sp uses db.
+    # KV-cache element precision: int8 rows, or K/V-combined nibble-packed
+    # int4 rows (cache.v is None — see KVCache docstring). The decode
+    # kernel choice and the XLA fallbacks below both branch on this.
+    kv_bits = kv_cache.kv_bits if kv_cache is not None else 16
     use_packed_kernel = (
         use_decode_kernel and attn_impl == "decode_packed" and sp_axis is None
     )
     # Mono-grid kernels (ops/decode_attention_mono.py): grid (B,) with the
     # Hkv loop unrolled inside — 8x fewer grid programs than db (the
     # measured per-program overhead), same thin slab DMAs. Quantized caches
-    # only (the serving configs).
+    # only (the serving configs). Measured +16/+26/+35% over db at
+    # B16/32/64 (int4 w + int4 KV, BASELINE.md) — the AUTO choice for
+    # quantized caches; db stays reachable via attn_impl='decode_kernel'.
     use_mono_kernel = (
-        use_decode_kernel and attn_impl == "decode_mono" and sp_axis is None
+        use_decode_kernel
+        and sp_axis is None
+        and (
+            attn_impl == "decode_mono"
+            or (attn_impl == "auto" and kv_bits in (4, 8))
+        )
     )
-    # KV-cache element precision: int8 rows, or K/V-combined nibble-packed
-    # int4 rows (cache.v is None — see KVCache docstring). The db kernels
-    # and the XLA fallbacks below both branch on this.
-    kv_bits = kv_cache.kv_bits if kv_cache is not None else 16
     if use_packed_kernel and kv_bits == 4:
         raise ValueError(
             "attn_impl='decode_packed' has no int4-KV variant; use the "

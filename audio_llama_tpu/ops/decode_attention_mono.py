@@ -42,7 +42,7 @@ def _kernel_mono4(
     vs_new_ref,
     ks_ref,      # [1, Hkv, max_len] f32
     vs_ref,
-    valid_ref,   # [1, max_len] int32 (per batch row; heads share it)
+    valid_ref,   # [1, 1, max_len] int32 (per batch row; heads share it)
     ckv_any,     # [L, B, Hkv, max_len, hd] int8, ANY
     out_ref,     # [1, Hkv, G, hd]
     ckv_out,     # ANY (aliased)
@@ -77,7 +77,7 @@ def _kernel_mono4(
     is_new_r = row1 == off
     off_clamped = jnp.clip(off, 0, max_len - 1)
     off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
-    valid = valid_ref[0, :]
+    valid = valid_ref[0, 0, :]
     cdt = q_ref.dtype
 
     for h in range(n_heads):
@@ -149,7 +149,7 @@ def decode_attention_quantized4_mono(
             pl.BlockSpec((1, Hkv, 1), bmap3),
             pl.BlockSpec((1, Hkv, max_len), bmap3),
             pl.BlockSpec((1, Hkv, max_len), bmap3),
-            pl.BlockSpec((1, max_len), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, 1, max_len), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
@@ -184,7 +184,7 @@ def decode_attention_quantized4_mono(
         v_new_scale.astype(jnp.float32).reshape(B, Hkv, 1),
         k_scales.astype(jnp.float32).reshape(B, Hkv, max_len),
         v_scales.astype(jnp.float32).reshape(B, Hkv, max_len),
-        valid.astype(jnp.int32),
+        valid.astype(jnp.int32)[:, None, :],
         cache_kv,
     )
     return out.reshape(B, Hq, hd), ckv
@@ -199,7 +199,7 @@ def _kernel_mono_q8(
     vs_new_ref,
     ks_ref,      # [1, Hkv, max_len] f32
     vs_ref,
-    valid_ref,   # [1, max_len]
+    valid_ref,   # [1, 1, max_len]
     ck_any, cv_any,
     out_ref,     # [1, Hkv, G, hd]
     ck_out, cv_out,
@@ -238,7 +238,7 @@ def _kernel_mono_q8(
     is_new_r = row1 == off
     off_clamped = jnp.clip(off, 0, max_len - 1)
     off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
-    valid = valid_ref[0, :]
+    valid = valid_ref[0, 0, :]
     cdt = q_ref.dtype
 
     for h in range(n_heads):
@@ -321,7 +321,7 @@ def decode_attention_quantized_mono(
             pl.BlockSpec((1, Hkv, 1), bmap3),
             pl.BlockSpec((1, Hkv, max_len), bmap3),
             pl.BlockSpec((1, Hkv, max_len), bmap3),
-            pl.BlockSpec((1, max_len), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, 1, max_len), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -361,7 +361,7 @@ def decode_attention_quantized_mono(
         v_new_scale.astype(jnp.float32).reshape(B, Hkv, 1),
         k_scales.astype(jnp.float32).reshape(B, Hkv, max_len),
         v_scales.astype(jnp.float32).reshape(B, Hkv, max_len),
-        valid.astype(jnp.int32),
+        valid.astype(jnp.int32)[:, None, :],
         cache_k,
         cache_v,
     )

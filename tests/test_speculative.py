@@ -263,24 +263,26 @@ def test_stochastic_marginal_matches_target_sampling(setup):
     assert tv < 0.22, f"TV {tv:.3f}, support {len(support)}"
 
 
-def test_kv_quant_lossless_vs_greedy_kv_quant(setup):
-    """Speculative decoding with int8 KV caches: greedy mode must be
-    bit-identical to plain greedy generation *with the same int8 cache*
-    (both paths quantize the same rows with the same per-row scales; the
-    verify pass's multi-token appends ride the quantized _cache_write)."""
+@pytest.mark.parametrize("kvq", [True, 4])
+def test_kv_quant_lossless_vs_greedy_kv_quant(setup, kvq):
+    """Speculative decoding with int8/int4 KV caches: greedy mode must be
+    bit-identical to plain greedy generation *with the same quantized
+    cache* (both paths quantize the same rows with the same per-row
+    scales; the verify pass's multi-token appends ride the quantized
+    _cache_write — combined-packed for int4)."""
     cfg, frozen, trainable, draft_cfg, draft, ids, mask, audio = setup
     n = 12
     ref = gen.generate(
         frozen, trainable, cfg, ids, mask, None,
         jax.random.PRNGKey(0), max_new_tokens=n, greedy=True,
         eos_id=2, pad_id=0, audio_start_id=260, audio_end_id=261,
-        compute_dtype=jnp.float32, has_audio=False, kv_quant=True,
+        compute_dtype=jnp.float32, has_audio=False, kv_quant=kvq,
     )
     res = generate_speculative(
         frozen, draft, trainable, cfg, draft_cfg, ids, mask, None,
         max_new_tokens=n, gamma=3, eos_id=2, pad_id=0,
         audio_start_id=260, audio_end_id=261,
-        compute_dtype=jnp.float32, has_audio=False, kv_quant=True,
+        compute_dtype=jnp.float32, has_audio=False, kv_quant=kvq,
     )
     np.testing.assert_array_equal(
         np.asarray(res.tokens), np.asarray(ref.tokens)
@@ -290,9 +292,10 @@ def test_kv_quant_lossless_vs_greedy_kv_quant(setup):
     )
 
 
-def test_batched_kv_quant_lossless(setup, batch_setup):
-    """Batched speculative decoding with int8 KV caches (divergent per-row
-    timelines via cache_offsets writing quantized rows + scales)."""
+@pytest.mark.parametrize("kvq", [True, 4])
+def test_batched_kv_quant_lossless(setup, batch_setup, kvq):
+    """Batched speculative decoding with int8/int4 KV caches (divergent
+    per-row timelines via cache_offsets writing quantized rows + scales)."""
     cfg, frozen, trainable, draft_cfg, draft, *_ = setup
     ids, mask, audio = batch_setup
     n = 10
@@ -300,13 +303,13 @@ def test_batched_kv_quant_lossless(setup, batch_setup):
         frozen, trainable, cfg, ids, mask, None,
         jax.random.PRNGKey(0), max_new_tokens=n, greedy=True,
         eos_id=2, pad_id=0, audio_start_id=260, audio_end_id=261,
-        compute_dtype=jnp.float32, has_audio=False, kv_quant=True,
+        compute_dtype=jnp.float32, has_audio=False, kv_quant=kvq,
     )
     res = generate_speculative_batched(
         frozen, draft, trainable, cfg, draft_cfg, ids, mask, None,
         max_new_tokens=n, gamma=3, eos_id=2, pad_id=0,
         audio_start_id=260, audio_end_id=261,
-        compute_dtype=jnp.float32, has_audio=False, kv_quant=True,
+        compute_dtype=jnp.float32, has_audio=False, kv_quant=kvq,
     )
     np.testing.assert_array_equal(
         np.asarray(res.tokens), np.asarray(ref.tokens)

@@ -243,7 +243,14 @@ def make_tp_generate(cfg: AudioLLMConfig, mesh, **static_kw):
         quantize_llama_int4(..., tp=tp) (models/llama_int4.py). Canonical
         (tp=1) packing pairs output column j with j+N/2 — a tp shard of the
         packed dim would split the pairs."""
-        w = frozen["llama"]["layers"]["q_proj"]
+        lyr = frozen["llama"]["layers"]
+        if isinstance(lyr.get("qkv_proj"), dict):
+            raise ValueError(
+                "fused int4 tree (quantize_llama_int4 fuse=True) is "
+                f"tp=1 only; quantize with tp={tp}, fuse=False for "
+                "make_tp_generate"
+            )
+        w = lyr["q_proj"]
         if not (isinstance(w, dict) and "w_p" in w):
             return
         p = w["w_p"]

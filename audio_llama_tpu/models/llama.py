@@ -630,11 +630,38 @@ def llama_forward(
     # kernel selects the layer inside its index maps instead (scalar
     # prefetch, ops/int4_matmul.py:int4_matmul_stacked).
     int4_slabs = {}
-    if isinstance(lp.get("q_proj"), dict) and "w_p" in lp["q_proj"]:
+    if isinstance(lp.get("qkv_proj"), dict):
+        # Fused int4 tree (quantize_llama_int4 fuse=True, tp=1): q|k|v and
+        # gate|up each quantized as ONE matrix — one kernel launch per
+        # group instead of per projection (196 -> 112 calls per decode
+        # step; the B1 trace put 3.0 of 4.06 ms in int4 matmul calls
+        # against a ~2.0 ms weight-stream floor).
+        fused_names = ("qkv_proj", "gateup_proj", "o_proj", "down_proj")
+        int4_slabs = {n: lp[n] for n in fused_names}
+        lp = {k: v for k, v in lp.items() if k not in fused_names}
+    elif isinstance(lp.get("q_proj"), dict) and "w_p" in lp["q_proj"]:
         int4_slabs = {
             n: _squeeze_int4_blocks(lp[n]) for n in LINEAR_NAMES
         }
         lp = {k: v for k, v in lp.items() if k not in LINEAR_NAMES}
+
+    def _int4_planes(x_in, name, li):
+        """Fused-slab matmul returning the (lo, hi) column-half planes
+        WITHOUT the final lane concat — the [M, N] materialized copy it
+        avoids transiently OOM'd B64 prefill (gate|up at 2F = 16 k cols)."""
+        from ..ops import int4_matmul as i4
+
+        w = int4_slabs[name]
+        g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
+        if i4.available():
+            return i4.int4_matmul_stacked(
+                x_in.astype(compute_dtype), w["w_p"], w["w_s"], li, group=g,
+                return_planes=True,
+            )
+        return i4.int4_matmul_stacked_ref(
+            x_in, w["w_p"], w["w_s"], li, group=g,
+            compute_dtype=compute_dtype, return_planes=True,
+        )
 
     def _int4_linear(x_in, name, li, lora_branch):
         from ..ops import int4_matmul as i4
@@ -718,7 +745,38 @@ def llama_forward(
                 return None
             return (br["a"], br["b"], lora_scaling)
 
-        if int4_slabs:
+        def lora_add(y, name, x_in):
+            """LoRA overlays stay per-projection under fused int4 slabs:
+            the rank-r branch is two skinny matmuls added AFTER the fused
+            output split (identical math to the unfused path)."""
+            br = lb(name)
+            if br is None:
+                return y
+            a, bb, scaling = br
+            return y + (x_in @ a.astype(compute_dtype)) @ bb.astype(
+                compute_dtype
+            ) * scaling
+
+        if "qkv_proj" in int4_slabs:
+            nq = cfg.num_heads * cfg.head_dim
+            nkv = cfg.num_kv_heads * cfg.head_dim
+            lo, hi = _int4_planes(h, "qkv_proj", li)
+            half = lo.shape[-1]  # (nq + 2*nkv) // 2
+
+            def vslice(start, size):
+                # slice [start, start+size) of the virtual [lo | hi] concat
+                if start >= half:
+                    return hi[..., start - half : start - half + size]
+                if start + size <= half:
+                    return lo[..., start : start + size]
+                return jnp.concatenate(
+                    [lo[..., start:], hi[..., : start + size - half]], -1
+                )
+
+            q = lora_add(vslice(0, nq), "q_proj", h)
+            k = lora_add(vslice(nq, nkv), "k_proj", h)
+            v = lora_add(vslice(nq + nkv, nkv), "v_proj", h)
+        elif int4_slabs:
             q = _int4_linear(h, "q_proj", li, lb("q_proj"))
             k = _int4_linear(h, "k_proj", li, lb("k_proj"))
             v = _int4_linear(h, "v_proj", li, lb("v_proj"))
@@ -962,7 +1020,13 @@ def llama_forward(
         x = x + attn
 
         h = rms_norm(x, p["post_attn_ln"].astype(compute_dtype), cfg.rms_norm_eps)
-        if int4_slabs:
+        if "gateup_proj" in int4_slabs:
+            # halves packing makes the planes EXACTLY gate and up
+            g_pl, u_pl = _int4_planes(h, "gateup_proj", li)
+            g = lora_add(g_pl, "gate_proj", h)
+            u = lora_add(u_pl, "up_proj", h)
+            d = _int4_linear(jax.nn.silu(g) * u, "down_proj", li, lb("down_proj"))
+        elif int4_slabs:
             g = _int4_linear(h, "gate_proj", li, lb("gate_proj"))
             u = _int4_linear(h, "up_proj", li, lb("up_proj"))
             d = _int4_linear(jax.nn.silu(g) * u, "down_proj", li, lb("down_proj"))

@@ -31,7 +31,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from .decode_attention_db import DEPTH
+
+# Tuning knobs (read at import; see decode_attention_quantized4_mono):
+MONO_DEPTH = int(os.environ.get("MONO_DEPTH", str(DEPTH)))
+MONO_HPD = int(os.environ.get("MONO_HPD", "1"))
 
 
 def _kernel_mono4(
@@ -51,26 +57,29 @@ def _kernel_mono4(
     scale: float,
     n_heads: int,
     n_rows: int,  # B (grid size) — for the tail guard
+    depth: int,
+    hpd: int,     # heads per DMA (heads are contiguous in the cache layout)
 ):
     b = pl.program_id(0)
     li = li_ref[0]
     off = off_ref[0]
-    n = n_rows * n_heads
+    groups = n_heads // hpd
+    n = n_rows * groups
 
     def slab_dma(idx, s):
-        bb = idx // n_heads
-        hh = jax.lax.rem(idx, n_heads)
+        bb = idx // groups
+        gg = jax.lax.rem(idx, groups)
         return pltpu.make_async_copy(
-            ckv_any.at[li, bb, hh], kv_db.at[s], sems.at[s]
+            ckv_any.at[li, bb, pl.ds(gg * hpd, hpd)], kv_db.at[s], sems.at[s]
         )
 
-    # Warm-up: program 0 starts the first DEPTH-1 slabs.
-    for j in range(DEPTH - 1):
+    # Warm-up: program 0 starts the first depth-1 slab groups.
+    for j in range(depth - 1):
         @pl.when((b == 0) & (j < n))
         def _(j=j):
-            slab_dma(j, j % DEPTH).start()
+            slab_dma(j, j % depth).start()
 
-    max_len = kv_db.shape[1]
+    max_len = kv_db.shape[-2]
     row = jax.lax.broadcasted_iota(jnp.int32, (max_len, 1), 0)
     is_new = row == off
     row1 = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
@@ -80,61 +89,80 @@ def _kernel_mono4(
     valid = valid_ref[0, 0, :]
     cdt = q_ref.dtype
 
-    for h in range(n_heads):
-        i = b * n_heads + h
-        # keep DEPTH slabs in flight
-        @pl.when(i + DEPTH - 1 < n)
-        def _(h=h):
-            idx = b * n_heads + h + DEPTH - 1
-            slab_dma(idx, jax.lax.rem(idx, DEPTH)).start()
+    for g in range(groups):
+        i = b * groups + g
+        # keep `depth` slab groups in flight
+        @pl.when(i + depth - 1 < n)
+        def _(g=g):
+            idx = b * groups + g + depth - 1
+            slab_dma(idx, jax.lax.rem(idx, depth)).start()
 
-        slot = jax.lax.rem(i, DEPTH)
-        if n_heads % DEPTH == 0:
-            slot = h % DEPTH  # static when DEPTH | Hkv
+        slot = jax.lax.rem(i, depth)
+        if groups % depth == 0:
+            slot = g % depth  # static when depth | groups
         slab_dma(i, slot).wait()
 
-        kv_full = jnp.where(is_new, kvnew_ref[0, h][None, :], kv_db[slot])
-        kv_db[slot] = kv_full
-        wb = pltpu.make_async_copy(
-            kv_db.at[slot, pl.ds(off_al, 32), :],
-            ckv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[0],
-        )
-        wb.start()
+        for h2 in range(hpd):
+            h = g * hpd + h2
+            kv_full = jnp.where(
+                is_new, kvnew_ref[0, h][None, :], kv_db[slot, h2]
+            )
+            kv_db[slot, h2] = kv_full
+            wb = pltpu.make_async_copy(
+                kv_db.at[slot, h2, pl.ds(off_al, 32), :],
+                ckv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[0],
+            )
+            wb.start()
 
-        k_s = jnp.where(is_new_r, ks_new_ref[0, h][None, :], ks_ref[0, h][None, :])
-        v_s = jnp.where(is_new_r, vs_new_ref[0, h][None, :], vs_ref[0, h][None, :])
-        b32 = kv_full.astype(jnp.int32)
-        k_q = jnp.right_shift(jnp.left_shift(b32, 28), 28).astype(cdt)
-        v_q = jnp.right_shift(jnp.left_shift(b32, 24), 28).astype(cdt)
-        q = q_ref[0, h]
-        logits = jax.lax.dot_general(
-            q, k_q, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        logits = logits * (k_s * scale)
-        logits = jnp.where(valid[None, :] > 0, logits, -1e30)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        out = jax.lax.dot_general(
-            (p * v_s).astype(cdt), v_q, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[0, h] = out.astype(out_ref.dtype)
+            k_s = jnp.where(
+                is_new_r, ks_new_ref[0, h][None, :], ks_ref[0, h][None, :]
+            )
+            v_s = jnp.where(
+                is_new_r, vs_new_ref[0, h][None, :], vs_ref[0, h][None, :]
+            )
+            b32 = kv_full.astype(jnp.int32)
+            k_q = jnp.right_shift(jnp.left_shift(b32, 28), 28).astype(cdt)
+            v_q = jnp.right_shift(jnp.left_shift(b32, 24), 28).astype(cdt)
+            q = q_ref[0, h]
+            logits = jax.lax.dot_general(
+                q, k_q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits * (k_s * scale)
+            logits = jnp.where(valid[None, :] > 0, logits, -1e30)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                (p * v_s).astype(cdt), v_q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[0, h] = out.astype(out_ref.dtype)
 
-        # the 4 KB window write-back must land before this slot's next DMA
-        wb.wait()
+            # the 4 KB window write-back must land before this slot's next DMA
+            wb.wait()
 
 
 def decode_attention_quantized4_mono(
     q, kv_new, cache_kv, k_scales, v_scales, k_new_scale, v_new_scale,
     layer, offset, valid, scale, interpret: bool = False,
+    depth: int | None = None, hpd: int | None = None,
 ):
     """int4-KV mono-grid decode attention (same contract as
-    decode_attention_db.decode_attention_quantized4_db)."""
+    decode_attention_db.decode_attention_quantized4_db).
+
+    depth: slab groups kept in flight (default MONO_DEPTH env or db DEPTH).
+    hpd: KV heads fetched per DMA — heads are contiguous in the cache
+    layout, so a [hpd, max_len, hd] group is one strided copy; amortizes
+    the ~per-DMA fixed cost the B64 trace showed dominating (default
+    MONO_HPD env or 1; must divide Hkv, else falls back to 1)."""
     L, B, Hkv, max_len, hd = cache_kv.shape
     if max_len % 32 != 0:
         raise ValueError(f"max_len % 32 != 0 ({max_len})")
+    depth = MONO_DEPTH if depth is None else depth
+    hpd = MONO_HPD if hpd is None else hpd
+    if Hkv % hpd:
+        hpd = 1
     Hq = q.shape[1]
     G = Hq // Hkv
     bmap = lambda i, *_: (i, 0, 0, 0)  # noqa: E731
@@ -157,14 +185,15 @@ def decode_attention_quantized4_mono(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((DEPTH, max_len, hd), jnp.int8),
-            pltpu.SemaphoreType.DMA((DEPTH,)),
+            pltpu.VMEM((depth, hpd, max_len, hd), jnp.int8),
+            pltpu.SemaphoreType.DMA((depth,)),
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
     out, ckv = pl.pallas_call(
         functools.partial(
-            _kernel_mono4, scale=scale, n_heads=Hkv, n_rows=B
+            _kernel_mono4, scale=scale, n_heads=Hkv, n_rows=B,
+            depth=depth, hpd=hpd,
         ),
         grid_spec=grid_spec,
         out_shape=[

@@ -260,7 +260,9 @@ def _kernel_stacked(li_ref, x_ref, p_ref, slo_ref, shi_ref, o_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "block_m", "block_n", "interpret")
+    jax.jit,
+    static_argnames=("group", "block_m", "block_n", "interpret",
+                     "return_planes"),
 )
 def int4_matmul_stacked(
     x: jnp.ndarray,  # [..., K]
@@ -271,9 +273,16 @@ def int4_matmul_stacked(
     block_m: int = 0,
     block_n: int = 0,
     interpret: bool = False,
+    return_planes: bool = False,
 ) -> jnp.ndarray:
     """x @ dequant(packed_all[layer]) with the layer chosen INSIDE the
-    kernel's index maps (scalar prefetch) — no host-side slice, no copy."""
+    kernel's index maps (scalar prefetch) — no host-side slice, no copy.
+
+    return_planes=True: return (lo, hi) — the outputs for columns
+    [0, N/2) and [N/2, N) — WITHOUT the final lane concatenation. For a
+    fused gate|up slab the halves ARE gate and up (N_gate == N_up), so
+    the caller skips a [M, N] materialized copy — at B64 x 2048 prefill
+    rows that copy transient OOM'd HBM (llama_int4 fusion note)."""
     *lead, K = x.shape
     L, _, Nh = packed_all.shape
     N = Nh * 2
@@ -334,6 +343,11 @@ def int4_matmul_stacked(
         # columns of the same array — one spec each, no host-side slicing)
         x2, packed_all, scales_all, scales_all,
     )
+    if return_planes:
+        lo, hi = out[0], out[1]
+        if M_pad != M:
+            lo, hi = lo[:M], hi[:M]
+        return lo.reshape(*lead, Nh), hi.reshape(*lead, Nh)
     y = jnp.concatenate([out[0], out[1]], axis=-1)
     if M_pad != M:
         y = y[:M]
@@ -341,8 +355,13 @@ def int4_matmul_stacked(
 
 
 def int4_matmul_stacked_ref(x, packed_all, scales_all, layer,
-                            group: int = GROUP, compute_dtype=jnp.bfloat16):
+                            group: int = GROUP, compute_dtype=jnp.bfloat16,
+                            return_planes: bool = False):
     """XLA fallback/oracle for the stacked variant."""
     p = jax.lax.dynamic_index_in_dim(packed_all, layer, 0, keepdims=False)
     s = jax.lax.dynamic_index_in_dim(scales_all, layer, 0, keepdims=False)
-    return int4_matmul_ref(x, p, s, group=group, compute_dtype=compute_dtype)
+    y = int4_matmul_ref(x, p, s, group=group, compute_dtype=compute_dtype)
+    if return_planes:
+        nh = y.shape[-1] // 2
+        return y[..., :nh], y[..., nh:]
+    return y

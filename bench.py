@@ -345,11 +345,14 @@ def run_decode(args):
     max_len = prefill_len + args.iters + 8
 
     if args.int4_weights:
+        import os as _os
+
         from audio_llama_tpu.models import llama_int4 as l4
 
+        _fuse = _os.environ.get("INT4_FUSE", "1") == "1"  # A/B knob
         params = jax.jit(
             lambda k: l4.quantize_llama_int4(
-                lm.init_params(cfg, k, dtype=jnp.bfloat16)
+                lm.init_params(cfg, k, dtype=jnp.bfloat16), fuse=_fuse
             )
         )(jax.random.PRNGKey(0))
     elif args.int8_weights:

@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 
-def test_mono4_matches_db4():
+@pytest.mark.parametrize("depth,hpd", [(None, None), (2, 2), (8, 1)])
+def test_mono4_matches_db4(depth, hpd):
     from audio_llama_tpu.models.llama import quantize_kv_rows4
     from audio_llama_tpu.ops.decode_attention_db import (
         decode_attention_quantized4_db,
@@ -34,7 +35,9 @@ def test_mono4_matches_db4():
     args = (q, kv_new, ckv, ks[1], vs[1], ks_new, vs_new,
             jnp.int32(1), jnp.int32(21), jnp.asarray(valid), hd ** -0.5)
     ref_out, ref_ckv = decode_attention_quantized4_db(*args, interpret=True)
-    out, ockv = decode_attention_quantized4_mono(*args, interpret=True)
+    out, ockv = decode_attention_quantized4_mono(
+        *args, interpret=True, depth=depth, hpd=hpd
+    )
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref_out), atol=2e-5, rtol=2e-5
     )

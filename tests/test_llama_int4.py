@@ -143,11 +143,15 @@ def test_tp_pack_matches_canonical_numerics(trees):
     cfg, params, q, deq = trees
     q2 = quantize_llama_int4(params, tp=2, group=64)
     d2 = dequantize_llama_int4(q2)
-    q1 = quantize_llama_int4(params, group=64)
+    q1 = quantize_llama_int4(params, group=64, fuse=False)
     d1 = dequantize_llama_int4(q1)
     for name in lm.LINEAR_NAMES:
-        np.testing.assert_array_equal(
-            np.asarray(d1["layers"][name]), np.asarray(d2["layers"][name])
+        # allclose, not equal: canonical quantization runs per-layer via
+        # lax.map (HBM-peak reasons) while tp blocks use vmap — compiler
+        # fusion differences shift f32 scale math by ~1 ulp
+        np.testing.assert_allclose(
+            np.asarray(d1["layers"][name]), np.asarray(d2["layers"][name]),
+            atol=1e-6, rtol=1e-6,
         )
 
 
@@ -195,3 +199,64 @@ def test_tp_pack_validates_row_group_alignment(trees):
     # o_proj K=128: K/tp=64 is not a multiple of group=128
     with pytest.raises(ValueError, match="row-parallel"):
         quantize_llama_int4(params, tp=2, group=128)
+
+
+def test_fused_tree_matches_unfused(trees):
+    """Per-(group, column) quantization makes the fused qkv/gateup slabs
+    numerically IDENTICAL to the per-projection ones (columns are
+    independent under absmax grouping) — the fusion only changes the
+    kernel-launch structure, so forwards must agree tightly."""
+    cfg, params, q_fused, _ = trees
+    q_unfused = quantize_llama_int4(params, fuse=False)
+    assert "qkv_proj" in q_fused["layers"]
+    assert "q_proj" in q_unfused["layers"]
+    ids = jax.random.randint(jax.random.PRNGKey(5), (2, 16), 3, 500)
+    mask = jnp.ones((2, 16), jnp.int32)
+    lf, _ = lm.llama_forward(
+        q_fused, cfg, input_ids=ids, attention_mask=mask,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    lu, _ = lm.llama_forward(
+        q_unfused, cfg, input_ids=ids, attention_mask=mask,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(lf), np.asarray(lu), atol=2e-5, rtol=2e-5
+    )
+    # and the dequantized oracles agree exactly
+    du = dequantize_llama_int4(q_unfused)
+    df = dequantize_llama_int4(q_fused)
+    for n in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        np.testing.assert_array_equal(
+            np.asarray(df["layers"][n]), np.asarray(du["layers"][n])
+        )
+
+
+def test_fused_tree_with_lora(trees):
+    """LoRA overlays apply per-projection after the fused split — must
+    match the unfused tree with the same LoRA."""
+    from audio_llama_tpu.config import LoraConfig
+    from audio_llama_tpu.models import lora as lora_mod
+
+    cfg, params, q_fused, _ = trees
+    q_unfused = quantize_llama_int4(params, fuse=False)
+    lcfg = LoraConfig(rank=4, alpha=8)
+    lt = lora_mod.init_params(cfg, lcfg, jax.random.PRNGKey(7))
+    # make the deltas nonzero (ref init has a=0)
+    lt = jax.tree_util.tree_map(
+        lambda x: x + 0.01 if x.ndim == 3 else x, lt
+    )
+    lo = lora_mod.with_scaling(lt, lcfg)
+    ids = jax.random.randint(jax.random.PRNGKey(6), (1, 12), 3, 500)
+    mask = jnp.ones((1, 12), jnp.int32)
+    lf, _ = lm.llama_forward(
+        q_fused, cfg, input_ids=ids, attention_mask=mask, lora=lo,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    lu, _ = lm.llama_forward(
+        q_unfused, cfg, input_ids=ids, attention_mask=mask, lora=lo,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(lf), np.asarray(lu), atol=2e-5, rtol=2e-5
+    )

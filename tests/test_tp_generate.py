@@ -118,10 +118,17 @@ def test_tp_generate_rejects_canonical_int4_tree(model):
     from audio_llama_tpu.models import llama_int4 as l4
 
     cfg, frozen, trainable = model
-    qfrozen = dict(frozen)
-    qfrozen["llama"] = l4.quantize_llama_int4(frozen["llama"], group=32)
     ids, mask, audio = _inputs(cfg)
     mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=2), devices=jax.devices()[:2])
     fn = gen.make_tp_generate(cfg, mesh, **STATIC)
+    # default tree is FUSED (qkv/gateup) — tp rejects it outright
+    qfrozen = dict(frozen)
+    qfrozen["llama"] = l4.quantize_llama_int4(frozen["llama"], group=32)
+    with pytest.raises(ValueError, match="fused int4"):
+        fn(qfrozen, trainable, ids, mask, audio, jax.random.PRNGKey(0))
+    # unfused canonical (tp=1 packing) is rejected for the layout reason
+    qfrozen["llama"] = l4.quantize_llama_int4(
+        frozen["llama"], group=32, fuse=False
+    )
     with pytest.raises(ValueError, match="packed for tp=1"):
         fn(qfrozen, trainable, ids, mask, audio, jax.random.PRNGKey(0))

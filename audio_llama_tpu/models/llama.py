@@ -351,12 +351,14 @@ def llama_forward(
 
     cache_offsets ([B] int32) overrides cache.length with PER-ROW physical
     append offsets — rows whose timelines have diverged (batched speculative
-    decoding: per-row acceptance lengths) each write their T new K/V rows at
-    their own slot and attend slot-causally relative to it. Writes go through
-    per-row dynamic_update_slice (B static, unrolled) and attention takes the
-    XLA path (the fused decode kernels are scalar-offset; vector-offset kernel
-    dispatch is the follow-up). The returned cache.length is max(offsets) + T
-    — an upper bound; per-row bookkeeping lives with the caller.
+    decoding: per-row acceptance lengths; continuous-batching serving) each
+    write their T new K/V rows at their own slot and attend slot-causally
+    relative to it. XLA-path writes go through per-row dynamic_update_slice
+    (B static, unrolled). Single-token steps on a QUANTIZED cache run the
+    production mono decode kernels (they take a [B] offset vector); the
+    scalar-offset db/packed kernels fall back to XLA. The returned
+    cache.length is max(offsets) + T — an upper bound; per-row bookkeeping
+    lives with the caller.
 
     tp_axis: set when running INSIDE shard_map with Megatron-sharded weights
     (column-parallel q/k/v/gate/up, row-parallel o/down — parallel/sharding.py
@@ -486,7 +488,6 @@ def llama_forward(
     use_decode_kernel = (
         kv_cache is not None
         and T == 1
-        and cache_offsets is None  # kernels are scalar-offset (see docstring)
         and not (use_flash or use_causal_kernel)
         and (
             attn_impl in ("decode_kernel", "decode_packed", "decode_mono")
@@ -533,6 +534,12 @@ def llama_forward(
             "attn_impl='decode_mono' needs a quantized KV cache "
             "(kv_quant int8/int4 — the serving configs)"
         )
+    # Per-row append offsets (divergent timelines: continuous-batching
+    # serving, batched speculation): only the mono kernels take a [B]
+    # offset vector; db/packed stay scalar-offset and fall back to XLA.
+    if cache_offsets is not None and not use_mono_kernel:
+        use_decode_kernel = False
+        use_packed_kernel = False
     decode_valid = None
     if use_decode_kernel and sp_axis is None:
         kpos = jnp.arange(Tk)[None, :]
@@ -858,12 +865,8 @@ def llama_forward(
                     kq_s, vq_s,
                     li, offset, decode_valid, cfg.head_dim ** -0.5,
                 )
-                ks_all = lax.dynamic_update_slice(
-                    ks_all, kq_s[None, :, :, None], (li, 0, 0, offset)
-                )
-                vs_all = lax.dynamic_update_slice(
-                    vs_all, vq_s[None, :, :, None], (li, 0, 0, offset)
-                )
+                ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
+                vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
             elif quantized:
                 if use_packed_kernel:
                     from ..ops.decode_attention_packed import (
@@ -887,12 +890,8 @@ def llama_forward(
                     kq_s, vq_s,
                     li, offset, decode_valid, cfg.head_dim ** -0.5,
                 )
-                ks_all = lax.dynamic_update_slice(
-                    ks_all, kq_s[None, :, :, None], (li, 0, 0, offset)
-                )
-                vs_all = lax.dynamic_update_slice(
-                    vs_all, vq_s[None, :, :, None], (li, 0, 0, offset)
-                )
+                ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
+                vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
             else:
                 if use_packed_kernel:
                     from ..ops.decode_attention_packed import (

@@ -59,10 +59,11 @@ def _kernel_mono4(
     n_rows: int,  # B (grid size) — for the tail guard
     depth: int,
     hpd: int,     # heads per DMA (heads are contiguous in the cache layout)
+    per_row: bool,  # off_ref is [B]: each batch row has its own append slot
 ):
     b = pl.program_id(0)
     li = li_ref[0]
-    off = off_ref[0]
+    off = off_ref[b] if per_row else off_ref[0]
     groups = n_heads // hpd
     n = n_rows * groups
 
@@ -155,7 +156,11 @@ def decode_attention_quantized4_mono(
     hpd: KV heads fetched per DMA — heads are contiguous in the cache
     layout, so a [hpd, max_len, hd] group is one strided copy; amortizes
     the ~per-DMA fixed cost the B64 trace showed dominating (default
-    MONO_HPD env or 1; must divide Hkv, else falls back to 1)."""
+    MONO_HPD env or 1; must divide Hkv, else falls back to 1).
+
+    offset: scalar (all rows append at the same slot) or [B] int32 —
+    PER-ROW append slots for divergent timelines (continuous-batching
+    serving / batched speculation; models/llama.py cache_offsets)."""
     L, B, Hkv, max_len, hd = cache_kv.shape
     if max_len % 32 != 0:
         raise ValueError(f"max_len % 32 != 0 ({max_len})")
@@ -163,6 +168,10 @@ def decode_attention_quantized4_mono(
     hpd = MONO_HPD if hpd is None else hpd
     if Hkv % hpd:
         hpd = 1
+    off_arr = jnp.asarray(offset, jnp.int32).reshape(-1)
+    per_row = off_arr.size > 1
+    if per_row and off_arr.size != B:
+        raise ValueError(f"offset must be scalar or [B]; got {off_arr.shape}")
     Hq = q.shape[1]
     G = Hq // Hkv
     bmap = lambda i, *_: (i, 0, 0, 0)  # noqa: E731
@@ -193,7 +202,7 @@ def decode_attention_quantized4_mono(
     out, ckv = pl.pallas_call(
         functools.partial(
             _kernel_mono4, scale=scale, n_heads=Hkv, n_rows=B,
-            depth=depth, hpd=hpd,
+            depth=depth, hpd=hpd, per_row=per_row,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -206,7 +215,7 @@ def decode_attention_quantized4_mono(
         interpret=interpret,
     )(
         jnp.asarray(layer, jnp.int32).reshape(1),
-        jnp.asarray(offset, jnp.int32).reshape(1),
+        off_arr,
         q.reshape(B, Hkv, G, hd),
         kv_new.reshape(B, Hkv, hd),
         k_new_scale.astype(jnp.float32).reshape(B, Hkv, 1),
@@ -237,12 +246,13 @@ def _kernel_mono_q8(
     scale: float,
     n_heads: int,
     n_rows: int,
+    per_row: bool,
 ):
     """int8 twin of _kernel_mono4 (separate K and V slabs, two DMAs per
     head — still one grid program per batch row)."""
     b = pl.program_id(0)
     li = li_ref[0]
-    off = off_ref[0]
+    off = off_ref[b] if per_row else off_ref[0]
     n = n_rows * n_heads
 
     def slab_dma(idx, s):
@@ -331,10 +341,15 @@ def decode_attention_quantized_mono(
     layer, offset, valid, scale, interpret: bool = False,
 ):
     """int8 mono-grid decode attention (same contract as
-    decode_attention_db.decode_attention_quantized_db)."""
+    decode_attention_db.decode_attention_quantized_db; offset may be
+    scalar or [B] per-row append slots — see the int4 wrapper)."""
     L, B, Hkv, max_len, hd = cache_k.shape
     if max_len % 32 != 0:
         raise ValueError(f"max_len % 32 != 0 ({max_len})")
+    off_arr = jnp.asarray(offset, jnp.int32).reshape(-1)
+    per_row = off_arr.size > 1
+    if per_row and off_arr.size != B:
+        raise ValueError(f"offset must be scalar or [B]; got {off_arr.shape}")
     Hq = q.shape[1]
     G = Hq // Hkv
     bmap = lambda i, *_: (i, 0, 0, 0)  # noqa: E731
@@ -368,7 +383,8 @@ def decode_attention_quantized_mono(
     )
     out, ck, cv = pl.pallas_call(
         functools.partial(
-            _kernel_mono_q8, scale=scale, n_heads=Hkv, n_rows=B
+            _kernel_mono_q8, scale=scale, n_heads=Hkv, n_rows=B,
+            per_row=per_row,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -382,7 +398,7 @@ def decode_attention_quantized_mono(
         interpret=interpret,
     )(
         jnp.asarray(layer, jnp.int32).reshape(1),
-        jnp.asarray(offset, jnp.int32).reshape(1),
+        off_arr,
         q.reshape(B, Hkv, G, hd),
         k_new_q.reshape(B, Hkv, hd),
         v_new_q.reshape(B, Hkv, hd),

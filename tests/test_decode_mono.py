@@ -123,3 +123,93 @@ def test_mono_rejects_unquantized_cache():
             params, cfg, input_ids=jnp.ones((1, 1), jnp.int32),
             kv_cache=cache, attn_impl="decode_mono",
         )
+
+
+def test_mono4_per_row_offsets_match_per_row_calls():
+    """[B] offset vector == stitching B independent scalar-offset calls
+    (each row appends at its own slot and attends its own window)."""
+    from audio_llama_tpu.models.llama import quantize_kv_rows4
+    from audio_llama_tpu.ops.decode_attention_mono import (
+        decode_attention_quantized4_mono,
+    )
+
+    L, B, Hkv, S, hd = 2, 3, 2, 64, 32
+    Hq = 4
+    rng = np.random.RandomState(22)
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    kv_new, ks_new, vs_new = quantize_kv_rows4(
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+    )
+    ckv, ks, vs = quantize_kv_rows4(
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+    )
+    offs = np.asarray([5, 21, 40], np.int32)
+    kpos = np.arange(S)[None, :]
+    valid = (kpos <= offs[:, None]).astype(np.int32)
+
+    out, ockv = decode_attention_quantized4_mono(
+        q, kv_new, ckv, ks[1], vs[1], ks_new, vs_new,
+        jnp.int32(1), jnp.asarray(offs), jnp.asarray(valid), hd ** -0.5,
+        interpret=True,
+    )
+    for b in range(B):
+        sl = slice(b, b + 1)
+        ref_out, ref_ckv = decode_attention_quantized4_mono(
+            q[sl], kv_new[sl], ckv[:, sl], ks[1, sl], vs[1, sl],
+            ks_new[sl], vs_new[sl],
+            jnp.int32(1), jnp.int32(int(offs[b])), jnp.asarray(valid[sl]),
+            hd ** -0.5, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[sl]), np.asarray(ref_out), atol=2e-5, rtol=2e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ockv[:, sl]), np.asarray(ref_ckv)
+        )
+
+
+@pytest.mark.parametrize("kvq", [True, 4])
+def test_llama_decode_mono_per_row_offsets_match_xla(kvq):
+    """Full decode step with cache_offsets (divergent row timelines, the
+    continuous-batching serving shape) dispatches to the mono kernel and
+    matches the XLA cache_offsets path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from audio_llama_tpu.config import LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+
+    cfg = LlamaConfig.tiny()
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    B, P, total = 3, 10, 32
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, P), 3, 500)
+    cache0 = lm.KVCache.zeros(cfg, B, total, dtype=jnp.float32, quantized=kvq)
+    Tk = cache0.k.shape[3]
+    _, cache = lm.llama_forward(
+        params, cfg, input_ids=ids,
+        attention_mask=jnp.ones((B, Tk), jnp.int32),
+        kv_cache=cache0, compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    # rows at different fill levels (e.g. admitted at different times)
+    offs = jnp.asarray([10, 13, 17], jnp.int32)
+    pos = offs[:, None]
+    tok = jnp.asarray([[7], [9], [11]], jnp.int32)
+    ref, ref_cache = lm.llama_forward(
+        params, cfg, input_ids=tok, positions=pos, kv_cache=cache,
+        cache_offsets=offs, compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, m_cache = lm.llama_forward(
+            params, cfg, input_ids=tok, positions=pos, kv_cache=cache,
+            cache_offsets=offs, compute_dtype=jnp.float32,
+            attn_impl="decode_mono",
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-3, rtol=5e-3
+    )
+    np.testing.assert_array_equal(np.asarray(m_cache.k), np.asarray(ref_cache.k))
+    np.testing.assert_allclose(
+        np.asarray(m_cache.k_scale), np.asarray(ref_cache.k_scale),
+        atol=1e-6, rtol=1e-6,
+    )

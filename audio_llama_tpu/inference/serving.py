@@ -1,0 +1,438 @@
+"""Continuous-batching serving engine (static-shape, TPU-idiomatic).
+
+The reference serves one request at a time through a CLI
+(reference src/inference.py:175-220 — load, generate, print); it has no
+serving layer at all (SURVEY §1 "explicitly absent layers"). This module is
+the production-serving extension the TPU target demands: a fixed pool of
+decode rows over ONE persistent KV cache, with requests admitted into free
+rows as they arrive and retired on EOS — GPU-world "continuous batching"
+(vLLM/Orca-style), restructured for XLA's static-shape compilation model:
+
+- The pool is a static [rows, max_len] KV cache; admission, decode, and
+  retirement never change any array shape, so the engine runs exactly
+  `len(prefill buckets) (+audio variants) + 1` compiled programs total.
+- Prompts prefill into a per-request fresh cache at a BUCKETED static
+  length, and the resulting cache rows are spliced into the pool at the
+  assigned row (one donated-jit program per bucket: prefill + splice +
+  first-token sample, no host round-trip of cache slabs).
+- Decode advances ALL rows one token per step with per-row cache offsets
+  (models/llama.py cache_offsets; on quantized caches this runs the
+  production mono decode kernels, which take a [B] offset vector). Rows
+  are left-aligned single streams, so each row's RoPE position == its
+  append offset, and slot-causal validity needs no timeline mask at all.
+- Steps run in jit-compiled CHUNKS of `chunk_steps` (a lax.scan) between
+  host syncs: through a remote-TPU tunnel a per-token host round-trip
+  costs ~30 ms, so the engine amortizes scheduling over the chunk. Rows
+  that hit EOS mid-chunk idle (flag-gated) until the next admission window
+  — the static-shape price of chunking, bounded by chunk_steps.
+
+Retired rows need no cache scrubbing: a new request overwrites slots
+[0, P) at prefill and every decode append lands at its own offset, so any
+stale slot is either overwritten or excluded by slot-causality (kpos <=
+offset) before it can ever be attended.
+
+Sampling config (greedy/temperature/top_p/top_k) is engine-level — per-row
+sampling params would retrace per combination; run one engine per config.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AudioLLMConfig
+from ..models import llama as llama_mod, lora as lora_mod
+from ..ops import sampling
+from .generate import build_prefix
+
+
+@dataclass
+class _Row:
+    """Host-side bookkeeping for one pool row."""
+    rid: int = -1
+    budget: int = 0
+    emitted: List[int] = field(default_factory=list)
+    free: bool = True
+
+
+@dataclass
+class _Pending:
+    rid: int
+    input_ids: np.ndarray  # [T] int32
+    audio_features: Optional[np.ndarray]  # [n_mels, F] or None
+    max_new_tokens: int
+
+
+class ServingEngine:
+    """Fixed-row continuous-batching decode pool over one KV cache.
+
+    Args:
+      frozen/trainable/cfg: the model triple (trainable may be None for a
+        bare llama; audio requests then raise).
+      rows: pool width (static decode batch; idle rows ride along).
+      max_len: per-row timeline slots (admission requires
+        prompt_len + max_new_tokens <= max_len).
+      prefill_buckets: static prompt lengths compiled for admission; a
+        prompt pads to the smallest bucket that fits its COMBINED
+        (audio + text) embedding length.
+      chunk_steps: decode steps per jitted chunk between host syncs.
+      kv_quant: False/8/4 — pool cache precision (8/4 run the mono decode
+        kernels on TPU; the serving configs).
+    """
+
+    def __init__(
+        self,
+        frozen: dict,
+        trainable: Optional[dict],
+        cfg: AudioLLMConfig,
+        *,
+        rows: int = 8,
+        max_len: int = 2048,
+        prefill_buckets=(128, 256, 512, 1024),
+        chunk_steps: int = 16,
+        kv_quant=False,
+        compute_dtype=jnp.bfloat16,
+        greedy: bool = True,
+        temperature: float = 0.7,
+        top_p: float = 0.9,
+        top_k: int = 0,
+        eos_id: int = 2,
+        pad_id: int = 0,
+        audio_start_id: int = 0,
+        audio_end_id: int = 0,
+        attn_impl: str = "auto",
+        seed: int = 0,
+    ):
+        self.frozen = frozen
+        self.trainable = trainable
+        self.cfg = cfg
+        self.rows = rows
+        self.buckets = tuple(sorted(prefill_buckets))
+        self.chunk_steps = chunk_steps
+        self.kv_quant = kv_quant
+        self.compute_dtype = compute_dtype
+        self.greedy = greedy
+        self.temperature = temperature
+        self.top_p = top_p
+        self.top_k = top_k
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+        self.audio_start_id = audio_start_id
+        self.audio_end_id = audio_end_id
+        self.attn_impl = attn_impl
+        self._key = jax.random.PRNGKey(seed)
+
+        self._lora = None
+        if trainable is not None and "lora" in trainable and cfg.lora is not None:
+            self._lora = lora_mod.with_scaling(trainable["lora"], cfg.lora)
+
+        cache = llama_mod.KVCache.zeros(
+            cfg.llama, rows, max_len, dtype=compute_dtype, quantized=kv_quant
+        )
+        self.max_len = cache.k.shape[3]  # tile-rounded
+        # Device state: cache + per-row (offset, last token, active flag,
+        # remaining budget). offsets double as RoPE positions (left-aligned
+        # single streams).
+        self._state = {
+            "cache": cache,
+            "offsets": jnp.zeros((rows,), jnp.int32),
+            "last_tok": jnp.full((rows,), pad_id, jnp.int32),
+            "active": jnp.zeros((rows,), jnp.bool_),
+            "remaining": jnp.zeros((rows,), jnp.int32),
+        }
+
+        self._rows: List[_Row] = [_Row() for _ in range(rows)]
+        self._queue: List[_Pending] = []
+        self._results: Dict[int, List[int]] = {}
+        self._next_rid = 0
+        self._admit_fns: Dict = {}  # (bucket, has_audio) -> jitted admit
+        self._chunk_fn = None
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def submit(
+        self,
+        input_ids,
+        audio_features=None,
+        max_new_tokens: int = 64,
+    ) -> int:
+        """Queue a request; returns its id. Tokens come back from run()/
+        drain() as a dict rid -> generated ids (EOS included if hit)."""
+        ids = np.asarray(input_ids, np.int32).reshape(-1)
+        if audio_features is not None and self.trainable is None:
+            raise ValueError("audio request on a text-only engine")
+        rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append(
+            _Pending(rid, ids, None if audio_features is None
+                     else np.asarray(audio_features), max_new_tokens)
+        )
+        return rid
+
+    def run(self) -> Dict[int, List[int]]:
+        """Serve until queue and pool drain; returns all results."""
+        while self._queue or any(not r.free for r in self._rows):
+            self.step_chunk()
+        return dict(self._results)
+
+    def step_chunk(self):
+        """One scheduling round: admit into free rows, then decode one
+        jitted chunk and harvest its tokens."""
+        self._admit_pending()
+        if not any(not r.free for r in self._rows):
+            return
+        emit, fire = self._decode_chunk()
+        emit = np.asarray(emit)  # [K, R]
+        fire = np.asarray(fire)
+        for r, row in enumerate(self._rows):
+            if row.free:
+                continue
+            for s in range(emit.shape[0]):
+                if not fire[s, r]:
+                    continue
+                tok = int(emit[s, r])
+                row.emitted.append(tok)
+                if tok == self.eos_id or len(row.emitted) >= row.budget:
+                    break
+            if (row.emitted and row.emitted[-1] == self.eos_id) or (
+                len(row.emitted) >= row.budget
+            ):
+                self._results[row.rid] = row.emitted
+                self._rows[r] = _Row()  # free the row
+
+    # ------------------------------------------------------------------
+    # admission
+    # ------------------------------------------------------------------
+
+    def _combined_len(self, n_text: int, has_audio: bool) -> int:
+        if not has_audio:
+            return n_text
+        if self._audio_block_len is None:
+            raise RuntimeError("audio length unresolved")
+        return n_text + self._audio_block_len
+
+    _audio_block_len: Optional[int] = None
+
+    def _resolve_audio_len(self, feat_shape) -> int:
+        """Audio embedding block length (enc frames + 2 delimiters) via
+        eval_shape — no compute, resolved once."""
+        if self._audio_block_len is None:
+            def f(feats):
+                e, _ = build_prefix(
+                    self.frozen, self.trainable, self.cfg,
+                    jnp.zeros((1, 1), jnp.int32), jnp.ones((1, 1), jnp.int32),
+                    feats, self.audio_start_id, self.audio_end_id,
+                    self.compute_dtype,
+                )
+                return e
+            shape = jax.eval_shape(
+                f, jax.ShapeDtypeStruct((1,) + tuple(feat_shape), jnp.float32)
+            )
+            self._audio_block_len = shape.shape[1] - 1
+        return self._audio_block_len
+
+    def _pick_bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"prompt length {n} exceeds the largest prefill bucket "
+            f"{self.buckets[-1]}"
+        )
+
+    def _admit_pending(self):
+        free = [r for r, row in enumerate(self._rows) if row.free]
+        while free and self._queue:
+            req = self._queue[0]
+            has_audio = req.audio_features is not None
+            if has_audio:
+                self._resolve_audio_len(req.audio_features.shape)
+            comb = self._combined_len(len(req.input_ids), has_audio)
+            try:
+                # bucket over the TEXT length; audio is a fixed-size prefix.
+                # The BUCKETED prefill timeline must also fit the pool (its
+                # rows splice in whole) alongside the generation budget.
+                tb = self._pick_bucket(len(req.input_ids))
+                comb_b = -(-self._combined_len(tb, has_audio) // 32) * 32
+                if (
+                    comb + req.max_new_tokens > self.max_len
+                    or comb_b > self.max_len
+                ):
+                    raise ValueError("request does not fit the pool")
+            except ValueError:
+                self._queue.pop(0)
+                self._results[req.rid] = []  # rejected: cannot fit
+                continue
+            r = free.pop(0)
+            self._queue.pop(0)
+            self._admit(r, req, tb)
+
+    def _admit(self, r: int, req: _Pending, bucket: int):
+        ids = np.full((1, bucket), self.pad_id, np.int32)
+        mask = np.zeros((1, bucket), np.int32)
+        n = len(req.input_ids)
+        ids[0, :n] = req.input_ids
+        mask[0, :n] = 1
+        has_audio = req.audio_features is not None
+        fn = self._get_admit_fn(bucket, has_audio)
+        self._key, k = jax.random.split(self._key)
+        feats = (
+            jnp.asarray(req.audio_features)[None] if has_audio else None
+        )
+        args = [
+            self._state, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.int32(r), jnp.int32(req.max_new_tokens), k,
+        ]
+        if has_audio:
+            args.insert(3, feats)
+        self._state = fn(*args)
+        self._rows[r] = _Row(rid=req.rid, budget=req.max_new_tokens,
+                             emitted=[], free=False)
+
+    def _get_admit_fn(self, bucket: int, has_audio: bool):
+        keyfn = (bucket, has_audio)
+        if keyfn in self._admit_fns:
+            return self._admit_fns[keyfn]
+
+        frozen, trainable, cfg = self.frozen, self.trainable, self.cfg
+        lora = self._lora
+        cdt = self.compute_dtype
+        eng = self
+
+        def admit(state, ids, mask, *rest):
+            if has_audio:
+                feats, row, max_new, key = rest
+            else:
+                feats = None
+                row, max_new, key = rest
+            embeds, emask = build_prefix(
+                frozen, trainable, cfg, ids, mask, feats,
+                eng.audio_start_id, eng.audio_end_id, cdt,
+            )
+            P = embeds.shape[1]
+            fresh = llama_mod.KVCache.zeros(
+                cfg.llama, 1, P, dtype=cdt, quantized=eng.kv_quant
+            )
+            Tk = fresh.k.shape[3]
+            fm = jnp.pad(
+                emask.astype(jnp.int32), ((0, 0), (0, Tk - P))
+            ) if Tk != P else emask.astype(jnp.int32)
+            _, fresh, hidden = llama_mod.llama_forward(
+                frozen["llama"], cfg.llama, inputs_embeds=embeds,
+                attention_mask=fm, kv_cache=fresh, lora=lora,
+                compute_dtype=cdt, assume_fresh_cache=True,
+                return_hidden=True, unembed_logits=False,
+            )
+            real = jnp.sum(emask, axis=1).astype(jnp.int32)[0]
+            last = jax.lax.dynamic_slice_in_dim(
+                hidden, real - 1, 1, axis=1
+            )  # [1, 1, D]
+            logits = llama_mod.unembed(frozen["llama"], cfg.llama, last, cdt)
+            tok0 = eng._sample(logits[:, 0], key)[0]
+
+            # splice the fresh rows into the pool at `row`
+            cache = state["cache"]
+
+            def put(pool, slab):
+                if pool is None:
+                    return None
+                return jax.lax.dynamic_update_slice(
+                    pool, slab.astype(pool.dtype),
+                    (0, row) + (0,) * (pool.ndim - 2),
+                )
+
+            cache = llama_mod.KVCache(
+                k=put(cache.k, fresh.k),
+                v=put(cache.v, fresh.v) if cache.v is not None else None,
+                length=cache.length,
+                k_scale=put(cache.k_scale, fresh.k_scale)
+                if cache.k_scale is not None else None,
+                v_scale=put(cache.v_scale, fresh.v_scale)
+                if cache.v_scale is not None else None,
+            )
+            one = lambda a, v: jax.lax.dynamic_update_slice(  # noqa: E731
+                a, jnp.reshape(v, (1,)).astype(a.dtype), (row,)
+            )
+            return {
+                "cache": cache,
+                "offsets": one(state["offsets"], real),
+                "last_tok": one(state["last_tok"], tok0),
+                "active": one(state["active"], True),
+                "remaining": one(state["remaining"], max_new - 1),
+            }
+
+        fn = jax.jit(admit, donate_argnums=(0,))
+        self._admit_fns[keyfn] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # decode
+    # ------------------------------------------------------------------
+
+    def _sample(self, logits, key):
+        return sampling.sample_token(
+            logits, key, temperature=self.temperature, top_p=self.top_p,
+            top_k=self.top_k, greedy=self.greedy,
+        )
+
+    def _decode_chunk(self):
+        if self._chunk_fn is None:
+            frozen, cfg = self.frozen, self.cfg
+            lora = self._lora
+            cdt = self.compute_dtype
+            eng = self
+
+            def chunk(state, key):
+                def step(carry, k):
+                    cache, offsets, last_tok, active, remaining = carry
+                    # The first chunk token for a just-admitted row is its
+                    # prefill-sampled token — emit it before computing the
+                    # next one (its K/V row is appended by this forward).
+                    emit = jnp.where(active, last_tok, eng.pad_id)
+                    fire = active
+                    logits, cache = llama_mod.llama_forward(
+                        frozen["llama"], cfg.llama,
+                        input_ids=last_tok[:, None],
+                        positions=offsets[:, None],
+                        kv_cache=cache, cache_offsets=offsets,
+                        lora=lora, compute_dtype=cdt,
+                        attn_impl=eng.attn_impl,
+                    )
+                    tok = eng._sample(logits[:, 0], k)
+                    done = (emit == eng.eos_id) | (remaining <= 0)
+                    nxt_active = active & ~done
+                    offsets = jnp.where(active, offsets + 1, offsets)
+                    remaining = jnp.where(
+                        nxt_active, remaining - 1, remaining
+                    )
+                    last_tok = jnp.where(nxt_active, tok, last_tok)
+                    return (
+                        (cache, offsets, last_tok, nxt_active, remaining),
+                        (emit, fire),
+                    )
+
+                keys = jax.random.split(key, eng.chunk_steps)
+                carry = (
+                    state["cache"], state["offsets"], state["last_tok"],
+                    state["active"], state["remaining"],
+                )
+                carry, (emit, fire) = jax.lax.scan(step, carry, keys)
+                cache, offsets, last_tok, active, remaining = carry
+                return {
+                    "cache": cache, "offsets": offsets,
+                    "last_tok": last_tok, "active": active,
+                    "remaining": remaining,
+                }, emit, fire
+
+            self._chunk_fn = jax.jit(chunk, donate_argnums=(0,))
+
+        self._key, k = jax.random.split(self._key)
+        self._state, emit, fire = self._chunk_fn(self._state, k)
+        return emit, fire

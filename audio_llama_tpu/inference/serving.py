@@ -157,6 +157,25 @@ class ServingEngine:
     # public API
     # ------------------------------------------------------------------
 
+    def reset(self, seed: int = 0):
+        """Clear pool state and host bookkeeping, keeping the compiled
+        programs (benchmark warm-up / multi-tenant reuse)."""
+        cache = llama_mod.KVCache.zeros(
+            self.cfg.llama, self.rows, self.max_len,
+            dtype=self.compute_dtype, quantized=self.kv_quant,
+        )
+        self._state = {
+            "cache": cache,
+            "offsets": jnp.zeros((self.rows,), jnp.int32),
+            "last_tok": jnp.full((self.rows,), self.pad_id, jnp.int32),
+            "active": jnp.zeros((self.rows,), jnp.bool_),
+            "remaining": jnp.zeros((self.rows,), jnp.int32),
+        }
+        self._rows = [_Row() for _ in range(self.rows)]
+        self._queue = []
+        self._results = {}
+        self._key = jax.random.PRNGKey(seed)
+
     def submit(
         self,
         input_ids,

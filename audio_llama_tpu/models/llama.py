@@ -695,11 +695,19 @@ def llama_forward(
         """Append val [1, B, Hkv, T, ...] into the [L, B, Hkv, Tk, ...] slab.
 
         Scalar offset: one dynamic_update_slice (all rows share the slot).
-        Per-row offsets: B unrolled single-row updates (B is static) — the
-        price of divergent timelines, paid only on the cache_offsets path."""
+        Per-row offsets, T == 1 (decode/serving): ONE scatter over the
+        (row, slot) pairs — the unrolled per-row form ballooned the HLO
+        (B x slabs updates per scanned layer) and its compile time.
+        Per-row offsets, T > 1 (speculative verify windows): B unrolled
+        windowed updates (B is static)."""
         if cache_offsets is None:
             idx = (li, 0, 0, offset) + (0,) * (buf.ndim - 4)
             return lax.dynamic_update_slice(buf, val.astype(buf.dtype), idx)
+        if val.shape[3] == 1:
+            rows = jnp.arange(val.shape[1])
+            return buf.at[li, rows, :, cache_offsets].set(
+                val[0, :, :, 0].astype(buf.dtype)
+            )
         for b in range(val.shape[1]):
             idx = (li, b, 0, cache_offsets[b]) + (0,) * (buf.ndim - 4)
             buf = lax.dynamic_update_slice(
@@ -732,6 +740,30 @@ def llama_forward(
         return lax.dynamic_update_slice(
             buf, jnp.where(owner, val.astype(buf.dtype), cur), idx
         )
+
+    # Fused decode-MLP kernel gate (env MLP_FUSED: '1' auto, '0' off,
+    # 'interp' force-interpret for CPU parity tests). Decode-size rows
+    # only; the lb-dependent LoRA check happens per layer_step call.
+    import os as _os
+
+    _mlp_fused_mode = _os.environ.get("MLP_FUSED", "1")
+
+    def _fused_mlp_ok(lb):
+        if _mlp_fused_mode == "0" or "gateup_proj" not in int4_slabs:
+            return False
+        if B * T > 64:
+            return False
+        if any(
+            lb(n) is not None for n in ("gate_proj", "up_proj", "down_proj")
+        ):
+            return False
+        from ..ops import mlp_int4 as mlp4
+
+        if not (mlp4.available() or _mlp_fused_mode == "interp"):
+            return False
+        gu = int4_slabs["gateup_proj"]
+        grp = gu["w_p"].shape[-2] // gu["w_s"].shape[-2]
+        return mlp4.pick_chunk(gu["w_p"].shape[-1], grp) is not None
 
     def layer_step(carry, scanned):
         # Carry holds (x, full_k_cache, full_v_cache): the cache is updated
@@ -1019,7 +1051,23 @@ def llama_forward(
         x = x + attn
 
         h = rms_norm(x, p["post_attn_ln"].astype(compute_dtype), cfg.rms_norm_eps)
-        if "gateup_proj" in int4_slabs:
+        if "gateup_proj" in int4_slabs and _fused_mlp_ok(lb):
+            # One pallas_call for the whole MLP (gate|up matmul + SiLU*up +
+            # down matmul, ops/mlp_int4.py): halves the MLP launch
+            # boundaries on the launch-bound B1 decode path. LoRA on any
+            # MLP projection falls back to the two-call planes path (the
+            # overlay needs the pre-activation planes).
+            from ..ops import mlp_int4 as mlp4
+
+            gu, dn = int4_slabs["gateup_proj"], int4_slabs["down_proj"]
+            grp = gu["w_p"].shape[-2] // gu["w_s"].shape[-2]
+            d = mlp4.mlp_int4_stacked(
+                h, gu["w_p"], gu["w_s"], dn["w_p"], dn["w_s"], li,
+                group=grp,
+                chunk=mlp4.pick_chunk(gu["w_p"].shape[-1], grp),
+                interpret=_mlp_fused_mode == "interp",
+            )
+        elif "gateup_proj" in int4_slabs:
             # halves packing makes the planes EXACTLY gate and up
             g_pl, u_pl = _int4_planes(h, "gateup_proj", li)
             g = lora_add(g_pl, "gate_proj", h)

@@ -1,0 +1,219 @@
+"""Fused int4 decode-MLP kernel: gate|up matmul + SiLU·mul + down matmul
+in ONE pallas_call per layer.
+
+At B1 decode the step is weight-stream-bound and LAUNCH-bound: the int4
+matmul custom-calls carry ~all the step time (B1 trace: 3.0 of 4.06 ms)
+against a ~1.7 ms weight-byte floor, and fusing the qkv / gate|up slabs
+(fewer calls, same bytes) measured +10% at B1. This kernel continues that
+line for the MLP half: the gate|up and down weight streams flow through a
+single kernel whose grid walks the F (ffn) dimension — each grid step
+dequant-matmuls one [K, cn] gate|up column chunk, applies SiLU·mul in
+VMEM, and immediately contracts the [M, cn] activation chunk into the
+down-projection accumulator with that chunk's [cn, D/2] down rows. One
+call boundary instead of two, no [M, 2F] or [M, F] HBM intermediates, and
+the down stream overlaps the gate|up compute via Mosaic's block pipeline.
+
+Layout contracts match ops/int4_matmul.py (column-pair halves packing,
+GROUP-row scale groups):
+  gate|up packed [L, K, F]   (lo nibble = gate col j, hi = up col j)
+  gate|up scales [L, K/G, 2F]
+  down    packed [L, F, D/2] (lo = down col j, hi = col j + D/2)
+  down    scales [L, F/G, D]
+
+Decode-only (M <= 64, no VJP): training/prefill keep the two-call planes
+path (models/llama.py). Numerics: identical contraction order to the
+two-kernel path per chunk, f32 accumulation; SiLU computed in f32.
+
+Reference analog: none (reference decodes through HF fp16 Linear layers,
+src/models/lora.py:41-43 hooks); this is the TPU serving fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .int4_matmul import GROUP, int4_matmul_stacked_ref
+
+
+def _sx(b, lo: bool):
+    """Sign-extended nibble planes of an int32 byte tensor."""
+    if lo:
+        return jnp.right_shift(jnp.left_shift(b, 28), 28)
+    return jnp.right_shift(jnp.left_shift(b, 24), 28)
+
+
+def _kernel(
+    li_ref,
+    x_ref,      # [m, K]
+    gup_ref,    # [1, K, cn] int8 (gate lo / up hi for this F chunk)
+    gsl_ref,    # [1, kg, cn] f32 gate scales
+    gsh_ref,    # [1, kg, cn] f32 up scales
+    dnp_ref,    # [1, cn, nd] int8 (down lo/hi column pairs)
+    dsl_ref,    # [1, cg, nd] f32
+    dsh_ref,    # [1, cg, nd] f32
+    o_ref,      # [2, m, nd]
+    acc,        # scratch f32 [2, m, nd]
+    *,
+    group: int,
+    kg: int,    # K / group
+    cg: int,    # cn / group
+    m: int,
+    nc: int,    # grid size (F / cn)
+):
+    del li_ref  # consumed by the BlockSpec index maps
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[:]
+    cdt = x.dtype
+    gup = gup_ref[0].astype(jnp.int32)  # [K, cn]
+    g_acc = jnp.zeros((m, gup.shape[1]), jnp.float32)
+    u_acc = jnp.zeros((m, gup.shape[1]), jnp.float32)
+    for g in range(kg):
+        rows = slice(g * group, (g + 1) * group)
+        b = gup[rows, :]
+        xg = x[:, rows]
+        pg = jax.lax.dot_general(
+            xg, _sx(b, True).astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pu = jax.lax.dot_general(
+            xg, _sx(b, False).astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g_acc = g_acc + pg * gsl_ref[0, g, :][None, :]
+        u_acc = u_acc + pu * gsh_ref[0, g, :][None, :]
+    # SiLU(gate) * up in f32, then to compute dtype for the down MXU pass
+    a = (g_acc * jax.nn.sigmoid(g_acc) * u_acc).astype(cdt)  # [m, cn]
+
+    dnp = dnp_ref[0].astype(jnp.int32)  # [cn, nd]
+    for g2 in range(cg):
+        rows = slice(g2 * group, (g2 + 1) * group)
+        b = dnp[rows, :]
+        ag = a[:, rows]
+        plo = jax.lax.dot_general(
+            ag, _sx(b, True).astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        phi = jax.lax.dot_general(
+            ag, _sx(b, False).astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc[0] += plo * dsl_ref[0, g2, :][None, :]
+        acc[1] += phi * dsh_ref[0, g2, :][None, :]
+
+    @pl.when(c == nc - 1)
+    def _():
+        o_ref[...] = acc[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "chunk", "interpret")
+)
+def mlp_int4_stacked(
+    x: jnp.ndarray,          # [..., K] bf16/f32 (M = prod(lead) <= 64)
+    gup_packed: jnp.ndarray,  # [L, K, F] int8
+    gup_scales: jnp.ndarray,  # [L, K/group, 2F] f32
+    dn_packed: jnp.ndarray,   # [L, F, D/2] int8
+    dn_scales: jnp.ndarray,   # [L, F/group, D] f32
+    layer,                    # [] int32 traced layer index
+    group: int = GROUP,
+    chunk: int = 512,         # F columns per grid step
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """silu(x @ Wgate) * (x @ Wup) @ Wdown -> [..., D] in x.dtype."""
+    *lead, K = x.shape
+    L, _, F = gup_packed.shape
+    nd = dn_packed.shape[2]
+    if F % chunk or chunk % group or K % group:
+        raise ValueError(
+            f"need chunk|F, group|chunk, group|K; got F={F} chunk={chunk} "
+            f"group={group} K={K}"
+        )
+    nc = F // chunk
+    kg = K // group
+    cg = chunk // group
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    m = -(-M // 8) * 8
+    if m != M:
+        x2 = jnp.pad(x2, ((0, m - M), (0, 0)))
+
+    kernel = functools.partial(
+        _kernel, group=group, kg=kg, cg=cg, m=m, nc=nc
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((m, K), lambda c, li: (0, 0)),
+            pl.BlockSpec((1, K, chunk), lambda c, li: (li[0], 0, c)),
+            # gate scales: F-column block c of [L, kg, 2F]; up at block c+nc
+            pl.BlockSpec((1, kg, chunk), lambda c, li: (li[0], 0, c)),
+            pl.BlockSpec(
+                (1, kg, chunk), lambda c, li, _nc=nc: (li[0], 0, c + _nc)
+            ),
+            pl.BlockSpec((1, chunk, nd), lambda c, li: (li[0], c, 0)),
+            # down scales: row block c of [L, F/group, D]; lo/hi col halves
+            pl.BlockSpec((1, cg, nd), lambda c, li: (li[0], c, 0)),
+            pl.BlockSpec((1, cg, nd), lambda c, li: (li[0], c, 1)),
+        ],
+        out_specs=pl.BlockSpec((2, m, nd), lambda c, li: (0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((2, m, nd), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, m, nd), x.dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x2, gup_packed, gup_scales, gup_scales, dn_packed,
+        dn_scales, dn_scales,
+    )
+    y = jnp.concatenate([out[0], out[1]], axis=-1)  # [m, D]
+    if m != M:
+        y = y[:M]
+    return y.reshape(*lead, 2 * nd)
+
+
+def mlp_int4_stacked_ref(
+    x, gup_packed, gup_scales, dn_packed, dn_scales, layer,
+    group: int = GROUP, compute_dtype=jnp.bfloat16,
+):
+    """XLA oracle: the two-call planes path this kernel fuses."""
+    g, u = int4_matmul_stacked_ref(
+        x, gup_packed, gup_scales, layer, group=group,
+        compute_dtype=compute_dtype, return_planes=True,
+    )
+    a = jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+    return int4_matmul_stacked_ref(
+        a.astype(compute_dtype), dn_packed, dn_scales, layer, group=group,
+        compute_dtype=compute_dtype,
+    )
+
+
+def pick_chunk(F: int, group: int = GROUP, target: int = 512):
+    """Largest F-chunk <= target satisfying chunk|F and group|chunk, or
+    None when the geometry cannot be tiled (dispatch falls back)."""
+    c = min(target, F)
+    c -= c % group
+    while c >= group:
+        if F % c == 0:
+            return c
+        c -= group
+    return None
+
+
+def available() -> bool:
+    from . import flash_attention as fa
+
+    return fa.available()

@@ -38,9 +38,10 @@ def main():
     ap.add_argument("--backend", type=str, default=None)
     ap.add_argument(
         "--mode", type=str, default="encode",
-        choices=["encode", "decode", "train"],
+        choices=["encode", "decode", "train", "serve"],
         help="encode: audio-sec/sec (headline); decode: KV-cached tokens/sec; "
-             "train: full train-step tokens/sec + MFU",
+             "train: full train-step tokens/sec + MFU; serve: continuous-"
+             "batching engine tokens/sec on a mixed-length request stream",
     )
     ap.add_argument(
         "--tiny", action="store_true", help="toy dims (CI/CPU smoke run)"
@@ -114,6 +115,8 @@ def main():
         return run_decode(args)
     if args.mode == "train":
         return run_train(args)
+    if args.mode == "serve":
+        return run_serve(args)
 
     import jax.numpy as jnp
 
@@ -426,6 +429,91 @@ def run_decode(args):
                 "value": round(toks_per_sec, 2),
                 "unit": "tokens/sec",
                 "vs_baseline": 0.0,  # reference never measured decode speed
+            }
+        )
+    )
+
+
+def run_serve(args):
+    """Continuous-batching serving throughput (inference/serving.py): a
+    mixed prompt-length / mixed-budget request stream through the decode
+    pool. Tokens/sec counts delivered (requested) tokens over the wall
+    time of the drained pool — admission prefills, chunk sync latency, and
+    tail idling included. The reference has no serving layer at all
+    (SURVEY §1); no baseline number exists."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_llama_tpu.config import AudioLLMConfig, LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+    from audio_llama_tpu.inference.serving import ServingEngine
+
+    tiny = args.tiny
+    if tiny:
+        cfg = AudioLLMConfig.tiny()
+        lcfg = cfg.llama
+        params = jax.jit(
+            lambda k: lm.init_params(lcfg, k, dtype=jnp.float32)
+        )(jax.random.PRNGKey(0))
+        rows, buckets, max_len, chunk, n_req = 2, (8, 16), 64, 4, 6
+        kvq = False
+        cdt = jnp.float32
+    else:
+        cfg = AudioLLMConfig()
+        lcfg = cfg.llama
+        from audio_llama_tpu.models import llama_int4 as l4
+
+        params = jax.jit(
+            lambda k: l4.quantize_llama_int4(
+                lm.init_params(lcfg, k, dtype=jnp.bfloat16)
+            )
+        )(jax.random.PRNGKey(0))
+        rows, buckets, max_len, chunk, n_req = (
+            args.batch if args.batch != 8 else 32, (256, 1024), 1312, 32, 64
+        )
+        kvq = 4
+        cdt = jnp.bfloat16
+
+    rng = np.random.default_rng(0)
+    reqs = []
+    for i in range(n_req):
+        lo, hi = (2, buckets[0]) if i % 2 == 0 else (buckets[0], buckets[1])
+        plen = int(rng.integers(max(lo, int(hi * 0.7)), hi))
+        budget = (
+            int(rng.integers(2, 7)) if tiny else int(rng.integers(32, 257))
+        )
+        reqs.append((
+            rng.integers(3, lcfg.vocab_size - 8, (plen,)).astype(np.int32),
+            budget,
+        ))
+
+    eng = ServingEngine(
+        {"llama": params}, None, cfg, rows=rows, max_len=max_len,
+        prefill_buckets=buckets, chunk_steps=chunk, kv_quant=kvq,
+        compute_dtype=cdt, greedy=True, eos_id=-1, pad_id=0,
+    )
+    # warm-up: compile each admit bucket + the chunk program
+    for ids, _ in reqs[:2]:
+        eng.submit(ids, max_new_tokens=2)
+    eng.run()
+    eng.reset()
+
+    t0 = time.time()
+    for ids, budget in reqs:
+        eng.submit(ids, max_new_tokens=budget)
+    out = eng.run()
+    dt = time.time() - t0
+    got = sum(len(v) for v in out.values())
+    print(
+        json.dumps(
+            {
+                "metric": "serve_tokens_per_sec",
+                "value": round(got / dt, 2),
+                "unit": "tokens/sec",
+                "vs_baseline": 0.0,  # reference has no serving layer
             }
         )
     )

@@ -195,10 +195,26 @@ class ServingEngine:
         )
         return rid
 
-    def run(self) -> Dict[int, List[int]]:
-        """Serve until queue and pool drain; returns all results."""
+    def run(self, max_chunks: Optional[int] = None,
+            progress=None) -> Dict[int, List[int]]:
+        """Serve until queue and pool drain; returns all results.
+
+        max_chunks guards against scheduling bugs (raises instead of
+        spinning); progress(chunk_idx, n_active, n_queued) is called after
+        each chunk (benchmark instrumentation)."""
+        n = 0
         while self._queue or any(not r.free for r in self._rows):
+            if max_chunks is not None and n >= max_chunks:
+                raise RuntimeError(
+                    f"run() exceeded {max_chunks} chunks with "
+                    f"{len(self._queue)} queued and "
+                    f"{sum(not r.free for r in self._rows)} live rows"
+                )
             self.step_chunk()
+            n += 1
+            if progress is not None:
+                progress(n, sum(not r.free for r in self._rows),
+                         len(self._queue))
         return dict(self._results)
 
     def step_chunk(self):
@@ -316,6 +332,13 @@ class ServingEngine:
                              emitted=[], free=False)
 
     def _get_admit_fn(self, bucket: int, has_audio: bool):
+        """Admission = TWO programs: (a) bucketed prefill + first-token
+        sample (undonated; the same program shape as the benched one-shot
+        generation prefill), and (b) a trivial donated pool-splice. One
+        combined program measured pathological remote-XLA compile times
+        (30-70 min vs minutes for the parts) — the split keeps every
+        program a proven shape at the cost of one device-side slab
+        round-trip per admission (negligible vs decode)."""
         keyfn = (bucket, has_audio)
         if keyfn in self._admit_fns:
             return self._admit_fns[keyfn]
@@ -325,12 +348,7 @@ class ServingEngine:
         cdt = self.compute_dtype
         eng = self
 
-        def admit(state, ids, mask, *rest):
-            if has_audio:
-                feats, row, max_new, key = rest
-            else:
-                feats = None
-                row, max_new, key = rest
+        def prefill(ids, mask, feats, key):
             embeds, emask = build_prefix(
                 frozen, trainable, cfg, ids, mask, feats,
                 eng.audio_start_id, eng.audio_end_id, cdt,
@@ -355,8 +373,9 @@ class ServingEngine:
             )  # [1, 1, D]
             logits = llama_mod.unembed(frozen["llama"], cfg.llama, last, cdt)
             tok0 = eng._sample(logits[:, 0], key)[0]
+            return fresh, real, tok0
 
-            # splice the fresh rows into the pool at `row`
+        def insert(state, fresh, real, tok0, row, max_new):
             cache = state["cache"]
 
             def put(pool, slab):
@@ -387,9 +406,20 @@ class ServingEngine:
                 "remaining": one(state["remaining"], max_new - 1),
             }
 
-        fn = jax.jit(admit, donate_argnums=(0,))
-        self._admit_fns[keyfn] = fn
-        return fn
+        prefill_fn = jax.jit(prefill)
+        insert_fn = jax.jit(insert, donate_argnums=(0,))
+
+        def admit(state, ids, mask, *rest):
+            if has_audio:
+                feats, row, max_new, key = rest
+            else:
+                feats = None
+                row, max_new, key = rest
+            fresh, real, tok0 = prefill_fn(ids, mask, feats, key)
+            return insert_fn(state, fresh, real, tok0, row, max_new)
+
+        self._admit_fns[keyfn] = admit
+        return admit
 
     # ------------------------------------------------------------------
     # decode

@@ -75,10 +75,14 @@ def main():
     )
     # warm-up: compile each admit bucket + the chunk program, one phase at
     # a time (per-program timing; remote compiles take minutes each)
+    def prog(n, live, queued):
+        print(json.dumps({"chunk": n, "live": live, "queued": queued,
+                          "t": round(time.time() - t0, 1)}), flush=True)
+
     for name, req in (("admit256+chunk", reqs[0]), ("admit1024", reqs[1])):
         t0 = time.time()
         eng.submit(req[0], max_new_tokens=4)
-        eng.run()
+        eng.run(max_chunks=50, progress=prog)
         print(json.dumps(
             {"phase": f"warmup_{name}_s", "s": round(time.time() - t0, 1)}
         ), flush=True)
@@ -87,7 +91,7 @@ def main():
     t0 = time.time()
     for ids, budget in reqs:
         eng.submit(ids, max_new_tokens=budget)
-    out = eng.run()
+    out = eng.run(max_chunks=500, progress=prog)
     dt = time.time() - t0
     got = sum(len(v) for v in out.values())
     print(json.dumps({

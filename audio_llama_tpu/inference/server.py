@@ -1,0 +1,457 @@
+"""HTTP serving front-end over the continuous-batching engine.
+
+The reference has no serving layer at all — inference is a one-shot CLI
+(reference src/inference.py:175-220; SURVEY §1 "explicitly absent layers":
+"no server, no batching daemon"). This module is the production surface the
+TPU target demands: a stdlib-only HTTP server whose request handlers feed
+the fixed-row decode pool (inference/serving.py), so concurrent requests
+continuously batch onto one chip-resident KV cache.
+
+Threading model — exactly one thread touches the device:
+
+- HTTP handler threads (ThreadingHTTPServer) only tokenize, stage the
+  request, and wait on a per-request event. They never call into JAX.
+- One engine thread owns the ServingEngine: it drains the staging queue
+  into the engine (admission prefills), steps decode chunks, and fulfills
+  futures as rows retire. JAX dispatch against mutating engine state is
+  therefore single-threaded by construction; handler-side work is pure
+  Python/NumPy.
+
+Endpoints (JSON in/out):
+  POST /v1/generate  {"prompt": str} or {"prompt_ids": [int]},
+                     optional {"audio_path": str (server-visible file),
+                     "max_new_tokens": int (default 64)}
+                     -> {"id", "tokens", "text"?, "n_tokens"}
+                     (400 on bad input / oversized prompt, 503 on shutdown)
+  GET  /healthz      -> {"ok": true, "rows", "live", "queued"}
+  GET  /v1/stats     -> lifetime counters (requests, tokens, chunks, uptime)
+
+Sampling config is engine-level (static compiled programs — see
+serving.py); run one server per sampling configuration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Future:
+    event: threading.Event = field(default_factory=threading.Event)
+    tokens: Optional[List[int]] = None
+    error: Optional[str] = None
+
+
+class EngineRunner:
+    """Thread-safe facade over ServingEngine: handler threads stage
+    requests; a single loop thread owns every engine (device) call."""
+
+    def __init__(self, engine, poll_interval: float = 0.05):
+        self.engine = engine
+        self._poll = poll_interval
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._staging: List[tuple] = []  # (future, ids, feats, max_new)
+        self._futures: Dict[int, _Future] = {}  # rid -> future
+        self._stop = False
+        self._thread: Optional[threading.Thread] = None
+        # lifetime counters (read by /v1/stats)
+        self.started_at = time.time()
+        self.n_requests = 0
+        self.n_completed = 0
+        self.n_tokens = 0
+        self.n_chunks = 0
+
+    # ---- handler-thread side ----
+
+    def submit(self, ids: np.ndarray, feats, max_new: int) -> _Future:
+        fut = _Future()
+        with self._cv:
+            if self._stop:
+                fut.error = "server shutting down"
+                fut.event.set()
+                return fut
+            self._staging.append((fut, ids, feats, max_new))
+            self.n_requests += 1
+            self._cv.notify()
+        return fut
+
+    # ---- engine-thread side ----
+
+    def start(self):
+        self._thread = threading.Thread(
+            target=self._loop, name="engine-loop", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 30.0):
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        if self._thread is not None:
+            self._thread.join(timeout)
+        # fail any request still in flight
+        with self._cv:
+            leftovers = [f for f, *_ in self._staging]
+            leftovers += list(self._futures.values())
+            self._staging = []
+            self._futures = {}
+        for f in leftovers:
+            if not f.event.is_set():
+                f.error = "server shutting down"
+                f.event.set()
+
+    def _has_live_rows(self) -> bool:
+        return any(not r.free for r in self.engine._rows)
+
+    def _loop(self):
+        eng = self.engine
+        while True:
+            with self._cv:
+                while (
+                    not self._stop
+                    and not self._staging
+                    and not self._has_live_rows()
+                ):
+                    self._cv.wait(self._poll)
+                if self._stop:
+                    return
+                staged, self._staging = self._staging, []
+            try:
+                for fut, ids, feats, max_new in staged:
+                    rid = eng.submit(
+                        ids, audio_features=feats, max_new_tokens=max_new
+                    )
+                    self._futures[rid] = fut
+                eng.step_chunk()
+                self.n_chunks += 1
+            except Exception as e:  # engine bug/device error: fail loudly
+                logger.exception("engine loop error")
+                for fut, *_ in staged:
+                    if not fut.event.is_set():
+                        fut.error = f"engine error: {e}"
+                        fut.event.set()
+                for fut in self._futures.values():
+                    if not fut.event.is_set():
+                        fut.error = f"engine error: {e}"
+                        fut.event.set()
+                self._futures = {}
+                continue
+            self._deliver_finished()
+
+    def _deliver_finished(self):
+        # pop so a long-running server's result map stays bounded
+        for rid in list(self.engine._results.keys()):
+            toks = self.engine._results.pop(rid)
+            fut = self._futures.pop(rid, None)
+            if fut is None:
+                continue
+            if toks:
+                fut.tokens = toks
+                self.n_completed += 1
+                self.n_tokens += len(toks)
+            else:
+                # engine admission rejected it (cannot fit the pool)
+                fut.error = "request rejected: does not fit the pool"
+            fut.event.set()
+
+    # ---- introspection ----
+
+    def health(self) -> dict:
+        return {
+            "ok": self._thread is not None and self._thread.is_alive(),
+            "rows": self.engine.rows,
+            "live": sum(not r.free for r in self.engine._rows),
+            "queued": len(self.engine._queue) + len(self._staging),
+        }
+
+    def stats(self) -> dict:
+        return {
+            "uptime_s": round(time.time() - self.started_at, 1),
+            "requests": self.n_requests,
+            "completed": self.n_completed,
+            "tokens": self.n_tokens,
+            "chunks": self.n_chunks,
+            "rows": self.engine.rows,
+            "prefill_buckets": list(self.engine.buckets),
+            "chunk_steps": self.engine.chunk_steps,
+            "kv_quant": self.engine.kv_quant,
+        }
+
+
+class AudioLLMServer:
+    """Binds an EngineRunner + tokenizer/featurizer to an HTTP port."""
+
+    def __init__(
+        self,
+        runner: EngineRunner,
+        cfg,
+        tokenizer=None,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        request_timeout: float = 600.0,
+    ):
+        self.runner = runner
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.request_timeout = request_timeout
+        handler = self._make_handler()
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
+        self._serve_thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self):
+        self.runner.start()
+        self._serve_thread = threading.Thread(
+            target=self.httpd.serve_forever, name="http", daemon=True
+        )
+        self._serve_thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._serve_thread is not None:
+            self._serve_thread.join(10)
+        self.runner.stop()
+
+    # ---- request plumbing ----
+
+    def _prepare(self, body: dict):
+        """(ids, feats, max_new) from a request body; raises ValueError."""
+        max_new = int(body.get("max_new_tokens", 64))
+        if max_new < 1:
+            raise ValueError("max_new_tokens must be >= 1")
+        audio_path = body.get("audio_path")
+        feats = None
+        if audio_path is not None:
+            from .cli import process_audio
+
+            feats = process_audio(str(audio_path), self.cfg.mel)[0]  # [S]
+
+        if "prompt_ids" in body:
+            ids = np.asarray(body["prompt_ids"], np.int32).reshape(-1)
+            if ids.size == 0:
+                raise ValueError("prompt_ids is empty")
+            return ids, feats, max_new
+
+        prompt = body.get("prompt")
+        if prompt is None:
+            raise ValueError("need 'prompt' or 'prompt_ids'")
+        if self.tokenizer is None:
+            raise ValueError(
+                "server has no tokenizer; send 'prompt_ids' instead"
+            )
+        if (
+            feats is not None
+            and self.cfg.splice_mode == "inplace"
+            and self.cfg.audio_start_token not in prompt
+        ):
+            # mirror the training-side placeholder insertion (cli.py)
+            prompt = (
+                f"{self.cfg.audio_start_token}{self.cfg.audio_end_token} "
+                f"{prompt}"
+            )
+        ids, mask = self.tokenizer.encode(prompt)
+        ids = np.asarray(ids, np.int32)[np.asarray(mask, bool)]
+        return ids, feats, max_new
+
+    def _generate(self, body: dict) -> tuple:
+        """-> (status, payload)"""
+        try:
+            ids, feats, max_new = self._prepare(body)
+        except ValueError as e:
+            return 400, {"error": str(e)}
+        fut = self.runner.submit(ids, feats, max_new)
+        if not fut.event.wait(self.request_timeout):
+            return 504, {"error": "generation timed out"}
+        if fut.error is not None:
+            code = 503 if "shutting down" in fut.error else 400
+            return code, {"error": fut.error}
+        out = {
+            "tokens": [int(t) for t in fut.tokens],
+            "n_tokens": len(fut.tokens),
+        }
+        if self.tokenizer is not None:
+            out["text"] = self.tokenizer.decode(
+                np.asarray(fut.tokens, np.int32), skip_special_tokens=True
+            )
+        return 200, out
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # route to logging, not stderr
+                logger.debug("%s - %s", self.address_string(), fmt % args)
+
+            def _send(self, code: int, payload: dict):
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    h = server.runner.health()
+                    self._send(200 if h["ok"] else 503, h)
+                elif self.path == "/v1/stats":
+                    self._send(200, server.runner.stats())
+                else:
+                    self._send(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/v1/generate":
+                    self._send(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(body, dict):
+                        raise ValueError("body must be a JSON object")
+                except (ValueError, json.JSONDecodeError) as e:
+                    self._send(400, {"error": f"bad request body: {e}"})
+                    return
+                code, payload = server._generate(body)
+                self._send(code, payload)
+
+        return Handler
+
+
+def build_server(args) -> AudioLLMServer:
+    """CLI plumbing: load the model, quantize per flags, build the engine
+    + runner + HTTP front-end (mirrors inference/cli.py model loading)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .cli import load_audio_llm
+    from .serving import ServingEngine
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg, frozen, trainable, tk = load_audio_llm(
+        args.checkpoint_path,
+        llama_path=args.llama_path,
+        whisper_path=args.whisper_path,
+        tokenizer=args.tokenizer,
+        toy_model=args.toy_model,
+        seed=args.seed,
+    )
+    if args.int4_decoder:
+        from ..models import llama_int4
+
+        frozen = dict(frozen)
+        frozen["llama"] = jax.jit(llama_int4.quantize_llama_int4)(
+            frozen["llama"]
+        )
+    elif args.int8_decoder:
+        from ..models import llama_int8
+
+        frozen = dict(frozen)
+        frozen["llama"] = jax.jit(llama_int8.quantize_llama_int8)(
+            frozen["llama"]
+        )
+
+    cdt = jnp.float32 if args.platform == "cpu" else jnp.bfloat16
+    engine = ServingEngine(
+        frozen,
+        trainable,
+        cfg,
+        rows=args.rows,
+        max_len=args.max_len,
+        prefill_buckets=tuple(args.prefill_buckets),
+        chunk_steps=args.chunk_steps,
+        kv_quant=args.kv_bits if args.kv_quant else False,
+        compute_dtype=cdt,
+        greedy=args.greedy,
+        temperature=args.temperature,
+        top_p=args.top_p,
+        top_k=args.top_k,
+        eos_id=tk.eos_id,
+        pad_id=tk.pad_id,
+        audio_start_id=tk.token_to_id(cfg.audio_start_token),
+        audio_end_id=tk.token_to_id(cfg.audio_end_token),
+        seed=args.seed,
+    )
+    runner = EngineRunner(engine)
+    return AudioLLMServer(
+        runner, cfg, tokenizer=tk, host=args.host, port=args.port,
+        request_timeout=args.request_timeout,
+    )
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="AudioLLM HTTP serving (continuous batching, TPU-native)"
+    )
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--llama_path", type=str, default=None)
+    p.add_argument("--whisper_path", type=str, default=None)
+    p.add_argument("--tokenizer", type=str, default=None)
+    p.add_argument("--toy_model", action="store_true")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu) for smoke runs")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--request_timeout", type=float, default=600.0)
+    # pool geometry
+    p.add_argument("--rows", type=int, default=32)
+    p.add_argument("--max_len", type=int, default=2048)
+    p.add_argument("--prefill_buckets", type=int, nargs="+",
+                   default=[128, 256, 512, 1024])
+    p.add_argument("--chunk_steps", type=int, default=32)
+    # precision (the measured serving config is int4 weights + int4 KV)
+    p.add_argument("--int8_decoder", action="store_true")
+    p.add_argument("--int4_decoder", action="store_true")
+    p.add_argument("--kv_quant", action="store_true")
+    p.add_argument("--kv_bits", type=int, default=8, choices=[8, 4])
+    # sampling (engine-level; one server per sampling config)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--top_p", type=float, default=0.9)
+    p.add_argument("--top_k", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args(argv)
+    server = build_server(args)
+    server.start()
+    logger.info(
+        "serving on http://%s:%d (rows=%d, buckets=%s, kv_quant=%s)",
+        args.host, server.port, args.rows,
+        tuple(args.prefill_buckets), server.runner.engine.kv_quant,
+    )
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,189 @@
+"""HTTP serving front-end (inference/server.py) over a toy CPU engine.
+
+Covers: request/response plumbing (prompt_ids and tokenized text),
+concurrent requests continuously batching onto one pool, parity with a
+direct ServingEngine run, admission rejection surfaced as a client error,
+health/stats endpoints, malformed-request handling, and shutdown failing
+in-flight requests. The audio request path shares process_audio with the
+CLI (tested in test_inference_cli/test_serving)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audio_llama_tpu.config import AudioLLMConfig
+from audio_llama_tpu.data.tokenizer import ByteTokenizer
+from audio_llama_tpu.models import allm
+from audio_llama_tpu.inference.serving import ServingEngine
+from audio_llama_tpu.inference.server import (
+    AudioLLMServer,
+    EngineRunner,
+)
+
+CFG = AudioLLMConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def model():
+    frozen = allm.init_frozen(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    trainable = allm.init_trainable(CFG, jax.random.PRNGKey(1))
+    return frozen, trainable
+
+
+def _engine(model, tk, **kw):
+    frozen, trainable = model
+    kw.setdefault("rows", 2)
+    kw.setdefault("max_len", 64)
+    kw.setdefault("prefill_buckets", (8, 16))
+    kw.setdefault("chunk_steps", 4)
+    kw.setdefault("compute_dtype", jnp.float32)
+    kw.setdefault("greedy", True)
+    kw.setdefault("eos_id", tk.eos_id)
+    kw.setdefault("pad_id", tk.pad_id)
+    kw.setdefault("audio_start_id", tk.token_to_id(CFG.audio_start_token))
+    kw.setdefault("audio_end_id", tk.token_to_id(CFG.audio_end_token))
+    return ServingEngine(model[0], model[1], CFG, **kw)
+
+
+@pytest.fixture(scope="module")
+def server(model):
+    tk = ByteTokenizer()
+    runner = EngineRunner(_engine(model, tk), poll_interval=0.01)
+    srv = AudioLLMServer(runner, CFG, tokenizer=tk, port=0,
+                         request_timeout=120.0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(port, path, body, timeout=120.0):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(port, path):
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=30
+        ) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_generate_prompt_ids_matches_direct_engine(server, model):
+    ids = [1, 40, 41, 42]
+    code, out = _post(server.port, "/v1/generate",
+                      {"prompt_ids": ids, "max_new_tokens": 6})
+    assert code == 200
+    assert out["n_tokens"] == len(out["tokens"]) > 0
+
+    # oracle: a fresh engine (same compiled programs) run directly
+    eng = _engine(model, ByteTokenizer())
+    rid = eng.submit(np.asarray(ids, np.int32), max_new_tokens=6)
+    ref = eng.run(max_chunks=64)[rid]
+    assert out["tokens"] == [int(t) for t in ref]
+
+
+def test_generate_text_prompt_decodes(server):
+    code, out = _post(server.port, "/v1/generate",
+                      {"prompt": "hi", "max_new_tokens": 4})
+    assert code == 200
+    assert isinstance(out["text"], str)
+    assert out["n_tokens"] > 0
+
+
+def test_concurrent_requests_batch_and_all_complete(server, model):
+    prompts = [[1, 50 + i, 60 + i] for i in range(5)]
+    results = [None] * len(prompts)
+
+    def worker(i):
+        results[i] = _post(
+            server.port, "/v1/generate",
+            {"prompt_ids": prompts[i], "max_new_tokens": 5},
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(prompts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    eng = _engine(model, ByteTokenizer())
+    rids = [eng.submit(np.asarray(p, np.int32), max_new_tokens=5)
+            for p in prompts]
+    ref = eng.run(max_chunks=256)
+    for i, (code, out) in enumerate(results):
+        assert code == 200, out
+        assert out["tokens"] == [int(t) for t in ref[rids[i]]]
+
+
+def test_oversized_prompt_rejected_not_fatal(server):
+    code, out = _post(server.port, "/v1/generate",
+                      {"prompt_ids": list(range(1, 32))})  # > bucket 16
+    assert code == 400
+    assert "rejected" in out["error"]
+    # the pool survives: a well-formed request still completes
+    code, out = _post(server.port, "/v1/generate",
+                      {"prompt_ids": [1, 5, 6], "max_new_tokens": 3})
+    assert code == 200
+
+
+def test_bad_requests(server):
+    for body, frag in [
+        ({}, "prompt"),
+        ({"prompt_ids": []}, "empty"),
+        ({"prompt_ids": [1], "max_new_tokens": 0}, "max_new_tokens"),
+    ]:
+        code, out = _post(server.port, "/v1/generate", body)
+        assert code == 400
+        assert frag in out["error"]
+    # malformed JSON body
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/generate",
+        data=b"{not json", method="POST",
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    code, _ = _get(server.port, "/nope")
+    assert code == 404
+
+
+def test_health_and_stats(server):
+    code, h = _get(server.port, "/healthz")
+    assert code == 200 and h["ok"] and h["rows"] == 2
+    code, s = _get(server.port, "/v1/stats")
+    assert code == 200
+    assert s["completed"] >= 1 and s["tokens"] >= 1
+    assert s["prefill_buckets"] == [8, 16]
+
+
+def test_stop_fails_inflight_requests(model):
+    tk = ByteTokenizer()
+    runner = EngineRunner(_engine(model, tk), poll_interval=0.01)
+    # do NOT start the loop thread: a submitted request stays staged
+    fut = runner.submit(np.asarray([1, 2, 3], np.int32), None, 4)
+    runner.stop(timeout=1.0)
+    assert fut.event.is_set()
+    assert "shutting down" in fut.error
+    # post-stop submissions fail immediately
+    fut2 = runner.submit(np.asarray([1], np.int32), None, 1)
+    assert fut2.event.is_set() and "shutting down" in fut2.error

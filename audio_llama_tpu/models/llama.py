@@ -762,8 +762,15 @@ def llama_forward(
         if not (mlp4.available() or _mlp_fused_mode == "interp"):
             return False
         gu = int4_slabs["gateup_proj"]
+        dn = int4_slabs["down_proj"]
         grp = gu["w_p"].shape[-2] // gu["w_s"].shape[-2]
-        return mlp4.pick_chunk(gu["w_p"].shape[-1], grp) is not None
+        if _mlp_fused_mode == "interp":
+            return mlp4.pick_chunk(gu["w_p"].shape[-1], grp) is not None
+        # TPU lowering additionally needs lane-divisible scale blocks
+        return mlp4.geometry_ok(
+            gu["w_p"].shape[-2], gu["w_p"].shape[-1],
+            2 * dn["w_p"].shape[-1], grp,
+        )
 
     def layer_step(carry, scanned):
         # Carry holds (x, full_k_cache, full_v_cache): the cache is updated

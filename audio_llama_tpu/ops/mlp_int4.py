@@ -54,8 +54,8 @@ def _kernel(
     gsl_ref,    # [1, kg, cn] f32 gate scales
     gsh_ref,    # [1, kg, cn] f32 up scales
     dnp_ref,    # [1, cn, nd] int8 (down lo/hi column pairs)
-    dsl_ref,    # [1, cg, nd] f32
-    dsh_ref,    # [1, cg, nd] f32
+    dsl_ref,    # [1, 1, cg, nd] f32 (chunk axis is a major grid axis —
+    dsh_ref,    # [1, 1, cg, nd]      see the 4-D reshape in the caller)
     o_ref,      # [2, m, nd]
     acc,        # scratch f32 [2, m, nd]
     *,
@@ -107,8 +107,8 @@ def _kernel(
             ag, _sx(b, False).astype(cdt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc[0] += plo * dsl_ref[0, g2, :][None, :]
-        acc[1] += phi * dsh_ref[0, g2, :][None, :]
+        acc[0] += plo * dsl_ref[0, 0, g2, :][None, :]
+        acc[1] += phi * dsh_ref[0, 0, g2, :][None, :]
 
     @pl.when(c == nc - 1)
     def _():
@@ -141,6 +141,22 @@ def mlp_int4_stacked(
     nc = F // chunk
     kg = K // group
     cg = chunk // group
+    # Mosaic tiling: a block's minor dim must be lane-divisible (128) or
+    # span the whole array dim. The down-scales nd block spans only half
+    # of D, and the gate/up scale + weight blocks span `chunk` of F/2F —
+    # so both need the 128 multiple. Dispatch (llama._fused_mlp_ok ->
+    # geometry_ok) falls back to the planes path instead of tripping this.
+    if not interpret and (nd % 128 or chunk % 128):
+        raise ValueError(
+            f"TPU lowering needs 128 | D/2 and 128 | chunk; got nd={nd} "
+            f"chunk={chunk} (use geometry_ok() before dispatching)"
+        )
+    # The down scales' group-row axis blocks cg(=chunk/group) rows per grid
+    # step; cg is typically < 8, which Mosaic's sublane rule rejects as a
+    # 2nd-minor block size. Splitting [L, F/G, D] -> [L, nc, cg, D] makes
+    # the chunk axis a major (grid-indexed) axis and the cg block span its
+    # whole (now-minor-2) dim, which is always legal.
+    dn_scales4 = dn_scales.reshape(L, nc, cg, 2 * nd)
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
     m = -(-M // 8) * 8
@@ -162,9 +178,9 @@ def mlp_int4_stacked(
                 (1, kg, chunk), lambda c, li, _nc=nc: (li[0], 0, c + _nc)
             ),
             pl.BlockSpec((1, chunk, nd), lambda c, li: (li[0], c, 0)),
-            # down scales: row block c of [L, F/group, D]; lo/hi col halves
-            pl.BlockSpec((1, cg, nd), lambda c, li: (li[0], c, 0)),
-            pl.BlockSpec((1, cg, nd), lambda c, li: (li[0], c, 1)),
+            # down scales: chunk-c block of [L, nc, cg, D]; lo/hi col halves
+            pl.BlockSpec((1, 1, cg, nd), lambda c, li: (li[0], c, 0, 0)),
+            pl.BlockSpec((1, 1, cg, nd), lambda c, li: (li[0], c, 0, 1)),
         ],
         out_specs=pl.BlockSpec((2, m, nd), lambda c, li: (0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((2, m, nd), jnp.float32)],
@@ -177,7 +193,7 @@ def mlp_int4_stacked(
     )(
         jnp.asarray(layer, jnp.int32).reshape(1),
         x2, gup_packed, gup_scales, gup_scales, dn_packed,
-        dn_scales, dn_scales,
+        dn_scales4, dn_scales4,
     )
     y = jnp.concatenate([out[0], out[1]], axis=-1)  # [m, D]
     if m != M:
@@ -198,6 +214,20 @@ def mlp_int4_stacked_ref(
     return int4_matmul_stacked_ref(
         a.astype(compute_dtype), dn_packed, dn_scales, layer, group=group,
         compute_dtype=compute_dtype,
+    )
+
+
+def geometry_ok(K: int, F: int, D: int, group: int = GROUP,
+                chunk: int = None) -> bool:
+    """True when the fused kernel can lower on TPU for this MLP geometry
+    (see the tiling notes in mlp_int4_stacked). Dispatch falls back to the
+    two-call planes path otherwise."""
+    c = pick_chunk(F, group) if chunk is None else chunk
+    return (
+        c is not None
+        and c % 128 == 0
+        and (D // 2) % 128 == 0
+        and K % group == 0
     )
 
 

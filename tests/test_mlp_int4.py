@@ -64,6 +64,29 @@ def test_fused_mlp_batched_lead_dims():
     )
 
 
+def test_geometry_ok_flagship_and_fallback():
+    """TPU lowering needs lane-divisible (128) scale blocks: the flagship
+    3B geometry must pass; a D/2 % 128 != 0 geometry must be rejected so
+    dispatch falls back to the planes path instead of a Mosaic error
+    (round-3 TPU finding: cg=4 sublane blocks are unlowerable — fixed by
+    the [L, nc, cg, D] reshape; nd/chunk lane rules remain)."""
+    from audio_llama_tpu.ops.mlp_int4 import geometry_ok
+
+    assert geometry_ok(3072, 8192, 3072)          # llama-3B dims
+    assert geometry_ok(2048, 8192, 2048)          # llama-1B dims
+    assert not geometry_ok(3072, 8192, 192)       # D/2 = 96: lane-indivisible
+    assert not geometry_ok(3072, 8120, 3072)      # no legal chunk
+    # kernel-side guard mirrors the predicate (trace-time, pre-lowering)
+    L, K, F, D = 1, 256, 256, 192
+    gup_p, gup_s, dn_p, dn_s = _tree(L, K, F, D, seed=5)
+    x = jnp.zeros((1, K), jnp.float32)
+    with pytest.raises(ValueError, match="128"):
+        mlp_int4_stacked(
+            x, gup_p, gup_s, dn_p, dn_s, jnp.int32(0), chunk=128,
+            interpret=False,
+        )
+
+
 def test_fused_mlp_shape_guards():
     L, K, F, D = 1, 256, 256, 256
     gup_p, gup_s, dn_p, dn_s = _tree(L, K, F, D, seed=4)

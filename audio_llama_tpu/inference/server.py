@@ -20,9 +20,12 @@ Threading model — exactly one thread touches the device:
 Endpoints (JSON in/out):
   POST /v1/generate  {"prompt": str} or {"prompt_ids": [int]},
                      optional {"audio_path": str (server-visible file),
-                     "max_new_tokens": int (default 64)}
-                     -> {"id", "tokens", "text"?, "n_tokens"}
+                     "max_new_tokens": int (default 64),
+                     "stream": bool (default false)}
+                     -> {"tokens", "text"?, "n_tokens"}
                      (400 on bad input / oversized prompt, 503 on shutdown)
+                     stream=true: chunked NDJSON — {"tokens": [...]} per
+                     decode chunk, then {"done": true, "n_tokens", "text"?}
   GET  /healthz      -> {"ok": true, "rows", "live", "queued"}
   GET  /v1/stats     -> lifetime counters (requests, tokens, chunks, uptime)
 
@@ -35,6 +38,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import queue
 import threading
 import time
 from dataclasses import dataclass, field
@@ -51,6 +55,15 @@ class _Future:
     event: threading.Event = field(default_factory=threading.Event)
     tokens: Optional[List[int]] = None
     error: Optional[str] = None
+    # streaming: the engine thread puts per-chunk token deltas (List[int])
+    # here as rows decode; None terminates the stream (then read
+    # tokens/error for the final state). n_streamed tracks delivery.
+    stream_q: Optional["queue.SimpleQueue"] = None
+    n_streamed: int = 0
+
+    def _emit(self, item):
+        if self.stream_q is not None:
+            self.stream_q.put(item)
 
 
 class EngineRunner:
@@ -75,12 +88,17 @@ class EngineRunner:
 
     # ---- handler-thread side ----
 
-    def submit(self, ids: np.ndarray, feats, max_new: int) -> _Future:
+    def submit(
+        self, ids: np.ndarray, feats, max_new: int, stream: bool = False
+    ) -> _Future:
         fut = _Future()
+        if stream:
+            fut.stream_q = queue.SimpleQueue()
         with self._cv:
             if self._stop:
                 fut.error = "server shutting down"
                 fut.event.set()
+                fut._emit(None)
                 return fut
             self._staging.append((fut, ids, feats, max_new))
             self.n_requests += 1
@@ -112,6 +130,7 @@ class EngineRunner:
             if not f.event.is_set():
                 f.error = "server shutting down"
                 f.event.set()
+                f._emit(None)
 
     def _has_live_rows(self) -> bool:
         return any(not r.free for r in self.engine._rows)
@@ -143,13 +162,31 @@ class EngineRunner:
                     if not fut.event.is_set():
                         fut.error = f"engine error: {e}"
                         fut.event.set()
+                        fut._emit(None)
                 for fut in self._futures.values():
                     if not fut.event.is_set():
                         fut.error = f"engine error: {e}"
                         fut.event.set()
+                        fut._emit(None)
                 self._futures = {}
                 continue
+            self._stream_live()
             self._deliver_finished()
+
+    def _stream_live(self):
+        """Push per-chunk token deltas of still-decoding rows to their
+        streaming futures (rows that retired this chunk are handled by
+        _deliver_finished, which flushes the final delta)."""
+        for row in self.engine._rows:
+            if row.free:
+                continue
+            fut = self._futures.get(row.rid)
+            if fut is None or fut.stream_q is None:
+                continue
+            delta = row.emitted[fut.n_streamed:]
+            if delta:
+                fut.n_streamed += len(delta)
+                fut._emit(list(delta))
 
     def _deliver_finished(self):
         # pop so a long-running server's result map stays bounded
@@ -162,10 +199,15 @@ class EngineRunner:
                 fut.tokens = toks
                 self.n_completed += 1
                 self.n_tokens += len(toks)
+                delta = toks[fut.n_streamed:]
+                if delta:
+                    fut.n_streamed += len(delta)
+                    fut._emit(list(delta))
             else:
                 # engine admission rejected it (cannot fit the pool)
                 fut.error = "request rejected: does not fit the pool"
             fut.event.set()
+            fut._emit(None)
 
     # ---- introspection ----
 
@@ -272,6 +314,15 @@ class AudioLLMServer:
         ids = np.asarray(ids, np.int32)[np.asarray(mask, bool)]
         return ids, feats, max_new
 
+    def _start_stream(self, body: dict):
+        """-> (400, payload) on bad input, else (200, _Future) whose
+        stream_q yields per-chunk token deltas then a None terminator."""
+        try:
+            ids, feats, max_new = self._prepare(body)
+        except ValueError as e:
+            return 400, {"error": str(e)}
+        return 200, self.runner.submit(ids, feats, max_new, stream=True)
+
     def _generate(self, body: dict) -> tuple:
         """-> (status, payload)"""
         try:
@@ -311,6 +362,54 @@ class AudioLLMServer:
                 self.end_headers()
                 self.wfile.write(data)
 
+            # -- streaming (chunked transfer encoding, NDJSON events) --
+
+            def _chunk(self, payload: dict):
+                data = json.dumps(payload).encode() + b"\n"
+                self.wfile.write(
+                    f"{len(data):x}\r\n".encode() + data + b"\r\n"
+                )
+
+            def _stream(self, fut):
+                """Relay per-chunk token deltas as NDJSON lines:
+                {"tokens": [...]} per decode chunk, then a final
+                {"done": true, "n_tokens": N, "text"?: ...} or
+                {"error": ...}; token ids stream incrementally, text is
+                decoded once at the end (partial BPE byte sequences
+                don't round-trip through str)."""
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                deadline = time.time() + server.request_timeout
+                try:
+                    while True:
+                        try:
+                            item = fut.stream_q.get(
+                                timeout=max(0.0, deadline - time.time())
+                            )
+                        except queue.Empty:
+                            self._chunk({"error": "generation timed out"})
+                            break
+                        if item is None:
+                            if fut.error is not None:
+                                self._chunk({"error": fut.error})
+                            else:
+                                out = {
+                                    "done": True,
+                                    "n_tokens": len(fut.tokens),
+                                }
+                                if server.tokenizer is not None:
+                                    out["text"] = server.tokenizer.decode(
+                                        np.asarray(fut.tokens, np.int32),
+                                        skip_special_tokens=True,
+                                    )
+                                self._chunk(out)
+                            break
+                        self._chunk({"tokens": item})
+                finally:
+                    self.wfile.write(b"0\r\n\r\n")
+
             def do_GET(self):
                 if self.path == "/healthz":
                     h = server.runner.health()
@@ -331,6 +430,13 @@ class AudioLLMServer:
                         raise ValueError("body must be a JSON object")
                 except (ValueError, json.JSONDecodeError) as e:
                     self._send(400, {"error": f"bad request body: {e}"})
+                    return
+                if body.get("stream"):
+                    code, res = server._start_stream(body)
+                    if code != 200:
+                        self._send(code, res)
+                    else:
+                        self._stream(res)
                     return
                 code, payload = server._generate(body)
                 self._send(code, payload)

@@ -176,6 +176,40 @@ def test_health_and_stats(server):
     assert s["prefill_buckets"] == [8, 16]
 
 
+def test_streaming_matches_plain_request(server):
+    ids = [1, 70, 71, 72]
+    code, plain = _post(server.port, "/v1/generate",
+                        {"prompt_ids": ids, "max_new_tokens": 9})
+    assert code == 200
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/generate",
+        data=json.dumps({"prompt_ids": ids, "max_new_tokens": 9,
+                         "stream": True}).encode(),
+        method="POST",
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/x-ndjson"
+        for line in r:  # urllib de-chunks transfer encoding
+            events.append(json.loads(line))
+    assert events[-1]["done"] is True
+    assert events[-1]["n_tokens"] == plain["n_tokens"]
+    assert "text" in events[-1]
+    streamed = [t for e in events[:-1] for t in e["tokens"]]
+    assert streamed == plain["tokens"]
+    # engine chunk granularity: budget 9 > chunk_steps 4 must produce
+    # more than one token event unless EOS cut generation short
+    if plain["n_tokens"] > 4:
+        assert len(events) > 2
+
+
+def test_streaming_bad_request_is_plain_json(server):
+    code, out = _post(server.port, "/v1/generate",
+                      {"stream": True})
+    assert code == 400 and "prompt" in out["error"]
+
+
 def test_stop_fails_inflight_requests(model):
     tk = ByteTokenizer()
     runner = EngineRunner(_engine(model, tk), poll_interval=0.01)

@@ -479,6 +479,18 @@ def build_server(args) -> AudioLLMServer:
             frozen["llama"]
         )
 
+    mesh = None
+    if args.dp > 1:
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.dp:
+            raise SystemExit(
+                f"--dp {args.dp} needs {args.dp} devices; "
+                f"have {len(devs)}"
+            )
+        mesh = Mesh(np.array(devs[: args.dp]), ("dp",))
+
     cdt = jnp.float32 if args.platform == "cpu" else jnp.bfloat16
     engine = ServingEngine(
         frozen,
@@ -499,6 +511,7 @@ def build_server(args) -> AudioLLMServer:
         audio_start_id=tk.token_to_id(cfg.audio_start_token),
         audio_end_id=tk.token_to_id(cfg.audio_end_token),
         seed=args.seed,
+        mesh=mesh,
     )
     runner = EngineRunner(engine)
     return AudioLLMServer(
@@ -523,6 +536,9 @@ def parse_args(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--request_timeout", type=float, default=600.0)
     # pool geometry
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard pool rows over the first N devices "
+                        "(multi-chip serving; rows must be a multiple)")
     p.add_argument("--rows", type=int, default=32)
     p.add_argument("--max_len", type=int, default=2048)
     p.add_argument("--prefill_buckets", type=int, nargs="+",

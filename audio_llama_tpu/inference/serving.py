@@ -83,6 +83,15 @@ class ServingEngine:
       chunk_steps: decode steps per jitted chunk between host syncs.
       kv_quant: False/8/4 — pool cache precision (8/4 run the mono decode
         kernels on TPU; the serving configs).
+      mesh/dp_axis: shard the POOL ROWS over a mesh axis (multi-chip
+        serving). The decode chunk and the pool-splice run in shard_map
+        with per-device local shapes (weights replicated, rows split —
+        the make_dp_generate pattern, so the Pallas decode kernels keep
+        working where GSPMD could not partition them); bucketed prefill
+        stays a single whole-batch=1 program whose outputs broadcast into
+        the splice. Greedy results are identical to the unsharded engine;
+        stochastic sampling folds the shard index into the chunk key, so
+        sampled streams differ from single-chip (still independent rows).
     """
 
     def __init__(
@@ -107,6 +116,8 @@ class ServingEngine:
         audio_end_id: int = 0,
         attn_impl: str = "auto",
         seed: int = 0,
+        mesh=None,
+        dp_axis: str = "dp",
     ):
         self.frozen = frozen
         self.trainable = trainable
@@ -125,6 +136,21 @@ class ServingEngine:
         self.audio_start_id = audio_start_id
         self.audio_end_id = audio_end_id
         self.attn_impl = attn_impl
+        self.mesh = mesh
+        self.dp_axis = dp_axis
+        if mesh is not None:
+            ndp = mesh.shape[dp_axis]
+            if rows % ndp:
+                raise ValueError(
+                    f"rows={rows} must be a multiple of mesh "
+                    f"{dp_axis}={ndp}"
+                )
+            for ax, n in mesh.shape.items():
+                if ax != dp_axis and n != 1:
+                    raise ValueError(
+                        "ServingEngine shards rows over one axis; mesh "
+                        f"axis {ax}={n} must be 1"
+                    )
         self._key = jax.random.PRNGKey(seed)
 
         self._lora = None
@@ -146,12 +172,52 @@ class ServingEngine:
             "remaining": jnp.zeros((rows,), jnp.int32),
         }
 
+        self._state = self._place_state(self._state)
+
         self._rows: List[_Row] = [_Row() for _ in range(rows)]
         self._queue: List[_Pending] = []
         self._results: Dict[int, List[int]] = {}
         self._next_rid = 0
         self._admit_fns: Dict = {}  # (bucket, has_audio) -> jitted admit
         self._chunk_fn = None
+
+    # ------------------------------------------------------------------
+    # row sharding (multi-chip pool)
+    # ------------------------------------------------------------------
+
+    def _state_specs(self):
+        """PartitionSpec pytree for the pool state: cache slabs shard
+        their batch axis (axis 1), per-row vectors shard axis 0, the
+        cache length scalar replicates."""
+        from jax.sharding import PartitionSpec as P
+
+        dp = self.dp_axis
+        c = self._state["cache"]
+        slab = lambda a: None if a is None else P(None, dp)  # noqa: E731
+        cache_spec = llama_mod.KVCache(
+            k=slab(c.k), v=slab(c.v), length=P(),
+            k_scale=slab(c.k_scale), v_scale=slab(c.v_scale),
+        )
+        return {
+            "cache": cache_spec,
+            "offsets": P(dp),
+            "last_tok": P(dp),
+            "active": P(dp),
+            "remaining": P(dp),
+        }
+
+    def _place_state(self, state):
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding
+
+        specs = self._state_specs()
+        # None leaves (e.g. KVCache.v in int4 mode) are empty subtrees in
+        # both pytrees, so tree.map never sees them.
+        return jax.tree.map(
+            lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s)),
+            state, specs,
+        )
 
     # ------------------------------------------------------------------
     # public API
@@ -164,13 +230,13 @@ class ServingEngine:
             self.cfg.llama, self.rows, self.max_len,
             dtype=self.compute_dtype, quantized=self.kv_quant,
         )
-        self._state = {
+        self._state = self._place_state({
             "cache": cache,
             "offsets": jnp.zeros((self.rows,), jnp.int32),
             "last_tok": jnp.full((self.rows,), self.pad_id, jnp.int32),
             "active": jnp.zeros((self.rows,), jnp.bool_),
             "remaining": jnp.zeros((self.rows,), jnp.int32),
-        }
+        })
         self._rows = [_Row() for _ in range(self.rows)]
         self._queue = []
         self._results = {}
@@ -377,14 +443,28 @@ class ServingEngine:
 
         def insert(state, fresh, real, tok0, row, max_new):
             cache = state["cache"]
+            if eng.mesh is None:
+                loc, in_r = row, None
+            else:
+                # row is a GLOBAL pool index; this shard owns rows
+                # [my0, my0 + local). Out-of-range shards re-write their
+                # clamped row with its own current contents (cheap: one
+                # slab read), keeping every shard's program identical.
+                local = eng.rows // eng.mesh.shape[eng.dp_axis]
+                my0 = jax.lax.axis_index(eng.dp_axis) * local
+                loc = row - my0
+                in_r = (loc >= 0) & (loc < local)
+                loc = jnp.clip(loc, 0, local - 1)
 
             def put(pool, slab):
                 if pool is None:
                     return None
-                return jax.lax.dynamic_update_slice(
-                    pool, slab.astype(pool.dtype),
-                    (0, row) + (0,) * (pool.ndim - 2),
-                )
+                slab = slab.astype(pool.dtype)
+                at = (0, loc) + (0,) * (pool.ndim - 2)
+                if in_r is not None:
+                    cur = jax.lax.dynamic_slice(pool, at, slab.shape)
+                    slab = jnp.where(in_r, slab, cur)
+                return jax.lax.dynamic_update_slice(pool, slab, at)
 
             cache = llama_mod.KVCache(
                 k=put(cache.k, fresh.k),
@@ -395,9 +475,14 @@ class ServingEngine:
                 v_scale=put(cache.v_scale, fresh.v_scale)
                 if cache.v_scale is not None else None,
             )
-            one = lambda a, v: jax.lax.dynamic_update_slice(  # noqa: E731
-                a, jnp.reshape(v, (1,)).astype(a.dtype), (row,)
-            )
+
+            def one(a, v):
+                v = jnp.reshape(v, (1,)).astype(a.dtype)
+                if in_r is not None:
+                    cur = jax.lax.dynamic_slice(a, (loc,), (1,))
+                    v = jnp.where(in_r, v, cur)
+                return jax.lax.dynamic_update_slice(a, v, (loc,))
+
             return {
                 "cache": cache,
                 "offsets": one(state["offsets"], real),
@@ -407,7 +492,25 @@ class ServingEngine:
             }
 
         prefill_fn = jax.jit(prefill)
-        insert_fn = jax.jit(insert, donate_argnums=(0,))
+        if eng.mesh is None:
+            insert_fn = jax.jit(insert, donate_argnums=(0,))
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            q = eng.kv_quant
+            fresh_spec = llama_mod.KVCache(
+                k=P(), v=None if q == 4 else P(), length=P(),
+                k_scale=P() if q else None, v_scale=P() if q else None,
+            )
+            sspec = eng._state_specs()
+            insert_fn = jax.jit(
+                jax.shard_map(
+                    insert, mesh=eng.mesh,
+                    in_specs=(sspec, fresh_spec, P(), P(), P(), P()),
+                    out_specs=sspec, check_vma=False,
+                ),
+                donate_argnums=(0,),
+            )
 
         def admit(state, ids, mask, *rest):
             if has_audio:
@@ -439,6 +542,12 @@ class ServingEngine:
             eng = self
 
             def chunk(state, key):
+                if eng.mesh is not None:
+                    # independent sampling per row shard (greedy ignores it)
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(eng.dp_axis)
+                    )
+
                 def step(carry, k):
                     cache, offsets, last_tok, active, remaining = carry
                     # The first chunk token for a just-admitted row is its
@@ -480,7 +589,22 @@ class ServingEngine:
                     "remaining": remaining,
                 }, emit, fire
 
-            self._chunk_fn = jax.jit(chunk, donate_argnums=(0,))
+            if eng.mesh is None:
+                self._chunk_fn = jax.jit(chunk, donate_argnums=(0,))
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                sspec = eng._state_specs()
+                emit_spec = P(None, eng.dp_axis)  # [chunk_steps, rows]
+                self._chunk_fn = jax.jit(
+                    jax.shard_map(
+                        chunk, mesh=eng.mesh,
+                        in_specs=(sspec, P()),
+                        out_specs=(sspec, emit_spec, emit_spec),
+                        check_vma=False,
+                    ),
+                    donate_argnums=(0,),
+                )
 
         self._key, k = jax.random.split(self._key)
         self._state, emit, fire = self._chunk_fn(self._state, k)

@@ -491,6 +491,14 @@ def build_server(args) -> AudioLLMServer:
             )
         mesh = Mesh(np.array(devs[: args.dp]), ("dp",))
 
+    draft_params, draft_cfg = None, None
+    if args.draft_llama_path:
+        from .cli import load_draft_llama
+
+        draft_params, draft_cfg = load_draft_llama(
+            args.draft_llama_path, cfg.llama.vocab_size, seed=args.seed
+        )
+
     cdt = jnp.float32 if args.platform == "cpu" else jnp.bfloat16
     engine = ServingEngine(
         frozen,
@@ -512,6 +520,9 @@ def build_server(args) -> AudioLLMServer:
         audio_end_id=tk.token_to_id(cfg.audio_end_token),
         seed=args.seed,
         mesh=mesh,
+        draft_params=draft_params,
+        draft_cfg=draft_cfg,
+        gamma=args.gamma,
     )
     runner = EngineRunner(engine)
     return AudioLLMServer(
@@ -549,6 +560,12 @@ def parse_args(argv=None):
     p.add_argument("--int4_decoder", action="store_true")
     p.add_argument("--kv_quant", action="store_true")
     p.add_argument("--kv_bits", type=int, default=8, choices=[8, 4])
+    # speculative decoding (draft-and-verify continuous batching)
+    p.add_argument("--draft_llama_path", type=str, default=None,
+                   help="HF dir of a small draft Llama sharing the "
+                        "tokenizer ('toy' = random tiny draft): enables "
+                        "speculative decoding inside the pool")
+    p.add_argument("--gamma", type=int, default=4)
     # sampling (engine-level; one server per sampling config)
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--temperature", type=float, default=0.7)

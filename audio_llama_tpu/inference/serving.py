@@ -44,6 +44,7 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..config import AudioLLMConfig
 from ..models import llama as llama_mod, lora as lora_mod
@@ -83,6 +84,19 @@ class ServingEngine:
       chunk_steps: decode steps per jitted chunk between host syncs.
       kv_quant: False/8/4 — pool cache precision (8/4 run the mono decode
         kernels on TPU; the serving configs).
+      draft_params/draft_cfg/gamma: SPECULATIVE decoding inside the pool
+        (draft-and-verify continuous batching): each chunk round drafts
+        `gamma` tokens per row with the small model and verifies them in
+        ONE multi-token target forward; rows accept divergent prefixes
+        per round via the same per-row cache-offset primitive the plain
+        pool uses (stale rejected slots are overwritten before they can
+        be attended — slot-causality handles speculation natively).
+        Greedy mode is lossless: token-exact vs the non-speculative pool
+        regardless of the draft (tests/test_spec_serving.py). Admission
+        additionally prefills the draft cache from the TEXT prompt (audio
+        conditioning stays target-only, as in generate_speculative).
+        chunk_steps then counts ROUNDS (1..gamma+1 tokens each). Not yet
+        composable with mesh=.
       mesh/dp_axis: shard the POOL ROWS over a mesh axis (multi-chip
         serving). The decode chunk and the pool-splice run in shard_map
         with per-device local shapes (weights replicated, rows split —
@@ -118,6 +132,9 @@ class ServingEngine:
         seed: int = 0,
         mesh=None,
         dp_axis: str = "dp",
+        draft_params: Optional[dict] = None,
+        draft_cfg=None,
+        gamma: int = 4,
     ):
         self.frozen = frozen
         self.trainable = trainable
@@ -136,6 +153,20 @@ class ServingEngine:
         self.audio_start_id = audio_start_id
         self.audio_end_id = audio_end_id
         self.attn_impl = attn_impl
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.gamma = gamma
+        if draft_params is not None:
+            if draft_cfg is None:
+                raise ValueError("draft_params needs draft_cfg")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "speculative pool does not yet compose with mesh="
+                )
+            if draft_cfg.vocab_size != cfg.llama.vocab_size:
+                raise ValueError("draft and target must share the vocabulary")
+            if gamma < 1:
+                raise ValueError("gamma must be >= 1")
         self.mesh = mesh
         self.dp_axis = dp_axis
         if mesh is not None:
@@ -161,18 +192,7 @@ class ServingEngine:
             cfg.llama, rows, max_len, dtype=compute_dtype, quantized=kv_quant
         )
         self.max_len = cache.k.shape[3]  # tile-rounded
-        # Device state: cache + per-row (offset, last token, active flag,
-        # remaining budget). offsets double as RoPE positions (left-aligned
-        # single streams).
-        self._state = {
-            "cache": cache,
-            "offsets": jnp.zeros((rows,), jnp.int32),
-            "last_tok": jnp.full((rows,), pad_id, jnp.int32),
-            "active": jnp.zeros((rows,), jnp.bool_),
-            "remaining": jnp.zeros((rows,), jnp.int32),
-        }
-
-        self._state = self._place_state(self._state)
+        self._state = self._zero_state()
 
         self._rows: List[_Row] = [_Row() for _ in range(rows)]
         self._queue: List[_Pending] = []
@@ -185,14 +205,14 @@ class ServingEngine:
     # row sharding (multi-chip pool)
     # ------------------------------------------------------------------
 
-    def _state_specs(self):
+    def _state_specs(self, state=None):
         """PartitionSpec pytree for the pool state: cache slabs shard
         their batch axis (axis 1), per-row vectors shard axis 0, the
         cache length scalar replicates."""
         from jax.sharding import PartitionSpec as P
 
         dp = self.dp_axis
-        c = self._state["cache"]
+        c = (self._state if state is None else state)["cache"]
         slab = lambda a: None if a is None else P(None, dp)  # noqa: E731
         cache_spec = llama_mod.KVCache(
             k=slab(c.k), v=slab(c.v), length=P(),
@@ -211,7 +231,7 @@ class ServingEngine:
             return state
         from jax.sharding import NamedSharding
 
-        specs = self._state_specs()
+        specs = self._state_specs(state)
         # None leaves (e.g. KVCache.v in int4 mode) are empty subtrees in
         # both pytrees, so tree.map never sees them.
         return jax.tree.map(
@@ -223,20 +243,34 @@ class ServingEngine:
     # public API
     # ------------------------------------------------------------------
 
-    def reset(self, seed: int = 0):
-        """Clear pool state and host bookkeeping, keeping the compiled
-        programs (benchmark warm-up / multi-tenant reuse)."""
+    def _zero_state(self):
+        """Fresh pool device state: cache + per-row (offset, last token,
+        active flag, remaining budget). offsets double as RoPE positions
+        (left-aligned single streams). Speculative pools add the draft
+        cache + its per-row offsets."""
         cache = llama_mod.KVCache.zeros(
             self.cfg.llama, self.rows, self.max_len,
             dtype=self.compute_dtype, quantized=self.kv_quant,
         )
-        self._state = self._place_state({
+        state = {
             "cache": cache,
             "offsets": jnp.zeros((self.rows,), jnp.int32),
             "last_tok": jnp.full((self.rows,), self.pad_id, jnp.int32),
             "active": jnp.zeros((self.rows,), jnp.bool_),
             "remaining": jnp.zeros((self.rows,), jnp.int32),
-        })
+        }
+        if self.draft_params is not None:
+            state["d_cache"] = llama_mod.KVCache.zeros(
+                self.draft_cfg, self.rows, self.max_len,
+                dtype=self.compute_dtype, quantized=self.kv_quant,
+            )
+            state["d_offsets"] = jnp.zeros((self.rows,), jnp.int32)
+        return self._place_state(state)
+
+    def reset(self, seed: int = 0):
+        """Clear pool state and host bookkeeping, keeping the compiled
+        programs (benchmark warm-up / multi-tenant reuse)."""
+        self._state = self._zero_state()
         self._rows = [_Row() for _ in range(self.rows)]
         self._queue = []
         self._results = {}
@@ -289,7 +323,13 @@ class ServingEngine:
         self._admit_pending()
         if not any(not r.free for r in self._rows):
             return
-        emit, fire = self._decode_chunk()
+        if self.draft_params is not None:
+            self._harvest_spec(*self._decode_chunk_spec())
+        else:
+            self._harvest(*self._decode_chunk())
+        self._retire_rows()
+
+    def _harvest(self, emit, fire):
         emit = np.asarray(emit)  # [K, R]
         fire = np.asarray(fire)
         for r, row in enumerate(self._rows):
@@ -302,6 +342,31 @@ class ServingEngine:
                 row.emitted.append(tok)
                 if tok == self.eos_id or len(row.emitted) >= row.budget:
                     break
+
+    def _harvest_spec(self, emit, n_emit):
+        emit = np.asarray(emit)  # [K, R, gamma+1] per-round token blocks
+        n_emit = np.asarray(n_emit)  # [K, R]
+        for r, row in enumerate(self._rows):
+            if row.free:
+                continue
+            stop = False
+            for s in range(emit.shape[0]):
+                for j in range(int(n_emit[s, r])):
+                    tok = int(emit[s, r, j])
+                    row.emitted.append(tok)
+                    if (
+                        tok == self.eos_id
+                        or len(row.emitted) >= row.budget
+                    ):
+                        stop = True
+                        break
+                if stop:
+                    break
+
+    def _retire_rows(self):
+        for r, row in enumerate(self._rows):
+            if row.free:
+                continue
             if (row.emitted and row.emitted[-1] == self.eos_id) or (
                 len(row.emitted) >= row.budget
             ):
@@ -362,8 +427,11 @@ class ServingEngine:
                 # rows splice in whole) alongside the generation budget.
                 tb = self._pick_bucket(len(req.input_ids))
                 comb_b = -(-self._combined_len(tb, has_audio) // 32) * 32
+                # speculative verify appends up to gamma slots past the
+                # final accepted offset — reserve them
+                extra = 0 if self.draft_params is None else self.gamma
                 if (
-                    comb + req.max_new_tokens > self.max_len
+                    comb + req.max_new_tokens + extra > self.max_len
                     or comb_b > self.max_len
                 ):
                     raise ValueError("request does not fit the pool")
@@ -439,9 +507,29 @@ class ServingEngine:
             )  # [1, 1, D]
             logits = llama_mod.unembed(frozen["llama"], cfg.llama, last, cdt)
             tok0 = eng._sample(logits[:, 0], key)[0]
-            return fresh, real, tok0
+            if eng.draft_params is None:
+                return fresh, real, tok0
+            # draft prefill over the TEXT prompt only (audio conditioning
+            # is target-side; the draft merely proposes — lossless either
+            # way in greedy mode, acceptance rate is what audio affects)
+            d_fresh = llama_mod.KVCache.zeros(
+                eng.draft_cfg, 1, ids.shape[1], dtype=cdt,
+                quantized=eng.kv_quant,
+            )
+            Tkd = d_fresh.k.shape[3]
+            dm = jnp.pad(
+                mask.astype(jnp.int32), ((0, 0), (0, Tkd - mask.shape[1]))
+            )
+            _, d_fresh = llama_mod.llama_forward(
+                eng.draft_params, eng.draft_cfg, input_ids=ids,
+                attention_mask=dm, kv_cache=d_fresh, compute_dtype=cdt,
+                assume_fresh_cache=True,
+            )
+            d_text = jnp.sum(mask, axis=1).astype(jnp.int32)[0]
+            return fresh, real, tok0, d_fresh, d_text
 
-        def insert(state, fresh, real, tok0, row, max_new):
+        def insert(state, fresh, real, tok0, row, max_new,
+                   d_fresh=None, d_text=None):
             cache = state["cache"]
             if eng.mesh is None:
                 loc, in_r = row, None
@@ -483,13 +571,26 @@ class ServingEngine:
                     v = jnp.where(in_r, v, cur)
                 return jax.lax.dynamic_update_slice(a, v, (loc,))
 
-            return {
+            out = {
                 "cache": cache,
                 "offsets": one(state["offsets"], real),
                 "last_tok": one(state["last_tok"], tok0),
                 "active": one(state["active"], True),
                 "remaining": one(state["remaining"], max_new - 1),
             }
+            if d_fresh is not None:
+                dc = state["d_cache"]
+                out["d_cache"] = llama_mod.KVCache(
+                    k=put(dc.k, d_fresh.k),
+                    v=put(dc.v, d_fresh.v) if dc.v is not None else None,
+                    length=dc.length,
+                    k_scale=put(dc.k_scale, d_fresh.k_scale)
+                    if dc.k_scale is not None else None,
+                    v_scale=put(dc.v_scale, d_fresh.v_scale)
+                    if dc.v_scale is not None else None,
+                )
+                out["d_offsets"] = one(state["d_offsets"], d_text)
+            return out
 
         prefill_fn = jax.jit(prefill)
         if eng.mesh is None:
@@ -518,8 +619,8 @@ class ServingEngine:
             else:
                 feats = None
                 row, max_new, key = rest
-            fresh, real, tok0 = prefill_fn(ids, mask, feats, key)
-            return insert_fn(state, fresh, real, tok0, row, max_new)
+            res = prefill_fn(ids, mask, feats, key)
+            return insert_fn(state, *res[:3], row, max_new, *res[3:])
 
         self._admit_fns[keyfn] = admit
         return admit
@@ -609,3 +710,195 @@ class ServingEngine:
         self._key, k = jax.random.split(self._key)
         self._state, emit, fire = self._chunk_fn(self._state, k)
         return emit, fire
+
+    def _decode_chunk_spec(self):
+        """chunk_steps ROUNDS of draft-gamma + one-forward verify over the
+        pool. Per round each row emits its carried token + the accepted
+        draft prefix (1..gamma+1 tokens) and carries the corrected/bonus
+        token; target/draft offsets advance by the emission count, so
+        rejected rows' stale cache slots are overwritten before becoming
+        attendable (the pool's slot-causal invariant — no rewinds). The
+        algorithm is generate_speculative_batched's, restated over pool
+        state; greedy mode is lossless per row.
+
+        Returns (emit [K, R, gamma+1], n_emit [K, R])."""
+        if self._chunk_fn is None:
+            frozen, cfg = self.frozen, self.cfg
+            dparams, dcfg = self.draft_params, self.draft_cfg
+            lora = self._lora
+            cdt = self.compute_dtype
+            gamma = self.gamma
+            eng = self
+
+            def probs(logits):
+                return sampling.filtered_probs(
+                    logits, temperature=eng.temperature, top_p=eng.top_p,
+                    top_k=eng.top_k,
+                )
+
+            def greedy_tok(logits):
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            def chunk(state, key):
+                R = eng.rows
+
+                def round_step(carry, k_round):
+                    (t_cache, d_cache, offs, d_offs, last_tok, active,
+                     remaining) = carry
+
+                    # ----- draft proposes gamma tokens -----
+                    def d_step(c, i):
+                        dc, tok = c
+                        logits, dc = llama_mod.llama_forward(
+                            dparams, dcfg, input_ids=tok[:, None],
+                            positions=(d_offs + i)[:, None],
+                            kv_cache=dc, cache_offsets=d_offs + i,
+                            compute_dtype=cdt, attn_impl=eng.attn_impl,
+                        )
+                        if eng.greedy:
+                            nxt = greedy_tok(logits[:, 0])
+                            return (dc, nxt), nxt
+                        q = probs(logits[:, 0])
+                        nxt = sampling.sample_token(
+                            logits[:, 0], jax.random.fold_in(k_round, i),
+                            temperature=eng.temperature, top_p=eng.top_p,
+                            top_k=eng.top_k,
+                        )
+                        return (dc, nxt), (nxt, q)
+
+                    (d_cache, last_drafted), d_ys = lax.scan(
+                        d_step, (d_cache, last_tok), jnp.arange(gamma)
+                    )
+                    drafted = (d_ys if eng.greedy else d_ys[0]).T  # [R, g]
+                    qs = None if eng.greedy else d_ys[1]  # [g, R, V]
+                    # materialize the final drafted token's K/V (the scan
+                    # wrote K/V only for its inputs)
+                    (d_cache, _), _ = d_step((d_cache, last_drafted), gamma)
+
+                    # ----- one multi-token target verify -----
+                    block = jnp.concatenate(
+                        [last_tok[:, None], drafted], axis=1
+                    )  # [R, gamma+1]
+                    pos = offs[:, None] + jnp.arange(gamma + 1)[None, :]
+                    t_logits, t_cache = llama_mod.llama_forward(
+                        frozen["llama"], cfg.llama, input_ids=block,
+                        positions=pos, kv_cache=t_cache,
+                        cache_offsets=offs, lora=lora,
+                        compute_dtype=cdt, attn_impl=eng.attn_impl,
+                    )  # [R, gamma+1, V]
+                    if eng.greedy:
+                        t_next = greedy_tok(t_logits)  # [R, gamma+1]
+                        agree = drafted == t_next[:, :gamma]
+                    else:
+                        t_probs = probs(t_logits)
+                        q_all = jnp.transpose(qs, (1, 0, 2))  # [R, g, V]
+                        p_x = jnp.take_along_axis(
+                            t_probs[:, :gamma], drafted[..., None], axis=-1
+                        )[..., 0]
+                        q_x = jnp.take_along_axis(
+                            q_all, drafted[..., None], axis=-1
+                        )[..., 0]
+                        u = jax.random.uniform(
+                            jax.random.fold_in(k_round, gamma), (R, gamma)
+                        )
+                        agree = u * jnp.maximum(q_x, 1e-30) < p_x
+                    n_match = jnp.argmin(
+                        jnp.concatenate(
+                            [agree.astype(jnp.int32),
+                             jnp.zeros((R, 1), jnp.int32)], axis=1
+                        ),
+                        axis=1,
+                    ).astype(jnp.int32)  # [R]
+                    if eng.greedy:
+                        fix = jnp.take_along_axis(
+                            t_next, n_match[:, None], axis=1
+                        )[:, 0]
+                    else:
+                        # Leviathan residual (or bonus when all accepted)
+                        p_r = jnp.take_along_axis(
+                            t_probs, n_match[:, None, None], axis=1
+                        )[:, 0]
+                        q_r = jnp.take_along_axis(
+                            q_all,
+                            jnp.minimum(n_match, gamma - 1)[:, None, None],
+                            axis=1,
+                        )[:, 0]
+                        q_r = jnp.where((n_match < gamma)[:, None], q_r, 0.0)
+                        res = jnp.maximum(p_r - q_r, 0.0)
+                        rs = jnp.sum(res, axis=1, keepdims=True)
+                        res = jnp.where(
+                            rs > 0, res / jnp.maximum(rs, 1e-30), p_r
+                        )
+                        fix = jax.random.categorical(
+                            jax.random.fold_in(k_round, gamma + 1),
+                            jnp.where(
+                                res > 0,
+                                jnp.log(jnp.maximum(res, 1e-30)),
+                                -jnp.inf,
+                            ),
+                            axis=-1,
+                        ).astype(jnp.int32)
+
+                    # emitted this round: carried token + accepted prefix
+                    # (block[:, :n_match+1]); fix becomes the next carry —
+                    # EXCEPT when this round exhausts the budget, where fix
+                    # is the final token and ships in the extra column
+                    # (otherwise it would be counted but never delivered)
+                    n_raw = n_match + 1
+                    cols = jnp.arange(gamma + 1)[None, :]
+                    valid = cols < n_raw[:, None]
+                    block_eos = jnp.any(
+                        (block == eng.eos_id) & valid, axis=1
+                    )
+                    remaining = jnp.where(
+                        active, remaining - n_raw, remaining
+                    )
+                    spent = (remaining <= 0) & ~block_eos
+                    done = block_eos | (remaining <= 0)
+                    n_emit = jnp.where(
+                        active, n_raw + spent.astype(jnp.int32), 0
+                    )
+                    # [R, gamma+2]: accepted prefix, then fix at col n_raw
+                    # (harvest reads columns 0..n_emit-1 contiguously)
+                    ext = jnp.concatenate(
+                        [block, jnp.zeros((R, 1), jnp.int32)], axis=1
+                    )
+                    cols2 = jnp.arange(gamma + 2)[None, :]
+                    emit_block = jnp.where(
+                        cols2 == n_raw[:, None], fix[:, None], ext
+                    )
+                    nxt_active = active & ~done
+                    # physical offsets advance past every VERIFIED slot
+                    # (carry + accepted), not past a budget-final fix whose
+                    # K/V was never appended
+                    adv = jnp.where(active, n_raw, 0)
+                    offs = offs + adv
+                    d_offs = d_offs + adv
+                    last_tok = jnp.where(nxt_active, fix, last_tok)
+                    return (
+                        (t_cache, d_cache, offs, d_offs, last_tok,
+                         nxt_active, remaining),
+                        (emit_block, n_emit),
+                    )
+
+                keys = jax.random.split(key, eng.chunk_steps)
+                carry = (
+                    state["cache"], state["d_cache"], state["offsets"],
+                    state["d_offsets"], state["last_tok"],
+                    state["active"], state["remaining"],
+                )
+                carry, (emit, n_emit) = lax.scan(round_step, carry, keys)
+                (t_cache, d_cache, offs, d_offs, last_tok, active,
+                 remaining) = carry
+                return {
+                    "cache": t_cache, "d_cache": d_cache,
+                    "offsets": offs, "d_offsets": d_offs,
+                    "last_tok": last_tok, "active": active,
+                    "remaining": remaining,
+                }, emit, n_emit
+
+            self._chunk_fn = jax.jit(chunk, donate_argnums=(0,))
+
+        self._key, k = jax.random.split(self._key)
+        self._state, emit, n_emit = self._chunk_fn(self._state, k)
+        return emit, n_emit

@@ -106,10 +106,20 @@ def main():
     )
     args = ap.parse_args()
 
+    import os
+
     import jax
 
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
+    # Persistent compiled-executable cache: works through the axon remote-
+    # compile tunnel (verified round 3), so multi-minute flagship compiles
+    # survive the tunnel's occasional mid-compile broken pipes — a retry
+    # re-uses every program that finished. Opt out with
+    # JAX_COMPILATION_CACHE_DIR="".
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
 
     if args.mode == "decode":
         return run_decode(args)

@@ -70,9 +70,11 @@ class EngineRunner:
     """Thread-safe facade over ServingEngine: handler threads stage
     requests; a single loop thread owns every engine (device) call."""
 
-    def __init__(self, engine, poll_interval: float = 0.05):
+    def __init__(self, engine, poll_interval: float = 0.05,
+                 max_queue: int = 256):
         self.engine = engine
         self._poll = poll_interval
+        self.max_queue = max_queue
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
         self._staging: List[tuple] = []  # (future, ids, feats, max_new)
@@ -97,6 +99,15 @@ class EngineRunner:
         with self._cv:
             if self._stop:
                 fut.error = "server shutting down"
+                fut.event.set()
+                fut._emit(None)
+                return fut
+            # back-pressure: bound host-side memory under overload
+            if (
+                len(self._staging) + len(self.engine._queue)
+                >= self.max_queue
+            ):
+                fut.error = "server overloaded: queue full"
                 fut.event.set()
                 fut._emit(None)
                 return fut
@@ -333,7 +344,12 @@ class AudioLLMServer:
         if not fut.event.wait(self.request_timeout):
             return 504, {"error": "generation timed out"}
         if fut.error is not None:
-            code = 503 if "shutting down" in fut.error else 400
+            if "shutting down" in fut.error:
+                code = 503
+            elif "overloaded" in fut.error:
+                code = 429
+            else:
+                code = 400
             return code, {"error": fut.error}
         out = {
             "tokens": [int(t) for t in fut.tokens],
@@ -435,6 +451,9 @@ class AudioLLMServer:
                     code, res = server._start_stream(body)
                     if code != 200:
                         self._send(code, res)
+                    elif res.error is not None:  # rejected before start
+                        code = 503 if "shutting down" in res.error else 429
+                        self._send(code, {"error": res.error})
                     else:
                         self._stream(res)
                     return
@@ -524,7 +543,7 @@ def build_server(args) -> AudioLLMServer:
         draft_cfg=draft_cfg,
         gamma=args.gamma,
     )
-    runner = EngineRunner(engine)
+    runner = EngineRunner(engine, max_queue=args.max_queue)
     return AudioLLMServer(
         runner, cfg, tokenizer=tk, host=args.host, port=args.port,
         request_timeout=args.request_timeout,
@@ -551,6 +570,8 @@ def parse_args(argv=None):
                    help="shard pool rows over the first N devices "
                         "(multi-chip serving; rows must be a multiple)")
     p.add_argument("--rows", type=int, default=32)
+    p.add_argument("--max_queue", type=int, default=256,
+                   help="reject (429) once this many requests are queued")
     p.add_argument("--max_len", type=int, default=2048)
     p.add_argument("--prefill_buckets", type=int, nargs="+",
                    default=[128, 256, 512, 1024])

@@ -210,6 +210,17 @@ def test_streaming_bad_request_is_plain_json(server):
     assert code == 400 and "prompt" in out["error"]
 
 
+def test_queue_backpressure(model):
+    tk = ByteTokenizer()
+    runner = EngineRunner(_engine(model, tk), max_queue=1)  # not started
+    f1 = runner.submit(np.asarray([1, 2], np.int32), None, 2)
+    f2 = runner.submit(np.asarray([1, 2], np.int32), None, 2)
+    assert not f1.event.is_set()  # first request queued normally
+    assert f2.event.is_set() and "overloaded" in f2.error
+    runner.stop(timeout=0.5)
+    assert "shutting down" in f1.error
+
+
 def test_stop_fails_inflight_requests(model):
     tk = ByteTokenizer()
     runner = EngineRunner(_engine(model, tk), poll_interval=0.01)

@@ -231,7 +231,7 @@ class EngineRunner:
         }
 
     def stats(self) -> dict:
-        return {
+        out = {
             "uptime_s": round(time.time() - self.started_at, 1),
             "requests": self.n_requests,
             "completed": self.n_completed,
@@ -242,6 +242,18 @@ class EngineRunner:
             "chunk_steps": self.engine.chunk_steps,
             "kv_quant": self.engine.kv_quant,
         }
+        eng = self.engine
+        if eng.draft_params is not None:
+            out["gamma"] = eng.gamma
+            out["spec_rounds"] = eng.spec_rounds
+            out["spec_emitted"] = eng.spec_emitted
+            if eng.spec_rounds:
+                out["spec_acceptance"] = round(
+                    (eng.spec_emitted - eng.spec_rounds)
+                    / (eng.spec_rounds * eng.gamma),
+                    4,
+                )
+        return out
 
 
 class AudioLLMServer:

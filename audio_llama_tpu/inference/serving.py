@@ -197,6 +197,10 @@ class ServingEngine:
         self._rows: List[_Row] = [_Row() for _ in range(rows)]
         self._queue: List[_Pending] = []
         self._results: Dict[int, List[int]] = {}
+        # speculation telemetry: lifetime active verify rounds and tokens
+        # they emitted; acceptance ~= (emitted - rounds) / (rounds * gamma)
+        self.spec_rounds = 0
+        self.spec_emitted = 0
         self._next_rid = 0
         self._admit_fns: Dict = {}  # (bucket, has_audio) -> jitted admit
         self._chunk_fn = None
@@ -344,8 +348,10 @@ class ServingEngine:
                     break
 
     def _harvest_spec(self, emit, n_emit):
-        emit = np.asarray(emit)  # [K, R, gamma+1] per-round token blocks
+        emit = np.asarray(emit)  # [K, R, gamma+2] per-round token blocks
         n_emit = np.asarray(n_emit)  # [K, R]
+        self.spec_rounds += int((n_emit > 0).sum())
+        self.spec_emitted += int(n_emit.sum())
         for r, row in enumerate(self._rows):
             if row.free:
                 continue

@@ -82,12 +82,14 @@ def test_self_draft_matches_plain_pool(model):
     frozen, _ = model
     reqs = _workload()
     ref = _run(_engine(model), reqs)
-    got = _run(
-        _engine(model, draft_params=frozen["llama"], draft_cfg=CFG.llama,
-                gamma=3),
-        reqs,
-    )
+    eng = _engine(model, draft_params=frozen["llama"], draft_cfg=CFG.llama,
+                  gamma=3)
+    got = _run(eng, reqs)
     assert got == ref
+    # telemetry: a self-draft accepts everything
+    assert eng.spec_rounds > 0
+    acc = (eng.spec_emitted - eng.spec_rounds) / (eng.spec_rounds * 3)
+    assert acc >= 0.95
 
 
 def test_independent_draft_lossless(model, draft):

@@ -87,6 +87,7 @@ class EngineRunner:
         self.n_completed = 0
         self.n_tokens = 0
         self.n_chunks = 0
+        self.n_errors = 0
 
     # ---- handler-thread side ----
 
@@ -154,6 +155,7 @@ class EngineRunner:
                     not self._stop
                     and not self._staging
                     and not self._has_live_rows()
+                    and not self.engine._queue  # admissions still pending
                 ):
                     self._cv.wait(self._poll)
                 if self._stop:
@@ -169,6 +171,7 @@ class EngineRunner:
                 self.n_chunks += 1
             except Exception as e:  # engine bug/device error: fail loudly
                 logger.exception("engine loop error")
+                self.n_errors += 1
                 for fut, *_ in staged:
                     if not fut.event.is_set():
                         fut.error = f"engine error: {e}"
@@ -180,6 +183,14 @@ class EngineRunner:
                         fut.event.set()
                         fut._emit(None)
                 self._futures = {}
+                # the failed step may have consumed (donated) the pool
+                # state and leaves host rows live — rebuild both, or every
+                # retry spins on a dead pool
+                try:
+                    eng.reset()
+                except Exception:
+                    logger.exception("engine reset after error failed")
+                time.sleep(min(2.0 ** min(self.n_errors, 4), 10.0))
                 continue
             self._stream_live()
             self._deliver_finished()
@@ -228,6 +239,7 @@ class EngineRunner:
             "rows": self.engine.rows,
             "live": sum(not r.free for r in self.engine._rows),
             "queued": len(self.engine._queue) + len(self._staging),
+            "errors": self.n_errors,
         }
 
     def stats(self) -> dict:
@@ -342,7 +354,9 @@ class AudioLLMServer:
         stream_q yields per-chunk token deltas then a None terminator."""
         try:
             ids, feats, max_new = self._prepare(body)
-        except ValueError as e:
+        except (ValueError, TypeError, KeyError, OSError) as e:
+            # OSError: unreadable audio_path; Type/KeyError: malformed
+            # fields — all client errors, never a dropped socket
             return 400, {"error": str(e)}
         return 200, self.runner.submit(ids, feats, max_new, stream=True)
 
@@ -350,7 +364,7 @@ class AudioLLMServer:
         """-> (status, payload)"""
         try:
             ids, feats, max_new = self._prepare(body)
-        except ValueError as e:
+        except (ValueError, TypeError, KeyError, OSError) as e:
             return 400, {"error": str(e)}
         fut = self.runner.submit(ids, feats, max_new)
         if not fut.event.wait(self.request_timeout):

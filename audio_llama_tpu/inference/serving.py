@@ -37,7 +37,6 @@ sampling params would retrace per combination; run one engine per config.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -188,10 +187,9 @@ class ServingEngine:
         if trainable is not None and "lora" in trainable and cfg.lora is not None:
             self._lora = lora_mod.with_scaling(trainable["lora"], cfg.lora)
 
-        cache = llama_mod.KVCache.zeros(
-            cfg.llama, rows, max_len, dtype=compute_dtype, quantized=kv_quant
-        )
-        self.max_len = cache.k.shape[3]  # tile-rounded
+        # sized arithmetically — allocating a throwaway pool cache here
+        # would double peak HBM next to _zero_state()'s real one
+        self.max_len = llama_mod.KVCache.rounded_len(max_len)
         self._state = self._zero_state()
 
         self._rows: List[_Row] = [_Row() for _ in range(rows)]
@@ -201,6 +199,7 @@ class ServingEngine:
         # they emitted; acceptance ~= (emitted - rounds) / (rounds * gamma)
         self.spec_rounds = 0
         self.spec_emitted = 0
+        self._audio_block_lens: Dict[tuple, int] = {}
         self._next_rid = 0
         self._admit_fns: Dict = {}  # (bucket, has_audio) -> jitted admit
         self._chunk_fn = None
@@ -278,6 +277,8 @@ class ServingEngine:
         self._rows = [_Row() for _ in range(self.rows)]
         self._queue = []
         self._results = {}
+        self.spec_rounds = 0
+        self.spec_emitted = 0
         self._key = jax.random.PRNGKey(seed)
 
     def submit(
@@ -383,19 +384,19 @@ class ServingEngine:
     # admission
     # ------------------------------------------------------------------
 
-    def _combined_len(self, n_text: int, has_audio: bool) -> int:
-        if not has_audio:
-            return n_text
-        if self._audio_block_len is None:
-            raise RuntimeError("audio length unresolved")
-        return n_text + self._audio_block_len
-
-    _audio_block_len: Optional[int] = None
+    @staticmethod
+    def _combined_len(n_text: int, block_len: Optional[int]) -> int:
+        """Prompt timeline length: text tokens plus the audio embedding
+        block (None for text-only requests)."""
+        return n_text if block_len is None else n_text + block_len
 
     def _resolve_audio_len(self, feat_shape) -> int:
         """Audio embedding block length (enc frames + 2 delimiters) via
-        eval_shape — no compute, resolved once."""
-        if self._audio_block_len is None:
+        eval_shape — no compute; cached PER FEATURE SHAPE (chunked long
+        audio yields N x 30 s windows with N-dependent block lengths, so
+        a single cached value would under-reserve longer requests)."""
+        key = tuple(feat_shape)
+        if key not in self._audio_block_lens:
             def f(feats):
                 e, _ = build_prefix(
                     self.frozen, self.trainable, self.cfg,
@@ -405,10 +406,10 @@ class ServingEngine:
                 )
                 return e
             shape = jax.eval_shape(
-                f, jax.ShapeDtypeStruct((1,) + tuple(feat_shape), jnp.float32)
+                f, jax.ShapeDtypeStruct((1,) + key, jnp.float32)
             )
-            self._audio_block_len = shape.shape[1] - 1
-        return self._audio_block_len
+            self._audio_block_lens[key] = shape.shape[1] - 1
+        return self._audio_block_lens[key]
 
     def _pick_bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -424,15 +425,17 @@ class ServingEngine:
         while free and self._queue:
             req = self._queue[0]
             has_audio = req.audio_features is not None
-            if has_audio:
+            blk = (
                 self._resolve_audio_len(req.audio_features.shape)
-            comb = self._combined_len(len(req.input_ids), has_audio)
+                if has_audio else None
+            )
+            comb = self._combined_len(len(req.input_ids), blk)
             try:
                 # bucket over the TEXT length; audio is a fixed-size prefix.
                 # The BUCKETED prefill timeline must also fit the pool (its
                 # rows splice in whole) alongside the generation budget.
                 tb = self._pick_bucket(len(req.input_ids))
-                comb_b = -(-self._combined_len(tb, has_audio) // 32) * 32
+                comb_b = -(-self._combined_len(tb, blk) // 32) * 32
                 # speculative verify appends up to gamma slots past the
                 # final accepted offset — reserve them
                 extra = 0 if self.draft_params is None else self.gamma
@@ -727,7 +730,8 @@ class ServingEngine:
         algorithm is generate_speculative_batched's, restated over pool
         state; greedy mode is lossless per row.
 
-        Returns (emit [K, R, gamma+1], n_emit [K, R])."""
+        Returns (emit [K, R, gamma+2], n_emit [K, R]) — the +2nd column
+        carries the budget-final fix token (spliced at col n_raw)."""
         if self._chunk_fn is None:
             frozen, cfg = self.frozen, self.cfg
             dparams, dcfg = self.draft_params, self.draft_cfg

@@ -160,6 +160,12 @@ class KVCache(NamedTuple):
             return 16
         return 4 if self.v is None else 8
 
+    @staticmethod
+    def rounded_len(max_len: int) -> int:
+        """Timeline slots after the 32-sublane tile rounding zeros()
+        applies — lets callers size bookkeeping without allocating."""
+        return -(-max_len // 32) * 32
+
     @classmethod
     def zeros(cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
               kv_heads: int | None = None, quantized=False):
@@ -170,7 +176,7 @@ class KVCache(NamedTuple):
         # for tensor-parallel shards (num_kv_heads / tp local heads).
         # quantized: False (store `dtype`), True or 8 (int8 rows), 4
         # (nibble-packed int4 rows — k/v trailing dim becomes hd//2).
-        max_len = -(-max_len // 32) * 32
+        max_len = cls.rounded_len(max_len)
         heads = kv_heads if kv_heads is not None else cfg.num_kv_heads
         shape = (cfg.num_layers, batch, heads, max_len, cfg.head_dim)
         if quantized == 4:

@@ -210,6 +210,35 @@ def test_streaming_bad_request_is_plain_json(server):
     assert code == 400 and "prompt" in out["error"]
 
 
+def test_queued_request_drains_after_pool_retires(model):
+    """Regression (review r3): requests queued behind a full pool must
+    complete even when every admitted row retires in the same chunk —
+    the loop's idle wait must also wake on a non-empty engine queue."""
+    tk = ByteTokenizer()
+    runner = EngineRunner(_engine(model, tk), poll_interval=0.01)
+    # stage all three BEFORE the loop starts: lockstep admission of 2
+    # rows + 1 queued, both rows retire within one chunk (budget 3 < 4)
+    futs = [
+        runner.submit(np.asarray([1, 10 + i], np.int32), None, 3)
+        for i in range(3)
+    ]
+    runner.start()
+    try:
+        for f in futs:
+            assert f.event.wait(180), "queued request never completed"
+            assert f.error is None and f.tokens
+    finally:
+        runner.stop()
+
+
+def test_missing_audio_file_is_client_error(server):
+    code, out = _post(
+        server.port, "/v1/generate",
+        {"prompt_ids": [1, 2], "audio_path": "/nonexistent/a.wav"},
+    )
+    assert code == 400
+
+
 def test_queue_backpressure(model):
     tk = ByteTokenizer()
     runner = EngineRunner(_engine(model, tk), max_queue=1)  # not started

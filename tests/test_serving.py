@@ -124,6 +124,21 @@ def test_kernel_path_matches_xla(model):
         assert ref[a] == out[b]
 
 
+def test_audio_block_len_cached_per_shape(model):
+    """Regression (review r3): chunked long audio has N-dependent block
+    lengths — a single cached value would under-reserve longer requests."""
+    cfg, frozen, trainable = model
+    eng = _engine(model)
+    # long audio arrives as whole-window waveforms [N*S] (server contract)
+    S = cfg.mel.max_samples
+    one = eng._resolve_audio_len((S,))
+    two = eng._resolve_audio_len((2 * S,))
+    assert two > one
+    assert len(eng._audio_block_lens) == 2
+    # combined length uses the per-request value
+    assert eng._combined_len(5, two) == 5 + two
+
+
 def test_audio_request_matches_generate(model):
     cfg, frozen, trainable = model
     rng = np.random.default_rng(4)

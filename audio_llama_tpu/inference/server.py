@@ -21,11 +21,16 @@ Endpoints (JSON in/out):
   POST /v1/generate  {"prompt": str} or {"prompt_ids": [int]},
                      optional {"audio_path": str (server-visible file),
                      "max_new_tokens": int (default 64),
+                     "prefix_id": int (a /v1/prefix handle — prompt is
+                     then the suffix continuing that cached prefix),
                      "stream": bool (default false)}
                      -> {"tokens", "text"?, "n_tokens"}
                      (400 on bad input / oversized prompt, 503 on shutdown)
                      stream=true: chunked NDJSON — {"tokens": [...]} per
                      decode chunk, then {"done": true, "n_tokens", "text"?}
+  POST /v1/prefix    {"prompt"|"prompt_ids", "audio_path"?} -> register a
+                     shared prompt prefix (its KV computed once); returns
+                     {"prefix_id"} for reuse in /v1/generate
   GET  /healthz      -> {"ok": true, "rows", "live", "queued"}
   GET  /v1/stats     -> lifetime counters (requests, tokens, chunks, uptime)
 
@@ -55,6 +60,7 @@ class _Future:
     event: threading.Event = field(default_factory=threading.Event)
     tokens: Optional[List[int]] = None
     error: Optional[str] = None
+    pid: Optional[int] = None  # prefix-registration result
     # streaming: the engine thread puts per-chunk token deltas (List[int])
     # here as rows decode; None terminates the stream (then read
     # tokens/error for the final state). n_streamed tracks delivery.
@@ -77,7 +83,8 @@ class EngineRunner:
         self.max_queue = max_queue
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
-        self._staging: List[tuple] = []  # (future, ids, feats, max_new)
+        self._staging: List[tuple] = []  # (future, ids, feats, max_new, pfx)
+        self._prefix_reqs: List[tuple] = []  # (future, ids, feats)
         self._futures: Dict[int, _Future] = {}  # rid -> future
         self._stop = False
         self._thread: Optional[threading.Thread] = None
@@ -92,7 +99,8 @@ class EngineRunner:
     # ---- handler-thread side ----
 
     def submit(
-        self, ids: np.ndarray, feats, max_new: int, stream: bool = False
+        self, ids: np.ndarray, feats, max_new: int, stream: bool = False,
+        prefix: Optional[int] = None,
     ) -> _Future:
         fut = _Future()
         if stream:
@@ -100,6 +108,13 @@ class EngineRunner:
         with self._cv:
             if self._stop:
                 fut.error = "server shutting down"
+                fut.event.set()
+                fut._emit(None)
+                return fut
+            # validate HERE (handler thread): a bad handle raising inside
+            # the loop's staged batch would fail unrelated requests
+            if prefix is not None and prefix not in self.engine._prefixes:
+                fut.error = f"unknown prefix_id {prefix}"
                 fut.event.set()
                 fut._emit(None)
                 return fut
@@ -112,9 +127,28 @@ class EngineRunner:
                 fut.event.set()
                 fut._emit(None)
                 return fut
-            self._staging.append((fut, ids, feats, max_new))
+            self._staging.append((fut, ids, feats, max_new, prefix))
             self.n_requests += 1
             self._cv.notify()
+        return fut
+
+    def register_prefix(
+        self, ids: np.ndarray, feats, timeout: float = 600.0
+    ) -> _Future:
+        """Stage a prefix registration; the engine thread performs it
+        (device prefill + possible compile) between chunks. Blocks until
+        done or timeout; read .pid / .error off the returned future."""
+        fut = _Future()
+        with self._cv:
+            if self._stop:
+                fut.error = "server shutting down"
+                fut.event.set()
+                return fut
+            self._prefix_reqs.append((fut, ids, feats))
+            self._cv.notify()
+        fut.event.wait(timeout)
+        if not fut.event.is_set():
+            fut.error = "prefix registration timed out"
         return fut
 
     # ---- engine-thread side ----
@@ -135,8 +169,10 @@ class EngineRunner:
         # fail any request still in flight
         with self._cv:
             leftovers = [f for f, *_ in self._staging]
+            leftovers += [f for f, *_ in self._prefix_reqs]
             leftovers += list(self._futures.values())
             self._staging = []
+            self._prefix_reqs = []
             self._futures = {}
         for f in leftovers:
             if not f.event.is_set():
@@ -154,6 +190,7 @@ class EngineRunner:
                 while (
                     not self._stop
                     and not self._staging
+                    and not self._prefix_reqs
                     and not self._has_live_rows()
                     and not self.engine._queue  # admissions still pending
                 ):
@@ -161,10 +198,21 @@ class EngineRunner:
                 if self._stop:
                     return
                 staged, self._staging = self._staging, []
+                preqs, self._prefix_reqs = self._prefix_reqs, []
+            # prefix registrations are self-contained (no donated pool
+            # state): failures report to their own future only
+            for fut, ids, feats in preqs:
+                try:
+                    fut.pid = eng.register_prefix(ids, audio_features=feats)
+                except Exception as e:
+                    logger.exception("prefix registration failed")
+                    fut.error = f"prefix registration failed: {e}"
+                fut.event.set()
             try:
-                for fut, ids, feats, max_new in staged:
+                for fut, ids, feats, max_new, pfx in staged:
                     rid = eng.submit(
-                        ids, audio_features=feats, max_new_tokens=max_new
+                        ids, audio_features=feats, max_new_tokens=max_new,
+                        prefix=pfx,
                     )
                     self._futures[rid] = fut
                 eng.step_chunk()
@@ -253,6 +301,8 @@ class EngineRunner:
             "prefill_buckets": list(self.engine.buckets),
             "chunk_steps": self.engine.chunk_steps,
             "kv_quant": self.engine.kv_quant,
+            "prefixes": len(self.engine._prefixes),
+            "prefix_admits": self.engine.prefix_admits,
         }
         eng = self.engine
         if eng.draft_params is not None:
@@ -311,13 +361,22 @@ class AudioLLMServer:
     # ---- request plumbing ----
 
     def _prepare(self, body: dict):
-        """(ids, feats, max_new) from a request body; raises ValueError."""
+        """(ids, feats, max_new, prefix) from a request body; raises
+        ValueError on client errors."""
         max_new = int(body.get("max_new_tokens", 64))
         if max_new < 1:
             raise ValueError("max_new_tokens must be >= 1")
+        prefix = body.get("prefix_id")
+        if prefix is not None:
+            prefix = int(prefix)
         audio_path = body.get("audio_path")
         feats = None
         if audio_path is not None:
+            if prefix is not None:
+                raise ValueError(
+                    "audio_path with prefix_id: register the audio as "
+                    "part of the prefix instead"
+                )
             from .cli import process_audio
 
             feats = process_audio(str(audio_path), self.cfg.mel)[0]  # [S]
@@ -326,7 +385,7 @@ class AudioLLMServer:
             ids = np.asarray(body["prompt_ids"], np.int32).reshape(-1)
             if ids.size == 0:
                 raise ValueError("prompt_ids is empty")
-            return ids, feats, max_new
+            return ids, feats, max_new, prefix
 
         prompt = body.get("prompt")
         if prompt is None:
@@ -347,26 +406,44 @@ class AudioLLMServer:
             )
         ids, mask = self.tokenizer.encode(prompt)
         ids = np.asarray(ids, np.int32)[np.asarray(mask, bool)]
-        return ids, feats, max_new
+        return ids, feats, max_new, prefix
+
+    def _register_prefix(self, body: dict) -> tuple:
+        """POST /v1/prefix -> (status, payload with prefix_id)."""
+        try:
+            ids, feats, _max_new, pfx = self._prepare(body)
+            if pfx is not None:
+                raise ValueError("prefix_id is not valid when registering")
+        except (ValueError, TypeError, KeyError, OSError) as e:
+            return 400, {"error": str(e)}
+        fut = self.runner.register_prefix(
+            ids, feats, timeout=self.request_timeout
+        )
+        if fut.error is not None:
+            code = 503 if "shutting down" in fut.error else 400
+            return code, {"error": fut.error}
+        return 200, {"prefix_id": fut.pid}
 
     def _start_stream(self, body: dict):
         """-> (400, payload) on bad input, else (200, _Future) whose
         stream_q yields per-chunk token deltas then a None terminator."""
         try:
-            ids, feats, max_new = self._prepare(body)
+            ids, feats, max_new, pfx = self._prepare(body)
         except (ValueError, TypeError, KeyError, OSError) as e:
             # OSError: unreadable audio_path; Type/KeyError: malformed
             # fields — all client errors, never a dropped socket
             return 400, {"error": str(e)}
-        return 200, self.runner.submit(ids, feats, max_new, stream=True)
+        return 200, self.runner.submit(
+            ids, feats, max_new, stream=True, prefix=pfx
+        )
 
     def _generate(self, body: dict) -> tuple:
         """-> (status, payload)"""
         try:
-            ids, feats, max_new = self._prepare(body)
+            ids, feats, max_new, pfx = self._prepare(body)
         except (ValueError, TypeError, KeyError, OSError) as e:
             return 400, {"error": str(e)}
-        fut = self.runner.submit(ids, feats, max_new)
+        fut = self.runner.submit(ids, feats, max_new, prefix=pfx)
         if not fut.event.wait(self.request_timeout):
             return 504, {"error": "generation timed out"}
         if fut.error is not None:
@@ -462,7 +539,7 @@ class AudioLLMServer:
                     self._send(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path != "/v1/generate":
+                if self.path not in ("/v1/generate", "/v1/prefix"):
                     self._send(404, {"error": f"no route {self.path}"})
                     return
                 try:
@@ -472,6 +549,10 @@ class AudioLLMServer:
                         raise ValueError("body must be a JSON object")
                 except (ValueError, json.JSONDecodeError) as e:
                     self._send(400, {"error": f"bad request body: {e}"})
+                    return
+                if self.path == "/v1/prefix":
+                    code, payload = server._register_prefix(body)
+                    self._send(code, payload)
                     return
                 if body.get("stream"):
                     code, res = server._start_stream(body)

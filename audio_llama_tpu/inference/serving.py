@@ -31,6 +31,14 @@ Retired rows need no cache scrubbing: a new request overwrites slots
 stale slot is either overwritten or excluded by slot-causality (kpos <=
 offset) before it can ever be attended.
 
+- PREFIX CACHING: register_prefix() computes the KV of a shared prompt
+  prefix (instruction template, or audio + instruction for multi-turn
+  audio chat) ONCE; submit(prefix=handle) then prefills only the text
+  suffix, block-appended at cache_offsets=prefix_len against the stored
+  slab — the whisper encode + projector + prefix llama prefill are
+  skipped per request (vLLM's prefix caching, restated over static
+  shapes: one compiled suffix program per (suffix bucket, prefix cap)).
+
 Sampling config (greedy/temperature/top_p/top_k) is engine-level — per-row
 sampling params would retrace per combination; run one engine per config.
 """
@@ -66,6 +74,16 @@ class _Pending:
     input_ids: np.ndarray  # [T] int32
     audio_features: Optional[np.ndarray]  # [n_mels, F] or None
     max_new_tokens: int
+    prefix: Optional[int] = None  # registered-prefix handle
+
+
+@dataclass
+class _Prefix:
+    """A registered shared prompt prefix: its KV slab (computed once) plus
+    the host bookkeeping admission needs."""
+    cache: object  # llama KVCache [L, 1, Hkv, cap, hd] (+ scales)
+    length: int  # real prompt slots (audio block + text)
+    cap: int  # slab timeline (tile-rounded)
 
 
 class ServingEngine:
@@ -199,9 +217,14 @@ class ServingEngine:
         # they emitted; acceptance ~= (emitted - rounds) / (rounds * gamma)
         self.spec_rounds = 0
         self.spec_emitted = 0
+        self.prefix_admits = 0  # lifetime prefix-cached admissions
         self._audio_block_lens: Dict[tuple, int] = {}
         self._next_rid = 0
-        self._admit_fns: Dict = {}  # (bucket, has_audio) -> jitted admit
+        self._prefixes: Dict[int, _Prefix] = {}
+        self._next_pid = 0
+        self._prefill_fns: Dict = {}  # (bucket, has_audio) -> jitted prefill
+        self._suffix_fns: Dict = {}  # (bucket, prefix cap) -> jitted prefill
+        self._insert_fn = None  # one pool-splice, retraced per slab shape
         self._chunk_fn = None
 
     # ------------------------------------------------------------------
@@ -286,17 +309,31 @@ class ServingEngine:
         input_ids,
         audio_features=None,
         max_new_tokens: int = 64,
+        prefix: Optional[int] = None,
     ) -> int:
         """Queue a request; returns its id. Tokens come back from run()/
-        drain() as a dict rid -> generated ids (EOS included if hit)."""
+        drain() as a dict rid -> generated ids (EOS included if hit).
+
+        prefix: a register_prefix handle — input_ids are then the text
+        SUFFIX continuing that prefix (audio, if any, lives in the
+        prefix; audio_features here would be a second audio block)."""
         ids = np.asarray(input_ids, np.int32).reshape(-1)
         if audio_features is not None and self.trainable is None:
             raise ValueError("audio request on a text-only engine")
+        if prefix is not None:
+            if prefix not in self._prefixes:
+                raise ValueError(f"unknown prefix handle {prefix}")
+            if audio_features is not None:
+                raise ValueError(
+                    "audio_features with prefix=: register the audio as "
+                    "part of the prefix instead"
+                )
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append(
             _Pending(rid, ids, None if audio_features is None
-                     else np.asarray(audio_features), max_new_tokens)
+                     else np.asarray(audio_features), max_new_tokens,
+                     prefix=prefix)
         )
         return rid
 
@@ -424,18 +461,26 @@ class ServingEngine:
         free = [r for r, row in enumerate(self._rows) if row.free]
         while free and self._queue:
             req = self._queue[0]
-            has_audio = req.audio_features is not None
-            blk = (
-                self._resolve_audio_len(req.audio_features.shape)
-                if has_audio else None
-            )
-            comb = self._combined_len(len(req.input_ids), blk)
+            if req.prefix is not None:
+                pfx = self._prefixes[req.prefix]
+                comb = pfx.length + len(req.input_ids)
+            else:
+                has_audio = req.audio_features is not None
+                blk = (
+                    self._resolve_audio_len(req.audio_features.shape)
+                    if has_audio else None
+                )
+                comb = self._combined_len(len(req.input_ids), blk)
             try:
-                # bucket over the TEXT length; audio is a fixed-size prefix.
-                # The BUCKETED prefill timeline must also fit the pool (its
+                # bucket over the TEXT length; audio (or a registered
+                # prefix slab) is a fixed-size timeline prefix. The
+                # BUCKETED prefill timeline must also fit the pool (its
                 # rows splice in whole) alongside the generation budget.
                 tb = self._pick_bucket(len(req.input_ids))
-                comb_b = -(-self._combined_len(tb, blk) // 32) * 32
+                if req.prefix is not None:
+                    comb_b = llama_mod.KVCache.rounded_len(pfx.cap + tb)
+                else:
+                    comb_b = -(-self._combined_len(tb, blk) // 32) * 32
                 # speculative verify appends up to gamma slots past the
                 # final accepted offset — reserve them
                 extra = 0 if self.draft_params is None else self.gamma
@@ -458,33 +503,105 @@ class ServingEngine:
         n = len(req.input_ids)
         ids[0, :n] = req.input_ids
         mask[0, :n] = 1
-        has_audio = req.audio_features is not None
-        fn = self._get_admit_fn(bucket, has_audio)
         self._key, k = jax.random.split(self._key)
-        feats = (
-            jnp.asarray(req.audio_features)[None] if has_audio else None
+        if req.prefix is not None:
+            pfx = self._prefixes[req.prefix]
+            fn = self._get_suffix_fn(bucket, pfx.cap)
+            res = fn(
+                pfx.cache, jnp.int32(pfx.length),
+                jnp.asarray(ids), jnp.asarray(mask), k,
+            )
+            self.prefix_admits += 1
+        else:
+            has_audio = req.audio_features is not None
+            fn = self._get_prefill_fn(bucket, has_audio)
+            feats = (
+                jnp.asarray(req.audio_features)[None] if has_audio else None
+            )
+            res = fn(jnp.asarray(ids), jnp.asarray(mask), feats, k)
+        self._state = self._get_insert_fn()(
+            self._state, *res[:3], jnp.int32(r),
+            jnp.int32(req.max_new_tokens), *res[3:],
         )
-        args = [
-            self._state, jnp.asarray(ids), jnp.asarray(mask),
-            jnp.int32(r), jnp.int32(req.max_new_tokens), k,
-        ]
-        if has_audio:
-            args.insert(3, feats)
-        self._state = fn(*args)
         self._rows[r] = _Row(rid=req.rid, budget=req.max_new_tokens,
                              emitted=[], free=False)
 
-    def _get_admit_fn(self, bucket: int, has_audio: bool):
-        """Admission = TWO programs: (a) bucketed prefill + first-token
-        sample (undonated; the same program shape as the benched one-shot
-        generation prefill), and (b) a trivial donated pool-splice. One
-        combined program measured pathological remote-XLA compile times
-        (30-70 min vs minutes for the parts) — the split keeps every
-        program a proven shape at the cost of one device-side slab
-        round-trip per admission (negligible vs decode)."""
+    def register_prefix(self, input_ids, audio_features=None) -> int:
+        """Register a SHARED prompt prefix and return its handle.
+
+        The prefix's KV (audio block + text — e.g. a fixed instruction
+        template, or one audio clip for multi-turn "chat with your audio")
+        is computed ONCE here; every later submit(prefix=handle) prefills
+        only its text suffix against the stored slab, skipping the
+        whisper encode + projector + prefix llama prefill per request.
+        Prefix slabs are engine-lifetime device constants: reset() keeps
+        them (they are independent of pool state).
+
+        The reference regenerates the full prompt per request (reference
+        src/inference.py:175-220); prefix reuse is serving-layer-only."""
+        if self.draft_params is not None:
+            raise NotImplementedError(
+                "prefix caching does not yet compose with the speculative "
+                "pool (the draft cache would need its own prefix slab)"
+            )
+        ids = np.asarray(input_ids, np.int32).reshape(-1)
+        if ids.size == 0:
+            raise ValueError("prefix prompt is empty")
+        has_audio = audio_features is not None
+        if has_audio and self.trainable is None:
+            raise ValueError("audio prefix on a text-only engine")
+        feats = np.asarray(audio_features) if has_audio else None
+        blk = self._resolve_audio_len(feats.shape) if has_audio else None
+        tb = self._pick_bucket(len(ids))
+        if llama_mod.KVCache.rounded_len(
+            self._combined_len(tb, blk)
+        ) > self.max_len:
+            raise ValueError("prefix does not fit the pool timeline")
+        idsb = np.full((1, tb), self.pad_id, np.int32)
+        maskb = np.zeros((1, tb), np.int32)
+        idsb[0, : len(ids)] = ids
+        maskb[0, : len(ids)] = 1
+        fn = self._get_prefill_fn(tb, has_audio)
+        fresh, real, _tok0 = fn(
+            jnp.asarray(idsb), jnp.asarray(maskb),
+            jnp.asarray(feats)[None] if has_audio else None,
+            jax.random.PRNGKey(0),
+        )
+        length = int(real)
+        # trim the slab to the real prefix (tile-rounded): a short prefix
+        # registered through a large bucket must not carry the bucket's
+        # slots into every admission splice for its lifetime
+        cap = llama_mod.KVCache.rounded_len(length)
+        if cap < fresh.k.shape[3]:
+            trim = jax.jit(
+                lambda c: llama_mod.KVCache(
+                    k=c.k[:, :, :, :cap],
+                    v=None if c.v is None else c.v[:, :, :, :cap],
+                    length=c.length,
+                    k_scale=None if c.k_scale is None
+                    else c.k_scale[..., :cap],
+                    v_scale=None if c.v_scale is None
+                    else c.v_scale[..., :cap],
+                )
+            )
+            fresh = trim(fresh)
+        pid = self._next_pid
+        self._next_pid += 1
+        self._prefixes[pid] = _Prefix(cache=fresh, length=length, cap=cap)
+        return pid
+
+    def _get_prefill_fn(self, bucket: int, has_audio: bool):
+        """Admission = TWO programs: (a) this bucketed prefill +
+        first-token sample (undonated; the same program shape as the
+        benched one-shot generation prefill), and (b) a trivial donated
+        pool-splice (_get_insert_fn). One combined program measured
+        pathological remote-XLA compile times (30-70 min vs minutes for
+        the parts) — the split keeps every program a proven shape at the
+        cost of one device-side slab round-trip per admission (negligible
+        vs decode)."""
         keyfn = (bucket, has_audio)
-        if keyfn in self._admit_fns:
-            return self._admit_fns[keyfn]
+        if keyfn in self._prefill_fns:
+            return self._prefill_fns[keyfn]
 
         frozen, trainable, cfg = self.frozen, self.trainable, self.cfg
         lora = self._lora
@@ -536,6 +653,82 @@ class ServingEngine:
             )
             d_text = jnp.sum(mask, axis=1).astype(jnp.int32)[0]
             return fresh, real, tok0, d_fresh, d_text
+
+        fn = jax.jit(prefill)
+        self._prefill_fns[keyfn] = fn
+        return fn
+
+    def _get_suffix_fn(self, bucket: int, cap: int):
+        """Prefix-cached admission prefill: embed ONLY the text suffix and
+        block-append it at cache_offsets=prefix_len into a fresh cache
+        pre-loaded with the registered prefix slab (llama_forward's
+        divergent-timeline primitive, models/llama.py:325-). The prefix's
+        encoder/projector/prefill FLOPs never re-run; RoPE positions and
+        slot-causality come from the offset; padded suffix slots land past
+        the final offset so the pool's slot-causal invariant excludes
+        them. Keyed by (suffix bucket, prefix cap) — one compiled program
+        per geometry pair."""
+        keyfn = (bucket, cap)
+        if keyfn in self._suffix_fns:
+            return self._suffix_fns[keyfn]
+
+        frozen, cfg = self.frozen, self.cfg
+        lora = self._lora
+        cdt = self.compute_dtype
+        eng = self
+
+        def sprefill(pcache, plen, ids, mask, key):
+            embeds = llama_mod.embed_tokens(frozen["llama"], ids, cdt)
+            fresh = llama_mod.KVCache.zeros(
+                cfg.llama, 1, cap + ids.shape[1], dtype=cdt,
+                quantized=eng.kv_quant,
+            )
+
+            def put(dst, src):
+                if dst is None:
+                    return None
+                return jax.lax.dynamic_update_slice(
+                    dst, src.astype(dst.dtype), (0,) * dst.ndim
+                )
+
+            fresh = llama_mod.KVCache(
+                k=put(fresh.k, pcache.k),
+                v=put(fresh.v, pcache.v),
+                length=fresh.length,
+                k_scale=put(fresh.k_scale, pcache.k_scale),
+                v_scale=put(fresh.v_scale, pcache.v_scale),
+            )
+            n = jnp.sum(mask, axis=1).astype(jnp.int32)[0]
+            Tk = fresh.k.shape[3]
+            # full-timeline key mask: prefix real slots + suffix real
+            # slots (suffix K/V rows are appended at [plen, plen+n) by
+            # this same forward; slot-causality handles intra-suffix
+            # ordering and everything past plen+n)
+            am = (jnp.arange(Tk)[None, :] < plen + n).astype(jnp.int32)
+            _, fresh, hidden = llama_mod.llama_forward(
+                frozen["llama"], cfg.llama, inputs_embeds=embeds,
+                attention_mask=am, kv_cache=fresh,
+                cache_offsets=jnp.reshape(plen, (1,)).astype(jnp.int32),
+                lora=lora, compute_dtype=cdt,
+                return_hidden=True, unembed_logits=False,
+            )
+            last = jax.lax.dynamic_slice_in_dim(hidden, n - 1, 1, axis=1)
+            logits = llama_mod.unembed(frozen["llama"], cfg.llama, last, cdt)
+            tok0 = eng._sample(logits[:, 0], key)[0]
+            return fresh, plen + n, tok0
+
+        fn = jax.jit(sprefill)
+        self._suffix_fns[keyfn] = fn
+        return fn
+
+    def _get_insert_fn(self):
+        """The donated pool-splice program (admission's second half) —
+        ONE python callable for every fresh-slab geometry (jit retraces
+        per shape; the splice body is shape-generic)."""
+        if self._insert_fn is not None:
+            return self._insert_fn
+
+        eng = self
 
         def insert(state, fresh, real, tok0, row, max_new,
                    d_fresh=None, d_text=None):
@@ -601,9 +794,8 @@ class ServingEngine:
                 out["d_offsets"] = one(state["d_offsets"], d_text)
             return out
 
-        prefill_fn = jax.jit(prefill)
         if eng.mesh is None:
-            insert_fn = jax.jit(insert, donate_argnums=(0,))
+            self._insert_fn = jax.jit(insert, donate_argnums=(0,))
         else:
             from jax.sharding import PartitionSpec as P
 
@@ -613,7 +805,7 @@ class ServingEngine:
                 k_scale=P() if q else None, v_scale=P() if q else None,
             )
             sspec = eng._state_specs()
-            insert_fn = jax.jit(
+            self._insert_fn = jax.jit(
                 jax.shard_map(
                     insert, mesh=eng.mesh,
                     in_specs=(sspec, fresh_spec, P(), P(), P(), P()),
@@ -621,18 +813,7 @@ class ServingEngine:
                 ),
                 donate_argnums=(0,),
             )
-
-        def admit(state, ids, mask, *rest):
-            if has_audio:
-                feats, row, max_new, key = rest
-            else:
-                feats = None
-                row, max_new, key = rest
-            res = prefill_fn(ids, mask, feats, key)
-            return insert_fn(state, *res[:3], row, max_new, *res[3:])
-
-        self._admit_fns[keyfn] = admit
-        return admit
+        return self._insert_fn
 
     # ------------------------------------------------------------------
     # decode

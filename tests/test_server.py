@@ -210,6 +210,47 @@ def test_streaming_bad_request_is_plain_json(server):
     assert code == 400 and "prompt" in out["error"]
 
 
+def test_prefix_endpoint_roundtrip(server, model):
+    """/v1/prefix registers a shared prefix; /v1/generate with prefix_id
+    + the suffix matches the full prompt_ids request token-exactly."""
+    pfx, sfx = [1, 40, 41, 42], [50, 51]
+    code, reg = _post(server.port, "/v1/prefix", {"prompt_ids": pfx})
+    assert code == 200 and isinstance(reg["prefix_id"], int)
+
+    code, full = _post(server.port, "/v1/generate",
+                       {"prompt_ids": pfx + sfx, "max_new_tokens": 5})
+    assert code == 200
+    code, cached = _post(
+        server.port, "/v1/generate",
+        {"prompt_ids": sfx, "prefix_id": reg["prefix_id"],
+         "max_new_tokens": 5},
+    )
+    assert code == 200
+    assert cached["tokens"] == full["tokens"]
+
+    code, stats = _get(server.port, "/v1/stats")
+    assert code == 200
+    assert stats["prefixes"] >= 1 and stats["prefix_admits"] >= 1
+
+
+def test_prefix_endpoint_client_errors(server):
+    # unknown handle -> 400, pool untouched
+    code, out = _post(server.port, "/v1/generate",
+                      {"prompt_ids": [1, 2], "prefix_id": 12345})
+    assert code == 400 and "prefix" in out["error"]
+    # audio_path cannot combine with prefix_id
+    code, out = _post(server.port, "/v1/generate",
+                      {"prompt_ids": [1, 2], "prefix_id": 0,
+                       "audio_path": "/tmp/x.wav"})
+    assert code == 400
+    # registering with an empty prompt is a client error
+    code, out = _post(server.port, "/v1/prefix", {"prompt_ids": []})
+    assert code == 400
+    # health still OK afterwards
+    code, h = _get(server.port, "/healthz")
+    assert code == 200 and h["ok"]
+
+
 def test_queued_request_drains_after_pool_retires(model):
     """Regression (review r3): requests queued behind a full pool must
     complete even when every admitted row retires in the same chunk —

@@ -80,10 +80,14 @@ class _Pending:
 @dataclass
 class _Prefix:
     """A registered shared prompt prefix: its KV slab (computed once) plus
-    the host bookkeeping admission needs."""
+    the host bookkeeping admission needs. Speculative pools also store the
+    draft model's slab over the prefix TEXT (audio stays target-only)."""
     cache: object  # llama KVCache [L, 1, Hkv, cap, hd] (+ scales)
     length: int  # real prompt slots (audio block + text)
     cap: int  # slab timeline (tile-rounded)
+    d_cache: object = None  # draft KVCache (speculative pools)
+    d_length: int = 0  # real draft slots (text tokens)
+    d_cap: int = 0
 
 
 class ServingEngine:
@@ -506,11 +510,11 @@ class ServingEngine:
         self._key, k = jax.random.split(self._key)
         if req.prefix is not None:
             pfx = self._prefixes[req.prefix]
-            fn = self._get_suffix_fn(bucket, pfx.cap)
-            res = fn(
-                pfx.cache, jnp.int32(pfx.length),
-                jnp.asarray(ids), jnp.asarray(mask), k,
-            )
+            fn = self._get_suffix_fn(bucket, pfx.cap, pfx.d_cap)
+            args = [pfx.cache, jnp.int32(pfx.length)]
+            if self.draft_params is not None:
+                args += [pfx.d_cache, jnp.int32(pfx.d_length)]
+            res = fn(*args, jnp.asarray(ids), jnp.asarray(mask), k)
             self.prefix_admits += 1
         else:
             has_audio = req.audio_features is not None
@@ -537,13 +541,12 @@ class ServingEngine:
         Prefix slabs are engine-lifetime device constants: reset() keeps
         them (they are independent of pool state).
 
+        Speculative pools register the DRAFT model's prefix slab alongside
+        (over the prefix text; the admission prefill program already
+        returns both), so suffix admissions block-append into both caches.
+
         The reference regenerates the full prompt per request (reference
         src/inference.py:175-220); prefix reuse is serving-layer-only."""
-        if self.draft_params is not None:
-            raise NotImplementedError(
-                "prefix caching does not yet compose with the speculative "
-                "pool (the draft cache would need its own prefix slab)"
-            )
         ids = np.asarray(input_ids, np.int32).reshape(-1)
         if ids.size == 0:
             raise ValueError("prefix prompt is empty")
@@ -562,18 +565,20 @@ class ServingEngine:
         idsb[0, : len(ids)] = ids
         maskb[0, : len(ids)] = 1
         fn = self._get_prefill_fn(tb, has_audio)
-        fresh, real, _tok0 = fn(
+        fresh, real, _tok0, *d_res = fn(
             jnp.asarray(idsb), jnp.asarray(maskb),
             jnp.asarray(feats)[None] if has_audio else None,
             jax.random.PRNGKey(0),
         )
         length = int(real)
-        # trim the slab to the real prefix (tile-rounded): a short prefix
+
+        # trim the slabs to the real prefix (tile-rounded): a short prefix
         # registered through a large bucket must not carry the bucket's
         # slots into every admission splice for its lifetime
-        cap = llama_mod.KVCache.rounded_len(length)
-        if cap < fresh.k.shape[3]:
-            trim = jax.jit(
+        def _trim(c, cap):
+            if cap >= c.k.shape[3]:
+                return c
+            return jax.jit(
                 lambda c: llama_mod.KVCache(
                     k=c.k[:, :, :, :cap],
                     v=None if c.v is None else c.v[:, :, :, :cap],
@@ -583,11 +588,18 @@ class ServingEngine:
                     v_scale=None if c.v_scale is None
                     else c.v_scale[..., :cap],
                 )
-            )
-            fresh = trim(fresh)
+            )(c)
+
+        cap = llama_mod.KVCache.rounded_len(length)
+        pfx = _Prefix(cache=_trim(fresh, cap), length=length, cap=cap)
+        if d_res:  # speculative pool: (d_fresh, d_text)
+            d_fresh, d_text = d_res
+            pfx.d_length = int(d_text)
+            pfx.d_cap = llama_mod.KVCache.rounded_len(pfx.d_length)
+            pfx.d_cache = _trim(d_fresh, pfx.d_cap)
         pid = self._next_pid
         self._next_pid += 1
-        self._prefixes[pid] = _Prefix(cache=fresh, length=length, cap=cap)
+        self._prefixes[pid] = pfx
         return pid
 
     def _get_prefill_fn(self, bucket: int, has_audio: bool):
@@ -658,7 +670,7 @@ class ServingEngine:
         self._prefill_fns[keyfn] = fn
         return fn
 
-    def _get_suffix_fn(self, bucket: int, cap: int):
+    def _get_suffix_fn(self, bucket: int, cap: int, d_cap: int = 0):
         """Prefix-cached admission prefill: embed ONLY the text suffix and
         block-append it at cache_offsets=prefix_len into a fresh cache
         pre-loaded with the registered prefix slab (llama_forward's
@@ -666,9 +678,10 @@ class ServingEngine:
         encoder/projector/prefill FLOPs never re-run; RoPE positions and
         slot-causality come from the offset; padded suffix slots land past
         the final offset so the pool's slot-causal invariant excludes
-        them. Keyed by (suffix bucket, prefix cap) — one compiled program
-        per geometry pair."""
-        keyfn = (bucket, cap)
+        them. Speculative pools block-append the suffix into the draft's
+        prefix slab the same way. Keyed by (suffix bucket, prefix cap,
+        draft cap) — one compiled program per geometry."""
+        keyfn = (bucket, cap, d_cap)
         if keyfn in self._suffix_fns:
             return self._suffix_fns[keyfn]
 
@@ -677,10 +690,9 @@ class ServingEngine:
         cdt = self.compute_dtype
         eng = self
 
-        def sprefill(pcache, plen, ids, mask, key):
-            embeds = llama_mod.embed_tokens(frozen["llama"], ids, cdt)
+        def splice_fresh(pcache, lcfg, Sb):
             fresh = llama_mod.KVCache.zeros(
-                cfg.llama, 1, cap + ids.shape[1], dtype=cdt,
+                lcfg, 1, pcache.k.shape[3] + Sb, dtype=cdt,
                 quantized=eng.kv_quant,
             )
 
@@ -691,13 +703,21 @@ class ServingEngine:
                     dst, src.astype(dst.dtype), (0,) * dst.ndim
                 )
 
-            fresh = llama_mod.KVCache(
+            return llama_mod.KVCache(
                 k=put(fresh.k, pcache.k),
                 v=put(fresh.v, pcache.v),
                 length=fresh.length,
                 k_scale=put(fresh.k_scale, pcache.k_scale),
                 v_scale=put(fresh.v_scale, pcache.v_scale),
             )
+
+        def sprefill(pcache, plen, *rest):
+            if eng.draft_params is not None:
+                pdcache, pdlen, ids, mask, key = rest
+            else:
+                ids, mask, key = rest
+            embeds = llama_mod.embed_tokens(frozen["llama"], ids, cdt)
+            fresh = splice_fresh(pcache, cfg.llama, ids.shape[1])
             n = jnp.sum(mask, axis=1).astype(jnp.int32)[0]
             Tk = fresh.k.shape[3]
             # full-timeline key mask: prefix real slots + suffix real
@@ -715,7 +735,19 @@ class ServingEngine:
             last = jax.lax.dynamic_slice_in_dim(hidden, n - 1, 1, axis=1)
             logits = llama_mod.unembed(frozen["llama"], cfg.llama, last, cdt)
             tok0 = eng._sample(logits[:, 0], key)[0]
-            return fresh, plen + n, tok0
+            if eng.draft_params is None:
+                return fresh, plen + n, tok0
+            d_fresh = splice_fresh(pdcache, eng.draft_cfg, ids.shape[1])
+            dm = (
+                jnp.arange(d_fresh.k.shape[3])[None, :] < pdlen + n
+            ).astype(jnp.int32)
+            _, d_fresh = llama_mod.llama_forward(
+                eng.draft_params, eng.draft_cfg, input_ids=ids,
+                attention_mask=dm, kv_cache=d_fresh,
+                cache_offsets=jnp.reshape(pdlen, (1,)).astype(jnp.int32),
+                compute_dtype=cdt,
+            )
+            return fresh, plen + n, tok0, d_fresh, pdlen + n
 
         fn = jax.jit(sprefill)
         self._suffix_fns[keyfn] = fn

@@ -1,0 +1,151 @@
+"""Prefix-cache serving A/B on the real TPU (flagship text dims).
+
+Workload: 64 requests sharing a 900-token prompt prefix with 40-100 token
+suffixes (the instruction-template serving shape; the reference recomputes
+the full prompt per request). A: full-prompt admissions (bucket 1024).
+B: register_prefix once, suffix admissions (bucket 256 against cap 928).
+
+Engine geometry matches bench.py --mode serve (rows 32, buckets
+(256, 1024), max_len 1312, chunk 32, int4 weights + int4 KV) so the
+decode-chunk and bucket-1024 prefill executables come from the persistent
+compile cache; the suffix program is the only new compile.
+
+Reports: per-admission latency (jitted prefill call, tok0 fetch syncs),
+end-to-end drained-pool wall time + delivered tokens/s for both arms, and
+the one-time registration cost.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+
+from audio_llama_tpu.config import AudioLLMConfig
+from audio_llama_tpu.models import llama as lm
+from audio_llama_tpu.models import llama_int4 as l4
+from audio_llama_tpu.inference.serving import ServingEngine
+
+ROWS, BUCKETS, MAX_LEN, CHUNK = 32, (256, 1024), 1312, 32
+P_LEN, N_REQ = 900, 64
+
+
+def make_engine(cfg, params):
+    return ServingEngine(
+        {"llama": params}, None, cfg, rows=ROWS, max_len=MAX_LEN,
+        prefill_buckets=BUCKETS, chunk_steps=CHUNK, kv_quant=4,
+        compute_dtype=jnp.bfloat16, greedy=True, eos_id=-1, pad_id=0,
+    )
+
+
+def main():
+    cfg = AudioLLMConfig()
+    lcfg = cfg.llama
+    print("init int4 params...", flush=True)
+    params = jax.jit(
+        lambda k: l4.quantize_llama_int4(
+            lm.init_params(lcfg, k, dtype=jnp.bfloat16)
+        )
+    )(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    pfx = rng.integers(3, lcfg.vocab_size - 8, (P_LEN,)).astype(np.int32)
+    sfx = [
+        rng.integers(
+            3, lcfg.vocab_size - 8, (int(rng.integers(40, 101)),)
+        ).astype(np.int32)
+        for _ in range(N_REQ)
+    ]
+    budgets = [int(rng.integers(32, 129)) for _ in range(N_REQ)]
+
+    eng = make_engine(cfg, params)
+
+    # ---- compile + warm every program, both arms ----
+    t0 = time.time()
+    w = eng.submit(np.concatenate([pfx, sfx[0]]), max_new_tokens=2)
+    eng.run()
+    print(f"full-arm warmup {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    h = eng.register_prefix(pfx)
+    t_reg_cold = time.time() - t0
+    print(f"register_prefix (cold, incl suffix-compile next) {t_reg_cold:.1f}s",
+          flush=True)
+    t0 = time.time()
+    eng.submit(sfx[0], max_new_tokens=2, prefix=h)
+    eng.run()
+    print(f"prefix-arm warmup {time.time()-t0:.1f}s", flush=True)
+    eng.reset()
+
+    # ---- admission-latency microbench (prefill program only) ----
+    full_fn = eng._get_prefill_fn(1024, False)
+    sfx_fn = eng._get_suffix_fn(256, eng._prefixes[h].cap)
+    ids_f = np.zeros((1, 1024), np.int32)
+    ids_f[0, :P_LEN + 64] = rng.integers(3, 100, P_LEN + 64)
+    m_f = np.zeros((1, 1024), np.int32)
+    m_f[0, :P_LEN + 64] = 1
+    ids_s = np.zeros((1, 256), np.int32)
+    ids_s[0, :64] = rng.integers(3, 100, 64)
+    m_s = np.zeros((1, 256), np.int32)
+    m_s[0, :64] = 1
+    key = jax.random.PRNGKey(1)
+    pc, pl = eng._prefixes[h].cache, jnp.int32(eng._prefixes[h].length)
+
+    def t_admit(fn, args, iters=10):
+        int(fn(*args)[2])  # warm
+        t0 = time.time()
+        for _ in range(iters):
+            int(fn(*args)[2])  # tok0 fetch syncs the call
+        return (time.time() - t0) / iters * 1e3
+
+    ms_full = t_admit(full_fn, (jnp.asarray(ids_f), jnp.asarray(m_f), None, key))
+    ms_sfx = t_admit(sfx_fn, (pc, pl, jnp.asarray(ids_s), jnp.asarray(m_s), key))
+    print(f"admission prefill: full-1024 {ms_full:.1f} ms, "
+          f"suffix-256@cap{eng._prefixes[h].cap} {ms_sfx:.1f} ms "
+          f"({ms_full/ms_sfx:.1f}x)", flush=True)
+
+    # ---- end-to-end drained pool, arm A: full prompts ----
+    eng.reset()
+    t0 = time.time()
+    for s, b in zip(sfx, budgets):
+        eng.submit(np.concatenate([pfx, s]), max_new_tokens=b)
+    outA = eng.run()
+    dtA = time.time() - t0
+    gotA = sum(len(v) for v in outA.values())
+    assert all(len(v) for v in outA.values()), "arm A rejected requests"
+
+    # ---- arm B: prefix-cached ----
+    eng.reset()
+    t0 = time.time()
+    hb = h  # registered above; registration cost reported separately
+    for s, b in zip(sfx, budgets):
+        eng.submit(s, max_new_tokens=b, prefix=hb)
+    outB = eng.run()
+    dtB = time.time() - t0
+    gotB = sum(len(v) for v in outB.values())
+    assert all(len(v) for v in outB.values()), "arm B rejected requests"
+    assert gotA == gotB, (gotA, gotB)
+
+    res = {
+        "metric": "prefix_cache_serve_ab",
+        "full_prompt": {"wall_s": round(dtA, 2),
+                        "tokens_per_sec": round(gotA / dtA, 1)},
+        "prefix_cached": {"wall_s": round(dtB, 2),
+                          "tokens_per_sec": round(gotB / dtB, 1)},
+        "speedup": round(dtA / dtB, 3),
+        "admission_ms_full": round(ms_full, 1),
+        "admission_ms_suffix": round(ms_sfx, 1),
+        "tokens": gotA,
+        "n_req": N_REQ,
+        "prefix_len": P_LEN,
+    }
+    print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

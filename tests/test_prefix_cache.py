@@ -230,9 +230,55 @@ def test_prefix_rejections(model):
                                  audio_features=wav)
 
 
-def test_speculative_pool_rejects_prefix(model):
+def test_speculative_pool_prefix_lossless(model):
+    """Prefix caching composes with the speculative pool: greedy output
+    stays token-exact vs the PLAIN pool serving the full prompt (the
+    draft's prefix slab only affects acceptance, never results)."""
     frozen, trainable = model
+    pfx, *sfx = _prompts(10, (6, 4, 7))
+
+    plain = _engine(model)
+    rref = [plain.submit(np.concatenate([pfx, s]), max_new_tokens=6)
+            for s in sfx]
+    oref = plain.run()
+
+    # self-draft (accepts everything) and an independent random draft
+    # (mostly misses) — lossless either way
+    ind = llama_mod.resize_embeddings(
+        allm.init_frozen(CFG, jax.random.PRNGKey(9), dtype=jnp.float32)
+        ["llama"],
+        CFG.llama.vocab_size + 2, CFG.llama,
+    )
+    for draft in (frozen["llama"], ind):
+        eng = _engine(model, draft_params=draft, draft_cfg=CFG.llama,
+                      gamma=2)
+        h = eng.register_prefix(pfx)
+        p = eng._prefixes[h]
+        assert p.d_cache is not None and p.d_length == len(pfx)
+        rids = [eng.submit(s, max_new_tokens=6, prefix=h) for s in sfx]
+        out = eng.run()
+        for a, b in zip(rref, rids):
+            assert oref[a] == out[b]
+
+
+def test_speculative_audio_prefix_lossless(model):
+    """Audio lives in the target prefix slab only; the draft slab covers
+    the prefix text — still token-exact vs the plain audio pool."""
+    frozen, trainable = model
+    rng = np.random.default_rng(11)
+    wav = rng.standard_normal(CFG.mel.max_samples).astype(np.float32) * 0.1
+    pfx, s = _prompts(12, (5, 4))
+
+    plain = _engine(model)
+    r0 = plain.submit(np.concatenate([pfx, s]), audio_features=wav,
+                      max_new_tokens=5)
+    oref = plain.run()
+
     eng = _engine(model, draft_params=frozen["llama"], draft_cfg=CFG.llama,
                   gamma=2)
-    with pytest.raises(NotImplementedError):
-        eng.register_prefix(np.asarray([1, 2, 3], np.int32))
+    h = eng.register_prefix(pfx, audio_features=wav)
+    p = eng._prefixes[h]
+    assert p.d_length == len(pfx) < p.length  # draft slab is text-only
+    rid = eng.submit(s, max_new_tokens=5, prefix=h)
+    out = eng.run()
+    assert oref[r0] == out[rid]

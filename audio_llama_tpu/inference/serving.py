@@ -116,8 +116,9 @@ class ServingEngine:
         regardless of the draft (tests/test_spec_serving.py). Admission
         additionally prefills the draft cache from the TEXT prompt (audio
         conditioning stays target-only, as in generate_speculative).
-        chunk_steps then counts ROUNDS (1..gamma+1 tokens each). Not yet
-        composable with mesh=.
+        chunk_steps then counts ROUNDS (1..gamma+1 tokens each). Composes
+        with mesh= (draft cache rows shard with the pool rows) and with
+        prefix caching (the draft's prefix slab is registered alongside).
       mesh/dp_axis: shard the POOL ROWS over a mesh axis (multi-chip
         serving). The decode chunk and the pool-splice run in shard_map
         with per-device local shapes (weights replicated, rows split —
@@ -180,10 +181,6 @@ class ServingEngine:
         if draft_params is not None:
             if draft_cfg is None:
                 raise ValueError("draft_params needs draft_cfg")
-            if mesh is not None:
-                raise NotImplementedError(
-                    "speculative pool does not yet compose with mesh="
-                )
             if draft_cfg.vocab_size != cfg.llama.vocab_size:
                 raise ValueError("draft and target must share the vocabulary")
             if gamma < 1:
@@ -242,19 +239,26 @@ class ServingEngine:
         from jax.sharding import PartitionSpec as P
 
         dp = self.dp_axis
-        c = (self._state if state is None else state)["cache"]
+        st = self._state if state is None else state
         slab = lambda a: None if a is None else P(None, dp)  # noqa: E731
-        cache_spec = llama_mod.KVCache(
-            k=slab(c.k), v=slab(c.v), length=P(),
-            k_scale=slab(c.k_scale), v_scale=slab(c.v_scale),
-        )
-        return {
-            "cache": cache_spec,
+
+        def cache_spec(c):
+            return llama_mod.KVCache(
+                k=slab(c.k), v=slab(c.v), length=P(),
+                k_scale=slab(c.k_scale), v_scale=slab(c.v_scale),
+            )
+
+        specs = {
+            "cache": cache_spec(st["cache"]),
             "offsets": P(dp),
             "last_tok": P(dp),
             "active": P(dp),
             "remaining": P(dp),
         }
+        if "d_cache" in st:  # speculative pool: draft rows shard alike
+            specs["d_cache"] = cache_spec(st["d_cache"])
+            specs["d_offsets"] = P(dp)
+        return specs
 
     def _place_state(self, state):
         if self.mesh is None:
@@ -837,10 +841,14 @@ class ServingEngine:
                 k_scale=P() if q else None, v_scale=P() if q else None,
             )
             sspec = eng._state_specs()
+            in_specs = (sspec, fresh_spec, P(), P(), P(), P())
+            if eng.draft_params is not None:
+                # broadcast the draft slab + its real length alongside
+                in_specs = in_specs + (fresh_spec, P())
             self._insert_fn = jax.jit(
                 jax.shard_map(
                     insert, mesh=eng.mesh,
-                    in_specs=(sspec, fresh_spec, P(), P(), P(), P()),
+                    in_specs=in_specs,
                     out_specs=sspec, check_vma=False,
                 ),
                 donate_argnums=(0,),
@@ -963,7 +971,13 @@ class ServingEngine:
                 return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
             def chunk(state, key):
-                R = eng.rows
+                # LOCAL row count (under mesh= this runs inside shard_map
+                # on a rows/dp shard; sampling keys fold in the shard)
+                R = state["offsets"].shape[0]
+                if eng.mesh is not None:
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(eng.dp_axis)
+                    )
 
                 def round_step(carry, k_round):
                     (t_cache, d_cache, offs, d_offs, last_tok, active,
@@ -1120,7 +1134,25 @@ class ServingEngine:
                     "remaining": remaining,
                 }, emit, n_emit
 
-            self._chunk_fn = jax.jit(chunk, donate_argnums=(0,))
+            if eng.mesh is None:
+                self._chunk_fn = jax.jit(chunk, donate_argnums=(0,))
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                sspec = eng._state_specs()
+                self._chunk_fn = jax.jit(
+                    jax.shard_map(
+                        chunk, mesh=eng.mesh,
+                        in_specs=(sspec, P()),
+                        out_specs=(
+                            sspec,
+                            P(None, eng.dp_axis, None),  # emit [K,R,g+2]
+                            P(None, eng.dp_axis),  # n_emit [K,R]
+                        ),
+                        check_vma=False,
+                    ),
+                    donate_argnums=(0,),
+                )
 
         self._key, k = jax.random.split(self._key)
         self._state, emit, n_emit = self._chunk_fn(self._state, k)

@@ -159,9 +159,57 @@ def test_spec_pool_stochastic_smoke(model, draft):
 
 def test_spec_pool_guards(model, draft):
     dparams, dcfg = draft
-    with pytest.raises(NotImplementedError):
-        _engine(model, draft_params=dparams, draft_cfg=dcfg,
-                mesh=object())
     bad = dcfg.replace(vocab_size=CFG.llama.vocab_size + 1)
     with pytest.raises(ValueError, match="vocabulary"):
         _engine(model, draft_params=dparams, draft_cfg=bad)
+
+
+def _mesh(n):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} virtual devices")
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(devs[:n]), ("dp",))
+
+
+def test_spec_pool_dp_mesh_lossless(model, draft):
+    """Speculative pool sharded over a dp mesh (draft cache rows shard
+    with the pool rows): token-exact vs the PLAIN unsharded pool."""
+    dparams, dcfg = draft
+    reqs = _workload(4, 6)
+    ref = _run(_engine(model), reqs)
+    eng = _engine(model, rows=4, draft_params=dparams, draft_cfg=dcfg,
+                  gamma=2, mesh=_mesh(2))
+    assert _run(eng, reqs) == ref
+
+
+def test_spec_pool_dp_mesh_audio_and_quant(model, draft):
+    dparams, dcfg = draft
+    reqs = _workload(5, 4)
+    ref = _run(_engine(model, kv_quant=8), reqs, feats_at=(1,))
+    eng = _engine(model, rows=4, kv_quant=8, draft_params=dparams,
+                  draft_cfg=dcfg, gamma=2, mesh=_mesh(4))
+    assert _run(eng, reqs, feats_at=(1,)) == ref
+
+
+def test_spec_pool_dp_mesh_prefix_lossless(model, draft):
+    """Full composition: mesh x speculative x prefix caching."""
+    dparams, dcfg = draft
+    rng = np.random.default_rng(13)
+    pfx = rng.integers(3, CFG.llama.vocab_size, (6,)).astype(np.int32)
+    sfx = [rng.integers(3, CFG.llama.vocab_size, (n,)).astype(np.int32)
+           for n in (4, 7, 5)]
+
+    plain = _engine(model)
+    rref = [plain.submit(np.concatenate([pfx, s]), max_new_tokens=6)
+            for s in sfx]
+    oref = plain.run(max_chunks=256)
+
+    eng = _engine(model, rows=4, draft_params=dparams, draft_cfg=dcfg,
+                  gamma=2, mesh=_mesh(2))
+    h = eng.register_prefix(pfx)
+    rids = [eng.submit(s, max_new_tokens=6, prefix=h) for s in sfx]
+    out = eng.run(max_chunks=256)
+    for a, b in zip(rref, rids):
+        assert oref[a] == out[b]

@@ -649,6 +649,7 @@ def build_server(args) -> AudioLLMServer:
         draft_params=draft_params,
         draft_cfg=draft_cfg,
         gamma=args.gamma,
+        auto_prefix=args.auto_prefix,
     )
     runner = EngineRunner(engine, max_queue=args.max_queue)
     return AudioLLMServer(
@@ -694,6 +695,10 @@ def parse_args(argv=None):
                         "tokenizer ('toy' = random tiny draft): enables "
                         "speculative decoding inside the pool")
     p.add_argument("--gamma", type=int, default=4)
+    p.add_argument("--auto_prefix", action="store_true",
+                   help="transparently reuse the longest registered "
+                        "/v1/prefix whose tokens match a text request's "
+                        "head (no prefix_id needed)")
     # sampling (engine-level; one server per sampling config)
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--temperature", type=float, default=0.7)

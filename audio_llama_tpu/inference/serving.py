@@ -85,6 +85,8 @@ class _Prefix:
     cache: object  # llama KVCache [L, 1, Hkv, cap, hd] (+ scales)
     length: int  # real prompt slots (audio block + text)
     cap: int  # slab timeline (tile-rounded)
+    ids: tuple = ()  # prefix TEXT token ids (auto-match key)
+    has_audio: bool = False
     d_cache: object = None  # draft KVCache (speculative pools)
     d_length: int = 0  # real draft slots (text tokens)
     d_cap: int = 0
@@ -157,6 +159,7 @@ class ServingEngine:
         draft_params: Optional[dict] = None,
         draft_cfg=None,
         gamma: int = 4,
+        auto_prefix: bool = False,
     ):
         self.frozen = frozen
         self.trainable = trainable
@@ -178,6 +181,7 @@ class ServingEngine:
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.gamma = gamma
+        self.auto_prefix = auto_prefix
         if draft_params is not None:
             if draft_cfg is None:
                 raise ValueError("draft_params needs draft_cfg")
@@ -336,6 +340,8 @@ class ServingEngine:
                     "audio_features with prefix=: register the audio as "
                     "part of the prefix instead"
                 )
+        elif self.auto_prefix and audio_features is None:
+            prefix, ids = self._match_prefix(ids)
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append(
@@ -470,7 +476,11 @@ class ServingEngine:
         while free and self._queue:
             req = self._queue[0]
             if req.prefix is not None:
-                pfx = self._prefixes[req.prefix]
+                pfx = self._prefixes.get(req.prefix)
+                if pfx is None:  # unregistered while queued: reject
+                    self._queue.pop(0)
+                    self._results[req.rid] = []
+                    continue
                 comb = pfx.length + len(req.input_ids)
             else:
                 has_audio = req.audio_features is not None
@@ -595,7 +605,8 @@ class ServingEngine:
             )(c)
 
         cap = llama_mod.KVCache.rounded_len(length)
-        pfx = _Prefix(cache=_trim(fresh, cap), length=length, cap=cap)
+        pfx = _Prefix(cache=_trim(fresh, cap), length=length, cap=cap,
+                      ids=tuple(int(t) for t in ids), has_audio=has_audio)
         if d_res:  # speculative pool: (d_fresh, d_text)
             d_fresh, d_text = d_res
             pfx.d_length = int(d_text)
@@ -605,6 +616,28 @@ class ServingEngine:
         self._next_pid += 1
         self._prefixes[pid] = pfx
         return pid
+
+    def unregister_prefix(self, handle: int):
+        """Drop a registered prefix (frees its device slabs once queued
+        requests pinned to it drain — those admit normally; new
+        submit(prefix=handle) calls are rejected)."""
+        del self._prefixes[handle]
+
+    def _match_prefix(self, ids: np.ndarray):
+        """auto_prefix: transparently split a text prompt on the LONGEST
+        registered text-only prefix matching its head (at least one
+        suffix token must remain). Returns (pid or None, suffix ids)."""
+        best, blen = None, 0
+        for pid, p in self._prefixes.items():
+            n = len(p.ids)
+            if (
+                not p.has_audio
+                and n > blen
+                and n < ids.size
+                and tuple(int(t) for t in ids[:n]) == p.ids
+            ):
+                best, blen = pid, n
+        return best, (ids[blen:] if best is not None else ids)
 
     def _get_prefill_fn(self, bucket: int, has_audio: bool):
         """Admission = TWO programs: (a) this bucketed prefill +

@@ -230,6 +230,57 @@ def test_prefix_rejections(model):
                                  audio_features=wav)
 
 
+def test_auto_prefix_matching(model):
+    """auto_prefix=True: text requests transparently split on the longest
+    registered matching prefix — same tokens, admissions counted."""
+    pfx, s1 = _prompts(14, (8, 5))
+    longer = np.concatenate([pfx, np.asarray([7, 8], np.int32)])
+
+    ref = _engine(model)
+    rr = [
+        ref.submit(np.concatenate([pfx, s1]), max_new_tokens=5),
+        ref.submit(np.concatenate([longer, s1]), max_new_tokens=5),
+        ref.submit(s1, max_new_tokens=5),  # no matching prefix
+        ref.submit(pfx, max_new_tokens=5),  # == a prefix exactly
+    ]
+    oref = ref.run()
+
+    eng = _engine(model, auto_prefix=True)
+    eng.register_prefix(pfx)
+    eng.register_prefix(longer)  # longest match must win
+    rq = [
+        eng.submit(np.concatenate([pfx, s1]), max_new_tokens=5),
+        eng.submit(np.concatenate([longer, s1]), max_new_tokens=5),
+        eng.submit(s1, max_new_tokens=5),
+        # an exact-prefix prompt must NOT match (empty suffix would have
+        # nothing to sample from) — it admits as a plain request
+        eng.submit(pfx, max_new_tokens=5),
+    ]
+    out = eng.run()
+    for a, b in zip(rr, rq):
+        assert oref[a] == out[b]
+    assert eng.prefix_admits == 2
+
+
+def test_unregister_prefix(model):
+    pfx, s = _prompts(15, (6, 4))
+    eng = _engine(model)
+    h = eng.register_prefix(pfx)
+    # queued request pinned to a prefix that is then unregistered: the
+    # request is rejected (empty result), the pool stays healthy
+    rid = eng.submit(s, max_new_tokens=4, prefix=h)
+    eng.unregister_prefix(h)
+    out = eng.run()
+    assert out[rid] == []
+    with pytest.raises(ValueError, match="unknown prefix"):
+        eng.submit(s, max_new_tokens=4, prefix=h)
+    with pytest.raises(KeyError):
+        eng.unregister_prefix(h)
+    # pool still serves plain requests
+    rid2 = eng.submit(s, max_new_tokens=4)
+    assert len(eng.run()[rid2]) == 4
+
+
 def test_speculative_pool_prefix_lossless(model):
     """Prefix caching composes with the speculative pool: greedy output
     stays token-exact vs the PLAIN pool serving the full prompt (the

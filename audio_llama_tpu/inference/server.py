@@ -650,6 +650,7 @@ def build_server(args) -> AudioLLMServer:
         draft_cfg=draft_cfg,
         gamma=args.gamma,
         auto_prefix=args.auto_prefix,
+        prefill_chunk_tokens=args.prefill_chunk_tokens,
     )
     runner = EngineRunner(engine, max_queue=args.max_queue)
     return AudioLLMServer(
@@ -684,6 +685,10 @@ def parse_args(argv=None):
     p.add_argument("--prefill_buckets", type=int, nargs="+",
                    default=[128, 256, 512, 1024])
     p.add_argument("--chunk_steps", type=int, default=32)
+    p.add_argument("--prefill_chunk_tokens", type=int, default=None,
+                   help="chunked prefill: admissions fill in pieces of "
+                        "this many tokens, at most one piece between "
+                        "decode chunks (bounds decode stalls)")
     # precision (the measured serving config is int4 weights + int4 KV)
     p.add_argument("--int8_decoder", action="store_true")
     p.add_argument("--int4_decoder", action="store_true")

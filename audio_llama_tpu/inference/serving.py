@@ -66,6 +66,22 @@ class _Row:
     budget: int = 0
     emitted: List[int] = field(default_factory=list)
     free: bool = True
+    staging: bool = False  # reserved for a chunked prefill in progress
+
+
+@dataclass
+class _Staging:
+    """A chunked-prefill admission in progress (prefill_chunk_tokens):
+    the staging cache fills piece by piece across scheduling rounds while
+    the pool keeps decoding; on the last piece it splices like any
+    admission."""
+    req: "_Pending"
+    cache: object  # staging KVCache [L, 1, Hkv, comb_b, hd]
+    embeds: object  # combined prompt embeds [1, Pb, D] (device)
+    emask: object  # [1, Pb] int32 (device)
+    total: int  # real prompt slots (audio block + text)
+    written: int = 0  # slots appended so far
+    tok0: object = None  # first sampled token (set by the last piece)
 
 
 @dataclass
@@ -130,6 +146,17 @@ class ServingEngine:
         the splice. Greedy results are identical to the unsharded engine;
         stochastic sampling folds the shard index into the chunk key, so
         sampled streams differ from single-chip (still independent rows).
+      auto_prefix: transparently split text requests on the longest
+        registered text-only prefix matching their head (register_prefix
+        without explicit prefix= plumbing at submit).
+      prefill_chunk_tokens: CHUNKED PREFILL — admissions fill a staging
+        cache in pieces of this many tokens, at most one piece between
+        decode chunks (round-robin across staged rows), bounding the
+        decode stall any admission causes; the piece block-appends at
+        cache_offsets like the prefix-cache suffix path, and the audio
+        encode still runs once up front. None (default) = whole-prompt
+        admission. Token-exact either way. Not yet composable with
+        draft_params; prefix-cached suffixes stay one-shot.
     """
 
     def __init__(
@@ -160,6 +187,7 @@ class ServingEngine:
         draft_cfg=None,
         gamma: int = 4,
         auto_prefix: bool = False,
+        prefill_chunk_tokens: Optional[int] = None,
     ):
         self.frozen = frozen
         self.trainable = trainable
@@ -182,6 +210,16 @@ class ServingEngine:
         self.draft_cfg = draft_cfg
         self.gamma = gamma
         self.auto_prefix = auto_prefix
+        self.prefill_chunk_tokens = prefill_chunk_tokens
+        if prefill_chunk_tokens is not None:
+            if prefill_chunk_tokens < 1:
+                raise ValueError("prefill_chunk_tokens must be >= 1")
+            if draft_params is not None:
+                raise NotImplementedError(
+                    "chunked prefill does not yet compose with the "
+                    "speculative pool (the draft cache would need its own "
+                    "staging state)"
+                )
         if draft_params is not None:
             if draft_cfg is None:
                 raise ValueError("draft_params needs draft_cfg")
@@ -231,6 +269,11 @@ class ServingEngine:
         self._suffix_fns: Dict = {}  # (bucket, prefix cap) -> jitted prefill
         self._insert_fn = None  # one pool-splice, retraced per slab shape
         self._chunk_fn = None
+        # chunked prefill (prefill_chunk_tokens)
+        self._staging_rows: Dict[int, _Staging] = {}  # row -> in-progress
+        self._staging_rr = 0  # round-robin cursor over staged rows
+        self._embed_fns: Dict = {}  # (bucket, has_audio) -> jitted embeds
+        self._piece_fns: Dict = {}  # (Pb, cap) -> jitted piece append
 
     # ------------------------------------------------------------------
     # row sharding (multi-chip pool)
@@ -312,6 +355,7 @@ class ServingEngine:
         self._rows = [_Row() for _ in range(self.rows)]
         self._queue = []
         self._results = {}
+        self._staging_rows = {}
         self.spec_rounds = 0
         self.spec_emitted = 0
         self._key = jax.random.PRNGKey(seed)
@@ -374,10 +418,12 @@ class ServingEngine:
         return dict(self._results)
 
     def step_chunk(self):
-        """One scheduling round: admit into free rows, then decode one
-        jitted chunk and harvest its tokens."""
+        """One scheduling round: admit into free rows, advance chunked
+        prefills by the round's token budget, then decode one jitted
+        chunk and harvest its tokens."""
         self._admit_pending()
-        if not any(not r.free for r in self._rows):
+        self._advance_staging()
+        if not any(not r.free and not r.staging for r in self._rows):
             return
         if self.draft_params is not None:
             self._harvest_spec(*self._decode_chunk_spec())
@@ -498,7 +544,13 @@ class ServingEngine:
                 if req.prefix is not None:
                     comb_b = llama_mod.KVCache.rounded_len(pfx.cap + tb)
                 else:
-                    comb_b = -(-self._combined_len(tb, blk) // 32) * 32
+                    cb = self._combined_len(tb, blk)
+                    if self.prefill_chunk_tokens is not None:
+                        # staging pads to whole pieces; the spliced slab
+                        # carries that padding into the pool row
+                        c = self.prefill_chunk_tokens
+                        cb = -(-cb // c) * c
+                    comb_b = llama_mod.KVCache.rounded_len(cb)
                 # speculative verify appends up to gamma slots past the
                 # final accepted offset — reserve them
                 extra = 0 if self.draft_params is None else self.gamma
@@ -516,6 +568,12 @@ class ServingEngine:
             self._admit(r, req, tb)
 
     def _admit(self, r: int, req: _Pending, bucket: int):
+        if self.prefill_chunk_tokens is not None and req.prefix is None:
+            # chunked prefill: reserve the row, fill across rounds
+            # (prefix-cached suffixes stay one-shot — they are short by
+            # construction and already skip the prefix's cost)
+            self._stage_admission(r, req, bucket)
+            return
         ids = np.full((1, bucket), self.pad_id, np.int32)
         mask = np.zeros((1, bucket), np.int32)
         n = len(req.input_ids)
@@ -543,6 +601,146 @@ class ServingEngine:
         )
         self._rows[r] = _Row(rid=req.rid, budget=req.max_new_tokens,
                              emitted=[], free=False)
+
+    # ------------------------------------------------------------------
+    # chunked prefill (prefill_chunk_tokens)
+    # ------------------------------------------------------------------
+
+    def _stage_admission(self, r: int, req: _Pending, bucket: int):
+        """Reserve row r and start a chunked prefill: the combined prompt
+        embeds are computed once (audio encode included), then
+        _advance_staging block-appends prefill_chunk_tokens-sized pieces
+        into a staging cache across scheduling rounds, bounding the
+        decode stall any single round pays (vLLM's chunked prefill,
+        restated over static shapes: one piece program per geometry)."""
+        c = self.prefill_chunk_tokens
+        ids = np.full((1, bucket), self.pad_id, np.int32)
+        mask = np.zeros((1, bucket), np.int32)
+        n = len(req.input_ids)
+        ids[0, :n] = req.input_ids
+        mask[0, :n] = 1
+        has_audio = req.audio_features is not None
+        blk = (
+            self._resolve_audio_len(req.audio_features.shape)
+            if has_audio else None
+        )
+        total = self._combined_len(n, blk)
+        embeds, emask = self._get_embed_fn(bucket, has_audio)(
+            jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(req.audio_features)[None] if has_audio else None,
+        )
+        cache = llama_mod.KVCache.zeros(
+            self.cfg.llama, 1, embeds.shape[1], dtype=self.compute_dtype,
+            quantized=self.kv_quant,
+        )
+        self._staging_rows[r] = _Staging(
+            req=req, cache=cache, embeds=embeds, emask=emask, total=total
+        )
+        self._rows[r] = _Row(rid=req.rid, budget=req.max_new_tokens,
+                             emitted=[], free=False, staging=True)
+
+    def _advance_staging(self):
+        """Advance chunked prefills by ONE piece this round — the stall
+        bound: between any two decode chunks the device runs at most
+        prefill_chunk_tokens of prompt processing. Staged rows take turns
+        (round-robin); a finished staging splices into its pool row and
+        decodes from the next chunk. Rounds with no live decode rows
+        skip straight back here, so an idle pool prefills back-to-back."""
+        if not self._staging_rows:
+            return
+        c = self.prefill_chunk_tokens
+        order = sorted(self._staging_rows)
+        start = self._staging_rr
+        r = min((x for x in order if x >= start), default=order[0])
+        self._staging_rr = r + 1
+        st = self._staging_rows[r]
+        fn = self._get_piece_fn(st.embeds.shape[1], st.cache.k.shape[3])
+        self._key, k = jax.random.split(self._key)
+        st.cache, st.tok0 = fn(
+            st.cache, st.embeds, st.emask, jnp.int32(st.written // c), k
+        )
+        st.written += c
+        if st.written >= st.total:
+            self._state = self._get_insert_fn()(
+                self._state, st.cache, jnp.int32(st.total), st.tok0,
+                jnp.int32(r), jnp.int32(st.req.max_new_tokens),
+            )
+            del self._staging_rows[r]
+            self._rows[r] = _Row(
+                rid=st.req.rid, budget=st.req.max_new_tokens,
+                emitted=[], free=False,
+            )
+
+    def _get_embed_fn(self, bucket: int, has_audio: bool):
+        """Combined prompt embeds for staging, padded to a whole number
+        of pieces (the final piece's static slice must not read past the
+        end; pad K/V rows land past the final offset, never attended)."""
+        keyfn = (bucket, has_audio)
+        if keyfn in self._embed_fns:
+            return self._embed_fns[keyfn]
+        frozen, trainable, cfg = self.frozen, self.trainable, self.cfg
+        cdt = self.compute_dtype
+        c = self.prefill_chunk_tokens
+        eng = self
+
+        def embeds_fn(ids, mask, feats):
+            e, m = build_prefix(
+                frozen, trainable, cfg, ids, mask, feats,
+                eng.audio_start_id, eng.audio_end_id, cdt,
+            )
+            P = e.shape[1]
+            Pp = -(-P // c) * c
+            if Pp != P:
+                e = jnp.pad(e, ((0, 0), (0, Pp - P), (0, 0)))
+                m = jnp.pad(m, ((0, 0), (0, Pp - P)))
+            return e, m.astype(jnp.int32)
+
+        fn = jax.jit(embeds_fn)
+        self._embed_fns[keyfn] = fn
+        return fn
+
+    def _get_piece_fn(self, Pb: int, cap: int):
+        """One prefill piece: block-append embeds[:, i*c:(i+1)*c) at
+        cache_offsets=i*c (the same divergent-timeline primitive the
+        prefix-cache suffix uses) and sample a candidate first token from
+        the piece's last real position (the FINAL piece's sample is the
+        admission's tok0). The staging cache is donated — pieces fill it
+        in place."""
+        keyfn = (Pb, cap)
+        if keyfn in self._piece_fns:
+            return self._piece_fns[keyfn]
+        frozen, cfg = self.frozen, self.cfg
+        lora = self._lora
+        cdt = self.compute_dtype
+        c = self.prefill_chunk_tokens
+        eng = self
+
+        def piece(cache, embeds, emask, i, key):
+            off = i * c
+            e = jax.lax.dynamic_slice(
+                embeds, (0, off, 0), (1, c, embeds.shape[2])
+            )
+            m = jax.lax.dynamic_slice(emask, (0, off), (1, c))
+            n_i = jnp.sum(m, axis=1).astype(jnp.int32)[0]
+            Tk = cache.k.shape[3]
+            am = (jnp.arange(Tk)[None, :] < off + n_i).astype(jnp.int32)
+            _, cache, hidden = llama_mod.llama_forward(
+                frozen["llama"], cfg.llama, inputs_embeds=e,
+                attention_mask=am, kv_cache=cache,
+                cache_offsets=jnp.reshape(off, (1,)).astype(jnp.int32),
+                lora=lora, compute_dtype=cdt,
+                return_hidden=True, unembed_logits=False,
+            )
+            last = jax.lax.dynamic_slice_in_dim(
+                hidden, jnp.maximum(n_i - 1, 0), 1, axis=1
+            )
+            logits = llama_mod.unembed(frozen["llama"], cfg.llama, last, cdt)
+            tok0 = eng._sample(logits[:, 0], key)[0]
+            return cache, tok0
+
+        fn = jax.jit(piece, donate_argnums=(0,))
+        self._piece_fns[keyfn] = fn
+        return fn
 
     def register_prefix(self, input_ids, audio_features=None) -> int:
         """Register a SHARED prompt prefix and return its handle.

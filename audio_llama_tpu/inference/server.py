@@ -594,9 +594,10 @@ def build_server(args) -> AudioLLMServer:
         from ..models import llama_int4
 
         frozen = dict(frozen)
-        frozen["llama"] = jax.jit(llama_int4.quantize_llama_int4)(
-            frozen["llama"]
-        )
+        # tp > 1 needs the pack-after-shard layout (fuse defaults off)
+        frozen["llama"] = jax.jit(
+            lambda p: llama_int4.quantize_llama_int4(p, tp=args.tp)
+        )(frozen["llama"])
     elif args.int8_decoder:
         from ..models import llama_int8
 
@@ -606,16 +607,25 @@ def build_server(args) -> AudioLLMServer:
         )
 
     mesh = None
-    if args.dp > 1:
-        from jax.sharding import Mesh
-
+    if args.dp > 1 or args.tp > 1:
         devs = jax.devices()
-        if len(devs) < args.dp:
+        need = args.dp * args.tp
+        if len(devs) < need:
             raise SystemExit(
-                f"--dp {args.dp} needs {args.dp} devices; "
+                f"--dp {args.dp} --tp {args.tp} needs {need} devices; "
                 f"have {len(devs)}"
             )
-        mesh = Mesh(np.array(devs[: args.dp]), ("dp",))
+        if args.tp > 1:
+            from ..parallel import MeshConfig, make_mesh
+
+            mesh = make_mesh(
+                MeshConfig(dp=args.dp, fsdp=1, tp=args.tp),
+                devices=devs[:need],
+            )
+        else:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(devs[: args.dp]), ("dp",))
 
     draft_params, draft_cfg = None, None
     if args.draft_llama_path:
@@ -678,6 +688,10 @@ def parse_args(argv=None):
     p.add_argument("--dp", type=int, default=1,
                    help="shard pool rows over the first N devices "
                         "(multi-chip serving; rows must be a multiple)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel: shard the decoder weights + KV "
+                        "heads over N devices (serve models beyond one "
+                        "chip's HBM; composes with --dp)")
     p.add_argument("--rows", type=int, default=32)
     p.add_argument("--max_queue", type=int, default=256,
                    help="reject (429) once this many requests are queued")

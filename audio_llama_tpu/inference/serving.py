@@ -108,6 +108,32 @@ class _Prefix:
     d_cap: int = 0
 
 
+def _check_tp_int4_layout(frozen: dict, tp: int):
+    """int4 trees must be pack-after-shard quantized for THIS tp
+    (quantize_llama_int4(..., tp=tp, fuse=False) — models/llama_int4.py):
+    canonical packing pairs output column j with j+N/2, so a tp shard of
+    the packed dim would split the pairs (same check as
+    make_tp_generate, inference/generate.py:241-271)."""
+    lyr = frozen["llama"]["layers"]
+    if isinstance(lyr.get("qkv_proj"), dict):
+        raise ValueError(
+            "fused int4 tree (quantize_llama_int4 fuse=True) is tp=1 "
+            f"only; quantize with tp={tp}, fuse=False for tensor-parallel "
+            "serving"
+        )
+    w = lyr.get("q_proj")
+    if not (isinstance(w, dict) and "w_p" in w):
+        return
+    p = w["w_p"]
+    if p.ndim != 4 or p.shape[2] != tp:
+        got = p.shape[2] if p.ndim == 4 else 1
+        raise ValueError(
+            f"tensor-parallel serving (tp={tp}) needs an int4 tree "
+            f"quantized with quantize_llama_int4(..., tp={tp}); this one "
+            f"was packed for tp={got}"
+        )
+
+
 class ServingEngine:
     """Fixed-row continuous-batching decode pool over one KV cache.
 
@@ -137,15 +163,25 @@ class ServingEngine:
         chunk_steps then counts ROUNDS (1..gamma+1 tokens each). Composes
         with mesh= (draft cache rows shard with the pool rows) and with
         prefix caching (the draft's prefix slab is registered alongside).
-      mesh/dp_axis: shard the POOL ROWS over a mesh axis (multi-chip
-        serving). The decode chunk and the pool-splice run in shard_map
-        with per-device local shapes (weights replicated, rows split —
-        the make_dp_generate pattern, so the Pallas decode kernels keep
-        working where GSPMD could not partition them); bucketed prefill
-        stays a single whole-batch=1 program whose outputs broadcast into
-        the splice. Greedy results are identical to the unsharded engine;
-        stochastic sampling folds the shard index into the chunk key, so
-        sampled streams differ from single-chip (still independent rows).
+      mesh/dp_axis: multi-chip serving, two composable axes.
+        dp: shard the POOL ROWS — the decode chunk and the pool-splice
+        run in shard_map with per-device local shapes (weights
+        replicated, rows split — the make_dp_generate pattern, so the
+        Pallas decode kernels keep working where GSPMD could not
+        partition them); bucketed prefill stays a single whole-batch=1
+        program whose outputs broadcast into the splice.
+        tp (a 'tp' axis in the mesh, e.g. make_mesh(MeshConfig(tp=N))):
+        shard the LLAMA WEIGHTS Megatron-style and the pool cache's HEAD
+        axis — every program (prefill, suffix, piece, chunk, splice)
+        takes the weights as shard_map args with the parallel/sharding
+        specs and psums the row-parallel matmuls (the make_tp_generate
+        pattern; serves models beyond one chip's HBM). Whisper/projector
+        /draft stay replicated. int4 trees must be pack-after-shard
+        (quantize_llama_int4(tp=N, fuse=False)).
+        Greedy results are identical to the unsharded engine; stochastic
+        sampling folds the dp shard index into the chunk key (never the
+        tp index), so sampled streams differ from single-chip under dp>1
+        (still independent rows).
       auto_prefix: transparently split text requests on the longest
         registered text-only prefix matching their head (register_prefix
         without explicit prefix= plumbing at submit).
@@ -229,24 +265,69 @@ class ServingEngine:
                 raise ValueError("gamma must be >= 1")
         self.mesh = mesh
         self.dp_axis = dp_axis
+        self.tp = 1
         if mesh is not None:
+            if dp_axis not in mesh.axis_names:
+                raise ValueError(
+                    f"mesh must contain the '{dp_axis}' axis (size 1 is "
+                    "fine for pure tensor-parallel serving)"
+                )
             ndp = mesh.shape[dp_axis]
+            self.tp = mesh.shape.get("tp", 1)
             if rows % ndp:
                 raise ValueError(
                     f"rows={rows} must be a multiple of mesh "
                     f"{dp_axis}={ndp}"
                 )
             for ax, n in mesh.shape.items():
-                if ax != dp_axis and n != 1:
+                if ax not in (dp_axis, "tp") and n != 1:
                     raise ValueError(
-                        "ServingEngine shards rows over one axis; mesh "
-                        f"axis {ax}={n} must be 1"
+                        "ServingEngine shards rows over the dp axis and "
+                        f"weights over 'tp'; mesh axis {ax}={n} must be 1"
                     )
+            if self.tp > 1:
+                if (
+                    cfg.llama.num_heads % self.tp
+                    or cfg.llama.num_kv_heads % self.tp
+                ):
+                    raise ValueError(
+                        f"tp={self.tp} must divide num_heads="
+                        f"{cfg.llama.num_heads} and num_kv_heads="
+                        f"{cfg.llama.num_kv_heads}"
+                    )
+                _check_tp_int4_layout(frozen, self.tp)
+                # pre-place: llama Megatron-sharded, whisper/projector/
+                # draft replicated (the make_tp_generate placement)
+                from ..parallel import sharding as shd
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                frozen = shd.shard_frozen_for_generation(mesh, frozen)
+                self.frozen = frozen
+                if trainable is not None:
+                    trainable = shd.shard_trainable(mesh, trainable)
+                    self.trainable = trainable
+                if draft_params is not None:
+                    rep = NamedSharding(mesh, P())
+                    draft_params = jax.tree.map(
+                        lambda x: jax.device_put(x, rep), draft_params
+                    )
+                    self.draft_params = draft_params
         self._key = jax.random.PRNGKey(seed)
 
         self._lora = None
         if trainable is not None and "lora" in trainable and cfg.lora is not None:
             self._lora = lora_mod.with_scaling(trainable["lora"], cfg.lora)
+        # weights ride every program as an ARGUMENT (not a closure) so the
+        # tensor-parallel shard_map programs can declare their Megatron
+        # in_specs; non-tp programs get them replicated. Structure is
+        # stable, so jit never retraces for it.
+        self._W = {"frozen": self.frozen}
+        if self.trainable is not None:
+            self._W["trainable"] = self.trainable
+        if self._lora is not None:
+            self._W["lora"] = self._lora
+        if self.draft_params is not None:
+            self._W["draft"] = self.draft_params
 
         # sized arithmetically — allocating a throwaway pool cache here
         # would double peak HBM next to _zero_state()'s real one
@@ -279,31 +360,108 @@ class ServingEngine:
     # row sharding (multi-chip pool)
     # ------------------------------------------------------------------
 
+    def _weight_specs(self):
+        """PartitionSpec pytree matching self._W. tp>1: llama weights get
+        the Megatron column/row specs (parallel/sharding.py) and LoRA
+        factors follow their target's output sharding; whisper, the
+        projector, and the draft model replicate. tp==1: everything
+        replicates (the dp pool keeps weights whole per device)."""
+        from jax.sharding import PartitionSpec as P
+
+        if self.tp <= 1:
+            return jax.tree_util.tree_map(lambda _: P(), self._W)
+        from ..parallel import sharding as shd
+
+        specs = {
+            "frozen": {
+                "llama": shd.llama_specs(self._W["frozen"]["llama"]),
+                "whisper": jax.tree_util.tree_map(
+                    lambda _: P(), self._W["frozen"].get("whisper", {})
+                ),
+            }
+        }
+        if "whisper" not in self._W["frozen"]:
+            specs["frozen"].pop("whisper")
+        if "trainable" in self._W:
+            specs["trainable"] = shd.trainable_specs(self._W["trainable"])
+        if "lora" in self._W:
+            # with_scaling wraps trainable['lora']: spec through the same
+            # path logic by re-wrapping (paths must contain 'lora')
+            specs["lora"] = shd.trainable_specs(
+                {"lora": {"layers": self._W["lora"]["layers"]}}
+            )["lora"] | {"scaling": P()}
+        if "draft" in self._W:
+            specs["draft"] = jax.tree_util.tree_map(
+                lambda _: P(), self._W["draft"]
+            )
+        return specs
+
+    def _fresh_spec(self, tp_heads: bool):
+        """PartitionSpec for a fresh/staging/prefix KVCache slab: batch=1
+        replicated; the TARGET's head axis shards over tp (the draft's
+        stays whole — replicated model)."""
+        from jax.sharding import PartitionSpec as P
+
+        q = self.kv_quant
+        h = "tp" if (tp_heads and self.tp > 1) else None
+        s = P(None, None, h)
+        return llama_mod.KVCache(
+            k=s, v=None if q == 4 else s, length=P(),
+            k_scale=s if q else None, v_scale=s if q else None,
+        )
+
+    def _wrap_prefill(self, body, has_feats: bool):
+        """Bind the weights bundle and jit an admission-prefill body
+        (W, ids, mask, feats, key) -> (fresh, real, tok0[, d_fresh,
+        d_text]). tp>1 wraps in shard_map with the Megatron weight specs
+        (the make_tp_generate pattern) — each shard prefills its local
+        heads/FFN columns and psums the row-parallel matmuls."""
+        W = self._W
+        if self.tp <= 1:
+            f = jax.jit(body)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            out_specs = (self._fresh_spec(True), P(), P())
+            if self.draft_params is not None:
+                out_specs = out_specs + (self._fresh_spec(False), P())
+            f = jax.jit(jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(self._weight_specs(), P(), P(), P(), P()),
+                out_specs=out_specs, check_vma=False,
+            ))
+        return lambda ids, mask, feats, key: f(W, ids, mask, feats, key)
+
     def _state_specs(self, state=None):
         """PartitionSpec pytree for the pool state: cache slabs shard
-        their batch axis (axis 1), per-row vectors shard axis 0, the
-        cache length scalar replicates."""
+        their batch axis (axis 1) over dp and the TARGET cache's head
+        axis (axis 2) over tp; per-row vectors shard axis 0 over dp; the
+        cache length scalar replicates. The draft cache (speculative
+        pools) keeps whole heads — the draft model is replicated."""
         from jax.sharding import PartitionSpec as P
 
         dp = self.dp_axis
         st = self._state if state is None else state
-        slab = lambda a: None if a is None else P(None, dp)  # noqa: E731
 
-        def cache_spec(c):
+        def cache_spec(c, tp_heads: bool):
+            h = "tp" if (tp_heads and self.tp > 1) else None
+            slab = lambda a, d=None: (  # noqa: E731
+                None if a is None else P(None, dp, h)
+            )
             return llama_mod.KVCache(
                 k=slab(c.k), v=slab(c.v), length=P(),
                 k_scale=slab(c.k_scale), v_scale=slab(c.v_scale),
             )
 
         specs = {
-            "cache": cache_spec(st["cache"]),
+            "cache": cache_spec(st["cache"], True),
             "offsets": P(dp),
             "last_tok": P(dp),
             "active": P(dp),
             "remaining": P(dp),
         }
         if "d_cache" in st:  # speculative pool: draft rows shard alike
-            specs["d_cache"] = cache_spec(st["d_cache"])
+            specs["d_cache"] = cache_spec(st["d_cache"], False)
             specs["d_offsets"] = P(dp)
         return specs
 
@@ -678,14 +836,16 @@ class ServingEngine:
         keyfn = (bucket, has_audio)
         if keyfn in self._embed_fns:
             return self._embed_fns[keyfn]
-        frozen, trainable, cfg = self.frozen, self.trainable, self.cfg
+        cfg = self.cfg
         cdt = self.compute_dtype
         c = self.prefill_chunk_tokens
         eng = self
 
-        def embeds_fn(ids, mask, feats):
+        def embeds_fn(W, ids, mask, feats):
+            # embed table / whisper / projector are replicated under tp —
+            # a plain jit suffices (no llama layers run here)
             e, m = build_prefix(
-                frozen, trainable, cfg, ids, mask, feats,
+                W["frozen"], W.get("trainable"), cfg, ids, mask, feats,
                 eng.audio_start_id, eng.audio_end_id, cdt,
             )
             P = e.shape[1]
@@ -695,7 +855,9 @@ class ServingEngine:
                 m = jnp.pad(m, ((0, 0), (0, Pp - P)))
             return e, m.astype(jnp.int32)
 
-        fn = jax.jit(embeds_fn)
+        W = self._W
+        f = jax.jit(embeds_fn)
+        fn = lambda *a: f(W, *a)  # noqa: E731
         self._embed_fns[keyfn] = fn
         return fn
 
@@ -709,13 +871,14 @@ class ServingEngine:
         keyfn = (Pb, cap)
         if keyfn in self._piece_fns:
             return self._piece_fns[keyfn]
-        frozen, cfg = self.frozen, self.cfg
-        lora = self._lora
+        cfg = self.cfg
         cdt = self.compute_dtype
         c = self.prefill_chunk_tokens
         eng = self
+        tpax = "tp" if self.tp > 1 else None
 
-        def piece(cache, embeds, emask, i, key):
+        def piece(W, cache, embeds, emask, i, key):
+            frozen, lora = W["frozen"], W.get("lora")
             off = i * c
             e = jax.lax.dynamic_slice(
                 embeds, (0, off, 0), (1, c, embeds.shape[2])
@@ -729,16 +892,34 @@ class ServingEngine:
                 attention_mask=am, kv_cache=cache,
                 cache_offsets=jnp.reshape(off, (1,)).astype(jnp.int32),
                 lora=lora, compute_dtype=cdt,
-                return_hidden=True, unembed_logits=False,
+                return_hidden=True, unembed_logits=False, tp_axis=tpax,
             )
             last = jax.lax.dynamic_slice_in_dim(
                 hidden, jnp.maximum(n_i - 1, 0), 1, axis=1
             )
-            logits = llama_mod.unembed(frozen["llama"], cfg.llama, last, cdt)
+            logits = llama_mod.unembed_with_tp(
+                frozen["llama"], cfg.llama, last, cdt, tpax
+            )
             tok0 = eng._sample(logits[:, 0], key)[0]
             return cache, tok0
 
-        fn = jax.jit(piece, donate_argnums=(0,))
+        W = self._W
+        if self.tp <= 1:
+            f = jax.jit(piece, donate_argnums=(1,))
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            f = jax.jit(
+                jax.shard_map(
+                    piece, mesh=self.mesh,
+                    in_specs=(self._weight_specs(), self._fresh_spec(True),
+                              P(), P(), P(), P()),
+                    out_specs=(self._fresh_spec(True), P()),
+                    check_vma=False,
+                ),
+                donate_argnums=(1,),
+            )
+        fn = lambda *a: f(W, *a)  # noqa: E731
         self._piece_fns[keyfn] = fn
         return fn
 
@@ -850,19 +1031,22 @@ class ServingEngine:
         if keyfn in self._prefill_fns:
             return self._prefill_fns[keyfn]
 
-        frozen, trainable, cfg = self.frozen, self.trainable, self.cfg
-        lora = self._lora
+        cfg = self.cfg
         cdt = self.compute_dtype
         eng = self
+        tpax = "tp" if self.tp > 1 else None
 
-        def prefill(ids, mask, feats, key):
+        def prefill(W, ids, mask, feats, key):
+            frozen, trainable = W["frozen"], W.get("trainable")
+            lora = W.get("lora")
             embeds, emask = build_prefix(
                 frozen, trainable, cfg, ids, mask, feats,
                 eng.audio_start_id, eng.audio_end_id, cdt,
             )
             P = embeds.shape[1]
             fresh = llama_mod.KVCache.zeros(
-                cfg.llama, 1, P, dtype=cdt, quantized=eng.kv_quant
+                cfg.llama, 1, P, dtype=cdt, quantized=eng.kv_quant,
+                kv_heads=cfg.llama.num_kv_heads // eng.tp,
             )
             Tk = fresh.k.shape[3]
             fm = jnp.pad(
@@ -872,19 +1056,22 @@ class ServingEngine:
                 frozen["llama"], cfg.llama, inputs_embeds=embeds,
                 attention_mask=fm, kv_cache=fresh, lora=lora,
                 compute_dtype=cdt, assume_fresh_cache=True,
-                return_hidden=True, unembed_logits=False,
+                return_hidden=True, unembed_logits=False, tp_axis=tpax,
             )
             real = jnp.sum(emask, axis=1).astype(jnp.int32)[0]
             last = jax.lax.dynamic_slice_in_dim(
                 hidden, real - 1, 1, axis=1
             )  # [1, 1, D]
-            logits = llama_mod.unembed(frozen["llama"], cfg.llama, last, cdt)
+            logits = llama_mod.unembed_with_tp(
+                frozen["llama"], cfg.llama, last, cdt, tpax
+            )
             tok0 = eng._sample(logits[:, 0], key)[0]
             if eng.draft_params is None:
                 return fresh, real, tok0
             # draft prefill over the TEXT prompt only (audio conditioning
             # is target-side; the draft merely proposes — lossless either
-            # way in greedy mode, acceptance rate is what audio affects)
+            # way in greedy mode, acceptance rate is what audio affects).
+            # The draft stays REPLICATED under tp (it is small).
             d_fresh = llama_mod.KVCache.zeros(
                 eng.draft_cfg, 1, ids.shape[1], dtype=cdt,
                 quantized=eng.kv_quant,
@@ -894,14 +1081,14 @@ class ServingEngine:
                 mask.astype(jnp.int32), ((0, 0), (0, Tkd - mask.shape[1]))
             )
             _, d_fresh = llama_mod.llama_forward(
-                eng.draft_params, eng.draft_cfg, input_ids=ids,
+                W["draft"], eng.draft_cfg, input_ids=ids,
                 attention_mask=dm, kv_cache=d_fresh, compute_dtype=cdt,
                 assume_fresh_cache=True,
             )
             d_text = jnp.sum(mask, axis=1).astype(jnp.int32)[0]
             return fresh, real, tok0, d_fresh, d_text
 
-        fn = jax.jit(prefill)
+        fn = self._wrap_prefill(prefill, has_feats=has_audio)
         self._prefill_fns[keyfn] = fn
         return fn
 
@@ -920,15 +1107,15 @@ class ServingEngine:
         if keyfn in self._suffix_fns:
             return self._suffix_fns[keyfn]
 
-        frozen, cfg = self.frozen, self.cfg
-        lora = self._lora
+        cfg = self.cfg
         cdt = self.compute_dtype
         eng = self
+        tpax = "tp" if self.tp > 1 else None
 
-        def splice_fresh(pcache, lcfg, Sb):
+        def splice_fresh(pcache, lcfg, Sb, kv_heads=None):
             fresh = llama_mod.KVCache.zeros(
                 lcfg, 1, pcache.k.shape[3] + Sb, dtype=cdt,
-                quantized=eng.kv_quant,
+                quantized=eng.kv_quant, kv_heads=kv_heads,
             )
 
             def put(dst, src):
@@ -946,13 +1133,17 @@ class ServingEngine:
                 v_scale=put(fresh.v_scale, pcache.v_scale),
             )
 
-        def sprefill(pcache, plen, *rest):
+        def sprefill(W, pcache, plen, *rest):
+            frozen, lora = W["frozen"], W.get("lora")
             if eng.draft_params is not None:
                 pdcache, pdlen, ids, mask, key = rest
             else:
                 ids, mask, key = rest
             embeds = llama_mod.embed_tokens(frozen["llama"], ids, cdt)
-            fresh = splice_fresh(pcache, cfg.llama, ids.shape[1])
+            fresh = splice_fresh(
+                pcache, cfg.llama, ids.shape[1],
+                kv_heads=cfg.llama.num_kv_heads // eng.tp,
+            )
             n = jnp.sum(mask, axis=1).astype(jnp.int32)[0]
             Tk = fresh.k.shape[3]
             # full-timeline key mask: prefix real slots + suffix real
@@ -965,10 +1156,12 @@ class ServingEngine:
                 attention_mask=am, kv_cache=fresh,
                 cache_offsets=jnp.reshape(plen, (1,)).astype(jnp.int32),
                 lora=lora, compute_dtype=cdt,
-                return_hidden=True, unembed_logits=False,
+                return_hidden=True, unembed_logits=False, tp_axis=tpax,
             )
             last = jax.lax.dynamic_slice_in_dim(hidden, n - 1, 1, axis=1)
-            logits = llama_mod.unembed(frozen["llama"], cfg.llama, last, cdt)
+            logits = llama_mod.unembed_with_tp(
+                frozen["llama"], cfg.llama, last, cdt, tpax
+            )
             tok0 = eng._sample(logits[:, 0], key)[0]
             if eng.draft_params is None:
                 return fresh, plen + n, tok0
@@ -977,14 +1170,30 @@ class ServingEngine:
                 jnp.arange(d_fresh.k.shape[3])[None, :] < pdlen + n
             ).astype(jnp.int32)
             _, d_fresh = llama_mod.llama_forward(
-                eng.draft_params, eng.draft_cfg, input_ids=ids,
+                W["draft"], eng.draft_cfg, input_ids=ids,
                 attention_mask=dm, kv_cache=d_fresh,
                 cache_offsets=jnp.reshape(pdlen, (1,)).astype(jnp.int32),
                 compute_dtype=cdt,
             )
             return fresh, plen + n, tok0, d_fresh, pdlen + n
 
-        fn = jax.jit(sprefill)
+        W = self._W
+        if self.tp <= 1:
+            f = jax.jit(sprefill)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            in_specs = [self._weight_specs(), self._fresh_spec(True), P()]
+            out_specs = (self._fresh_spec(True), P(), P())
+            if self.draft_params is not None:
+                in_specs += [self._fresh_spec(False), P()]
+                out_specs = out_specs + (self._fresh_spec(False), P())
+            in_specs += [P(), P(), P()]  # ids, mask, key
+            f = jax.jit(jax.shard_map(
+                sprefill, mesh=self.mesh, in_specs=tuple(in_specs),
+                out_specs=out_specs, check_vma=False,
+            ))
+        fn = lambda *a: f(W, *a)  # noqa: E731
         self._suffix_fns[keyfn] = fn
         return fn
 
@@ -1066,16 +1275,11 @@ class ServingEngine:
         else:
             from jax.sharding import PartitionSpec as P
 
-            q = eng.kv_quant
-            fresh_spec = llama_mod.KVCache(
-                k=P(), v=None if q == 4 else P(), length=P(),
-                k_scale=P() if q else None, v_scale=P() if q else None,
-            )
             sspec = eng._state_specs()
-            in_specs = (sspec, fresh_spec, P(), P(), P(), P())
+            in_specs = (sspec, eng._fresh_spec(True), P(), P(), P(), P())
             if eng.draft_params is not None:
                 # broadcast the draft slab + its real length alongside
-                in_specs = in_specs + (fresh_spec, P())
+                in_specs = in_specs + (eng._fresh_spec(False), P())
             self._insert_fn = jax.jit(
                 jax.shard_map(
                     insert, mesh=eng.mesh,
@@ -1098,14 +1302,17 @@ class ServingEngine:
 
     def _decode_chunk(self):
         if self._chunk_fn is None:
-            frozen, cfg = self.frozen, self.cfg
-            lora = self._lora
+            cfg = self.cfg
             cdt = self.compute_dtype
             eng = self
+            tpax = "tp" if self.tp > 1 else None
 
-            def chunk(state, key):
+            def chunk(W, state, key):
+                frozen, lora = W["frozen"], W.get("lora")
                 if eng.mesh is not None:
-                    # independent sampling per row shard (greedy ignores it)
+                    # independent sampling per row shard (greedy ignores
+                    # it; tp shards must NOT fold — identical logits need
+                    # identical samples on every weight shard)
                     key = jax.random.fold_in(
                         key, jax.lax.axis_index(eng.dp_axis)
                     )
@@ -1123,7 +1330,7 @@ class ServingEngine:
                         positions=offsets[:, None],
                         kv_cache=cache, cache_offsets=offsets,
                         lora=lora, compute_dtype=cdt,
-                        attn_impl=eng.attn_impl,
+                        attn_impl=eng.attn_impl, tp_axis=tpax,
                     )
                     tok = eng._sample(logits[:, 0], k)
                     done = (emit == eng.eos_id) | (remaining <= 0)
@@ -1152,7 +1359,7 @@ class ServingEngine:
                 }, emit, fire
 
             if eng.mesh is None:
-                self._chunk_fn = jax.jit(chunk, donate_argnums=(0,))
+                self._chunk_fn = jax.jit(chunk, donate_argnums=(1,))
             else:
                 from jax.sharding import PartitionSpec as P
 
@@ -1161,15 +1368,15 @@ class ServingEngine:
                 self._chunk_fn = jax.jit(
                     jax.shard_map(
                         chunk, mesh=eng.mesh,
-                        in_specs=(sspec, P()),
+                        in_specs=(eng._weight_specs(), sspec, P()),
                         out_specs=(sspec, emit_spec, emit_spec),
                         check_vma=False,
                     ),
-                    donate_argnums=(0,),
+                    donate_argnums=(1,),
                 )
 
         self._key, k = jax.random.split(self._key)
-        self._state, emit, fire = self._chunk_fn(self._state, k)
+        self._state, emit, fire = self._chunk_fn(self._W, self._state, k)
         return emit, fire
 
     def _decode_chunk_spec(self):
@@ -1185,12 +1392,12 @@ class ServingEngine:
         Returns (emit [K, R, gamma+2], n_emit [K, R]) — the +2nd column
         carries the budget-final fix token (spliced at col n_raw)."""
         if self._chunk_fn is None:
-            frozen, cfg = self.frozen, self.cfg
-            dparams, dcfg = self.draft_params, self.draft_cfg
-            lora = self._lora
+            cfg = self.cfg
+            dcfg = self.draft_cfg
             cdt = self.compute_dtype
             gamma = self.gamma
             eng = self
+            tpax = "tp" if self.tp > 1 else None
 
             def probs(logits):
                 return sampling.filtered_probs(
@@ -1201,9 +1408,12 @@ class ServingEngine:
             def greedy_tok(logits):
                 return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-            def chunk(state, key):
+            def chunk(W, state, key):
+                frozen, lora = W["frozen"], W.get("lora")
+                dparams = W["draft"]
                 # LOCAL row count (under mesh= this runs inside shard_map
-                # on a rows/dp shard; sampling keys fold in the shard)
+                # on a rows/dp shard; sampling keys fold in the dp shard —
+                # never the tp shard, whose rows are the same)
                 R = state["offsets"].shape[0]
                 if eng.mesh is not None:
                     key = jax.random.fold_in(
@@ -1253,6 +1463,7 @@ class ServingEngine:
                         positions=pos, kv_cache=t_cache,
                         cache_offsets=offs, lora=lora,
                         compute_dtype=cdt, attn_impl=eng.attn_impl,
+                        tp_axis=tpax,
                     )  # [R, gamma+1, V]
                     if eng.greedy:
                         t_next = greedy_tok(t_logits)  # [R, gamma+1]
@@ -1366,7 +1577,7 @@ class ServingEngine:
                 }, emit, n_emit
 
             if eng.mesh is None:
-                self._chunk_fn = jax.jit(chunk, donate_argnums=(0,))
+                self._chunk_fn = jax.jit(chunk, donate_argnums=(1,))
             else:
                 from jax.sharding import PartitionSpec as P
 
@@ -1374,7 +1585,7 @@ class ServingEngine:
                 self._chunk_fn = jax.jit(
                     jax.shard_map(
                         chunk, mesh=eng.mesh,
-                        in_specs=(sspec, P()),
+                        in_specs=(eng._weight_specs(), sspec, P()),
                         out_specs=(
                             sspec,
                             P(None, eng.dp_axis, None),  # emit [K,R,g+2]
@@ -1382,9 +1593,9 @@ class ServingEngine:
                         ),
                         check_vma=False,
                     ),
-                    donate_argnums=(0,),
+                    donate_argnums=(1,),
                 )
 
         self._key, k = jax.random.split(self._key)
-        self._state, emit, n_emit = self._chunk_fn(self._state, k)
+        self._state, emit, n_emit = self._chunk_fn(self._W, self._state, k)
         return emit, n_emit

@@ -34,8 +34,25 @@ from audio_llama_tpu.models import llama as lm
 from audio_llama_tpu.models import llama_int4 as l4
 from audio_llama_tpu.inference.serving import ServingEngine
 
-ROWS, BUCKETS, MAX_LEN, CHUNK = 32, (256, 1024), 1312, 32
-P_LEN, N_REQ = 900, 64
+ROWS, BUCKETS, MAX_LEN, CHUNK = 32, (128, 512), 768, 32
+P_LEN, N_REQ = 400, 64
+SFX_LO, SFX_HI = 40, 101  # text bucket for full prompts: 512; suffix: 128
+
+
+def retry(label, f, n=3):
+    """The axon remote-compile service drops connections mid-compile on
+    long programs (Broken pipe); finished programs persist in the compile
+    cache, so a retry resumes from the last finished one."""
+    import jax.errors
+
+    for i in range(n):
+        try:
+            return f()
+        except jax.errors.JaxRuntimeError as e:
+            print(f"{label}: attempt {i+1} failed: {e}", flush=True)
+            if i == n - 1:
+                raise
+            time.sleep(10)
 
 
 def make_engine(cfg, params):
@@ -60,7 +77,7 @@ def main():
     pfx = rng.integers(3, lcfg.vocab_size - 8, (P_LEN,)).astype(np.int32)
     sfx = [
         rng.integers(
-            3, lcfg.vocab_size - 8, (int(rng.integers(40, 101)),)
+            3, lcfg.vocab_size - 8, (int(rng.integers(SFX_LO, SFX_HI)),)
         ).astype(np.int32)
         for _ in range(N_REQ)
     ]
@@ -69,31 +86,40 @@ def main():
     eng = make_engine(cfg, params)
 
     # ---- compile + warm every program, both arms ----
+    def warm_full():
+        eng.reset()
+        eng.submit(np.concatenate([pfx, sfx[0]]), max_new_tokens=2)
+        eng.run()
+
     t0 = time.time()
-    w = eng.submit(np.concatenate([pfx, sfx[0]]), max_new_tokens=2)
-    eng.run()
+    retry("full-arm warmup", warm_full)
     print(f"full-arm warmup {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
-    h = eng.register_prefix(pfx)
+    h = retry("register_prefix", lambda: eng.register_prefix(pfx))
     t_reg_cold = time.time() - t0
-    print(f"register_prefix (cold, incl suffix-compile next) {t_reg_cold:.1f}s",
-          flush=True)
+    print(f"register_prefix (cold) {t_reg_cold:.1f}s", flush=True)
+
+    def warm_sfx():
+        eng.reset()
+        eng.submit(sfx[0], max_new_tokens=2, prefix=h)
+        eng.run()
+
     t0 = time.time()
-    eng.submit(sfx[0], max_new_tokens=2, prefix=h)
-    eng.run()
+    retry("prefix-arm warmup", warm_sfx)
     print(f"prefix-arm warmup {time.time()-t0:.1f}s", flush=True)
     eng.reset()
 
     # ---- admission-latency microbench (prefill program only) ----
-    full_fn = eng._get_prefill_fn(1024, False)
-    sfx_fn = eng._get_suffix_fn(256, eng._prefixes[h].cap)
-    ids_f = np.zeros((1, 1024), np.int32)
+    FB, SB = BUCKETS[1], BUCKETS[0]
+    full_fn = eng._get_prefill_fn(FB, False)
+    sfx_fn = eng._get_suffix_fn(SB, eng._prefixes[h].cap)
+    ids_f = np.zeros((1, FB), np.int32)
     ids_f[0, :P_LEN + 64] = rng.integers(3, 100, P_LEN + 64)
-    m_f = np.zeros((1, 1024), np.int32)
+    m_f = np.zeros((1, FB), np.int32)
     m_f[0, :P_LEN + 64] = 1
-    ids_s = np.zeros((1, 256), np.int32)
+    ids_s = np.zeros((1, SB), np.int32)
     ids_s[0, :64] = rng.integers(3, 100, 64)
-    m_s = np.zeros((1, 256), np.int32)
+    m_s = np.zeros((1, SB), np.int32)
     m_s[0, :64] = 1
     key = jax.random.PRNGKey(1)
     pc, pl = eng._prefixes[h].cache, jnp.int32(eng._prefixes[h].length)
@@ -107,8 +133,8 @@ def main():
 
     ms_full = t_admit(full_fn, (jnp.asarray(ids_f), jnp.asarray(m_f), None, key))
     ms_sfx = t_admit(sfx_fn, (pc, pl, jnp.asarray(ids_s), jnp.asarray(m_s), key))
-    print(f"admission prefill: full-1024 {ms_full:.1f} ms, "
-          f"suffix-256@cap{eng._prefixes[h].cap} {ms_sfx:.1f} ms "
+    print(f"admission prefill: full-{FB} {ms_full:.1f} ms, "
+          f"suffix-{SB}@cap{eng._prefixes[h].cap} {ms_sfx:.1f} ms "
           f"({ms_full/ms_sfx:.1f}x)", flush=True)
 
     # ---- end-to-end drained pool, arm A: full prompts ----

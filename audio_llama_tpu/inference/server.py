@@ -661,6 +661,7 @@ def build_server(args) -> AudioLLMServer:
         gamma=args.gamma,
         auto_prefix=args.auto_prefix,
         prefill_chunk_tokens=args.prefill_chunk_tokens,
+        admit_batch=args.admit_batch,
     )
     runner = EngineRunner(engine, max_queue=args.max_queue)
     return AudioLLMServer(
@@ -703,6 +704,9 @@ def parse_args(argv=None):
                    help="chunked prefill: admissions fill in pieces of "
                         "this many tokens, at most one piece between "
                         "decode chunks (bounds decode stalls)")
+    p.add_argument("--admit_batch", type=int, default=1,
+                   help="batch up to N same-bucket queued requests into "
+                        "one admission prefill program (burst arrivals)")
     # precision (the measured serving config is int4 weights + int4 KV)
     p.add_argument("--int8_decoder", action="store_true")
     p.add_argument("--int4_decoder", action="store_true")

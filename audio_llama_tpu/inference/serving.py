@@ -185,6 +185,12 @@ class ServingEngine:
       auto_prefix: transparently split text requests on the longest
         registered text-only prefix matching their head (register_prefix
         without explicit prefix= plumbing at submit).
+      admit_batch: BATCHED ADMISSION — up to N consecutive queued
+        requests sharing a prefill geometry (bucket + audio-ness, no
+        prefix) admit through one B=N prefill program (one dispatch, one
+        MXU-filling batch) and splice row by row. Greedy-exact vs
+        single admission; stochastic streams differ (one sampling key
+        per batch instead of per request). Default 1 (off).
       prefill_chunk_tokens: CHUNKED PREFILL — admissions fill a staging
         cache in pieces of this many tokens, at most one piece between
         decode chunks (round-robin across staged rows), bounding the
@@ -224,6 +230,7 @@ class ServingEngine:
         gamma: int = 4,
         auto_prefix: bool = False,
         prefill_chunk_tokens: Optional[int] = None,
+        admit_batch: int = 1,
     ):
         self.frozen = frozen
         self.trainable = trainable
@@ -246,6 +253,9 @@ class ServingEngine:
         self.draft_cfg = draft_cfg
         self.gamma = gamma
         self.auto_prefix = auto_prefix
+        self.admit_batch = admit_batch
+        if admit_batch < 1:
+            raise ValueError("admit_batch must be >= 1")
         self.prefill_chunk_tokens = prefill_chunk_tokens
         if prefill_chunk_tokens is not None:
             if prefill_chunk_tokens < 1:
@@ -347,6 +357,8 @@ class ServingEngine:
         self._prefixes: Dict[int, _Prefix] = {}
         self._next_pid = 0
         self._prefill_fns: Dict = {}  # (bucket, has_audio) -> jitted prefill
+        self._batch_prefill_fns: Dict = {}  # + Ba>=2 (batched admission)
+        self._slice_fn = None  # batched fresh slab -> one row's sub-cache
         self._suffix_fns: Dict = {}  # (bucket, prefix cap) -> jitted prefill
         self._insert_fn = None  # one pool-splice, retraced per slab shape
         self._chunk_fn = None
@@ -723,6 +735,51 @@ class ServingEngine:
                 continue
             r = free.pop(0)
             self._queue.pop(0)
+            if (
+                self.admit_batch > 1
+                and req.prefix is None
+                and self.prefill_chunk_tokens is None
+            ):
+                # batched admission: pull the consecutive run of queued
+                # requests sharing this request's prefill geometry (same
+                # bucket + audio-ness, no prefix, fits the pool) into ONE
+                # B>1 prefill program — admissions through a remote
+                # tunnel pay ~30 ms dispatch each, and short-bucket
+                # prefills underfill the MXU at B=1
+                group = [(r, req)]
+                while (
+                    free and self._queue
+                    and len(group) < self.admit_batch
+                ):
+                    nxt = self._queue[0]
+                    if nxt.prefix is not None:
+                        break
+                    if (nxt.audio_features is None) != (
+                        req.audio_features is None
+                    ):
+                        break
+                    if (
+                        nxt.audio_features is not None
+                        and nxt.audio_features.shape
+                        != req.audio_features.shape
+                    ):
+                        break
+                    nblk = (
+                        self._resolve_audio_len(nxt.audio_features.shape)
+                        if nxt.audio_features is not None else None
+                    )
+                    ncomb = self._combined_len(len(nxt.input_ids), nblk)
+                    try:
+                        if self._pick_bucket(len(nxt.input_ids)) != tb:
+                            break
+                    except ValueError:
+                        break
+                    if ncomb + nxt.max_new_tokens > self.max_len:
+                        break
+                    group.append((free.pop(0), self._queue.pop(0)))
+                if len(group) > 1:
+                    self._admit_batch(group, tb)
+                    continue
             self._admit(r, req, tb)
 
     def _admit(self, r: int, req: _Pending, bucket: int):
@@ -759,6 +816,123 @@ class ServingEngine:
         )
         self._rows[r] = _Row(rid=req.rid, budget=req.max_new_tokens,
                              emitted=[], free=False)
+
+    def _admit_batch(self, group, bucket: int):
+        """Admit len(group) same-geometry requests through ONE batched
+        prefill program, then splice each row with the existing
+        per-request insert (the batched fresh cache is sliced per row on
+        device)."""
+        Ba = len(group)
+        ids = np.full((Ba, bucket), self.pad_id, np.int32)
+        mask = np.zeros((Ba, bucket), np.int32)
+        for b, (_, req) in enumerate(group):
+            n = len(req.input_ids)
+            ids[b, :n] = req.input_ids
+            mask[b, :n] = 1
+        has_audio = group[0][1].audio_features is not None
+        feats = (
+            jnp.asarray(np.stack([q.audio_features for _, q in group]))
+            if has_audio else None
+        )
+        self._key, k = jax.random.split(self._key)
+        fn = self._get_batch_prefill_fn(bucket, has_audio, Ba)
+        res = fn(jnp.asarray(ids), jnp.asarray(mask), feats, k)
+        fresh, real, tok0 = res[:3]
+        d_res = res[3:]
+        ins = self._get_insert_fn()
+        sl = self._get_slice_fn()
+        for b, (r, req) in enumerate(group):
+            extra = ()
+            if d_res:
+                extra = (sl(d_res[0], jnp.int32(b)), d_res[1][b])
+            self._state = ins(
+                self._state, sl(fresh, jnp.int32(b)), real[b], tok0[b],
+                jnp.int32(r), jnp.int32(req.max_new_tokens), *extra,
+            )
+            self._rows[r] = _Row(rid=req.rid, budget=req.max_new_tokens,
+                                 emitted=[], free=False)
+
+    def _get_slice_fn(self):
+        """[L, Ba, ...] batched fresh cache -> row b's [L, 1, ...]
+        sub-cache (device-side; feeds the per-request insert)."""
+        if self._slice_fn is None:
+            def sl(c, b):
+                cut = lambda a: (  # noqa: E731
+                    None if a is None
+                    else jax.lax.dynamic_slice_in_dim(a, b, 1, axis=1)
+                )
+                return llama_mod.KVCache(
+                    k=cut(c.k), v=cut(c.v), length=c.length,
+                    k_scale=cut(c.k_scale), v_scale=cut(c.v_scale),
+                )
+            self._slice_fn = jax.jit(sl)
+        return self._slice_fn
+
+    def _get_batch_prefill_fn(self, bucket: int, has_audio: bool, Ba: int):
+        """Batched (Ba >= 2) variant of _get_prefill_fn: one program
+        prefills Ba same-bucket prompts and samples their first tokens.
+        Vector outputs (real [Ba], tok0 [Ba]); the fresh caches share one
+        [L, Ba, ...] slab sliced per row at splice time."""
+        keyfn = (bucket, has_audio, Ba)
+        if keyfn in self._batch_prefill_fns:
+            return self._batch_prefill_fns[keyfn]
+
+        cfg = self.cfg
+        cdt = self.compute_dtype
+        eng = self
+        tpax = "tp" if self.tp > 1 else None
+
+        def prefill(W, ids, mask, feats, key):
+            frozen, trainable = W["frozen"], W.get("trainable")
+            lora = W.get("lora")
+            embeds, emask = build_prefix(
+                frozen, trainable, cfg, ids, mask, feats,
+                eng.audio_start_id, eng.audio_end_id, cdt,
+            )
+            P = embeds.shape[1]
+            fresh = llama_mod.KVCache.zeros(
+                cfg.llama, Ba, P, dtype=cdt, quantized=eng.kv_quant,
+                kv_heads=cfg.llama.num_kv_heads // eng.tp,
+            )
+            Tk = fresh.k.shape[3]
+            fm = jnp.pad(
+                emask.astype(jnp.int32), ((0, 0), (0, Tk - P))
+            ) if Tk != P else emask.astype(jnp.int32)
+            _, fresh, hidden = llama_mod.llama_forward(
+                frozen["llama"], cfg.llama, inputs_embeds=embeds,
+                attention_mask=fm, kv_cache=fresh, lora=lora,
+                compute_dtype=cdt, assume_fresh_cache=True,
+                return_hidden=True, unembed_logits=False, tp_axis=tpax,
+            )
+            real = jnp.sum(emask, axis=1).astype(jnp.int32)  # [Ba]
+            last = jnp.take_along_axis(
+                hidden, (real - 1)[:, None, None], axis=1
+            )  # [Ba, 1, D]
+            logits = llama_mod.unembed_with_tp(
+                frozen["llama"], cfg.llama, last, cdt, tpax
+            )
+            tok0 = eng._sample(logits[:, 0], key)  # [Ba]
+            if eng.draft_params is None:
+                return fresh, real, tok0
+            d_fresh = llama_mod.KVCache.zeros(
+                eng.draft_cfg, Ba, ids.shape[1], dtype=cdt,
+                quantized=eng.kv_quant,
+            )
+            Tkd = d_fresh.k.shape[3]
+            dm = jnp.pad(
+                mask.astype(jnp.int32), ((0, 0), (0, Tkd - mask.shape[1]))
+            )
+            _, d_fresh = llama_mod.llama_forward(
+                W["draft"], eng.draft_cfg, input_ids=ids,
+                attention_mask=dm, kv_cache=d_fresh, compute_dtype=cdt,
+                assume_fresh_cache=True,
+            )
+            d_text = jnp.sum(mask, axis=1).astype(jnp.int32)  # [Ba]
+            return fresh, real, tok0, d_fresh, d_text
+
+        fn = self._wrap_prefill(prefill, has_feats=has_audio)
+        self._batch_prefill_fns[keyfn] = fn
+        return fn
 
     # ------------------------------------------------------------------
     # chunked prefill (prefill_chunk_tokens)

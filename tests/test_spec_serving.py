@@ -157,6 +157,38 @@ def test_spec_pool_stochastic_smoke(model, draft):
         assert all(0 <= t < CFG.llama.vocab_size for t in toks)
 
 
+def test_spec_pool_stochastic_marginal_matches_plain_pool(model, draft):
+    """Distribution-level losslessness of the STOCHASTIC speculative
+    pool: the second emitted token (the first draft-accept-or-residual
+    sample) must be distributed like the plain pool's second token.
+    Empirical total-variation over many identical requests, top_k=8
+    (the pool analog of tests/test_speculative.py's marginal test)."""
+    from collections import Counter
+
+    dparams, dcfg = draft
+    prompt = np.asarray([5, 9, 3, 7], np.int32)
+    N = 240
+    kw = dict(greedy=False, temperature=0.9, top_k=8)
+
+    def marginal(eng):
+        rids = [eng.submit(prompt, max_new_tokens=2) for _ in range(N)]
+        out = eng.run(max_chunks=4096)
+        c = Counter()
+        for r in rids:
+            assert len(out[r]) == 2
+            c[out[r][1]] += 1
+        return c
+
+    ref = marginal(_engine(model, rows=4, seed=3, **kw))
+    spec = marginal(_engine(model, rows=4, seed=17, draft_params=dparams,
+                            draft_cfg=dcfg, gamma=2, **kw))
+    support = set(ref) | set(spec)
+    tv = 0.5 * sum(abs(ref[t] / N - spec[t] / N) for t in support)
+    # sampling noise at N=240 over <=8 support points is ~0.1; a broken
+    # accept/reject lands far above 0.25
+    assert tv < 0.22, f"TV {tv:.3f}, support {len(support)}"
+
+
 def test_spec_pool_guards(model, draft):
     dparams, dcfg = draft
     bad = dcfg.replace(vocab_size=CFG.llama.vocab_size + 1)

@@ -352,6 +352,7 @@ class ServingEngine:
         self.spec_rounds = 0
         self.spec_emitted = 0
         self.prefix_admits = 0  # lifetime prefix-cached admissions
+        self.admit_sizes: List[int] = []  # per-admission group sizes
         self._audio_block_lens: Dict[tuple, int] = {}
         self._next_rid = 0
         self._prefixes: Dict[int, _Prefix] = {}
@@ -777,6 +778,16 @@ class ServingEngine:
                     if ncomb + nxt.max_new_tokens > self.max_len:
                         break
                     group.append((free.pop(0), self._queue.pop(0)))
+                # round DOWN to a power of two: group sizes are program
+                # shapes, and an unforeseen size mid-run means a fresh
+                # remote compile stalling the pool (measured: 11.2 s vs
+                # 4.0 s drained wall — BASELINE.md admit-batch A/B).
+                # {1,2,4,...} is a warmable set.
+                keep = 1 << (len(group).bit_length() - 1)
+                while len(group) > keep:
+                    r2, q2 = group.pop()
+                    free.insert(0, r2)
+                    self._queue.insert(0, q2)
                 if len(group) > 1:
                     self._admit_batch(group, tb)
                     continue
@@ -810,6 +821,7 @@ class ServingEngine:
                 jnp.asarray(req.audio_features)[None] if has_audio else None
             )
             res = fn(jnp.asarray(ids), jnp.asarray(mask), feats, k)
+        self.admit_sizes.append(1)
         self._state = self._get_insert_fn()(
             self._state, *res[:3], jnp.int32(r),
             jnp.int32(req.max_new_tokens), *res[3:],
@@ -836,6 +848,7 @@ class ServingEngine:
         )
         self._key, k = jax.random.split(self._key)
         fn = self._get_batch_prefill_fn(bucket, has_audio, Ba)
+        self.admit_sizes.append(Ba)
         res = fn(jnp.asarray(ids), jnp.asarray(mask), feats, k)
         fresh, real, tok0 = res[:3]
         d_res = res[3:]

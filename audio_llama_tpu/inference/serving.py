@@ -82,6 +82,7 @@ class _Staging:
     total: int  # real prompt slots (audio block + text)
     written: int = 0  # slots appended so far
     tok0: object = None  # first sampled token (set by the last piece)
+    embeds_bucket: int = 0  # TEXT bucket (draft prefill at completion)
 
 
 @dataclass
@@ -197,8 +198,9 @@ class ServingEngine:
         decode stall any admission causes; the piece block-appends at
         cache_offsets like the prefix-cache suffix path, and the audio
         encode still runs once up front. None (default) = whole-prompt
-        admission. Token-exact either way. Not yet composable with
-        draft_params; prefix-cached suffixes stay one-shot.
+        admission. Token-exact either way. Speculative pools compose
+        (the small draft's prefill runs one-shot at the final piece);
+        prefix-cached suffixes stay one-shot.
     """
 
     def __init__(
@@ -257,15 +259,8 @@ class ServingEngine:
         if admit_batch < 1:
             raise ValueError("admit_batch must be >= 1")
         self.prefill_chunk_tokens = prefill_chunk_tokens
-        if prefill_chunk_tokens is not None:
-            if prefill_chunk_tokens < 1:
-                raise ValueError("prefill_chunk_tokens must be >= 1")
-            if draft_params is not None:
-                raise NotImplementedError(
-                    "chunked prefill does not yet compose with the "
-                    "speculative pool (the draft cache would need its own "
-                    "staging state)"
-                )
+        if prefill_chunk_tokens is not None and prefill_chunk_tokens < 1:
+            raise ValueError("prefill_chunk_tokens must be >= 1")
         if draft_params is not None:
             if draft_cfg is None:
                 raise ValueError("draft_params needs draft_cfg")
@@ -368,6 +363,7 @@ class ServingEngine:
         self._staging_rr = 0  # round-robin cursor over staged rows
         self._embed_fns: Dict = {}  # (bucket, has_audio) -> jitted embeds
         self._piece_fns: Dict = {}  # (Pb, cap) -> jitted piece append
+        self._draft_fns: Dict = {}  # bucket -> draft-only prefill
 
     # ------------------------------------------------------------------
     # row sharding (multi-chip pool)
@@ -979,7 +975,8 @@ class ServingEngine:
             quantized=self.kv_quant,
         )
         self._staging_rows[r] = _Staging(
-            req=req, cache=cache, embeds=embeds, emask=emask, total=total
+            req=req, cache=cache, embeds=embeds, emask=emask, total=total,
+            embeds_bucket=bucket,
         )
         self._rows[r] = _Row(rid=req.rid, budget=req.max_new_tokens,
                              emitted=[], free=False, staging=True)
@@ -1006,15 +1003,59 @@ class ServingEngine:
         )
         st.written += c
         if st.written >= st.total:
+            extra = ()
+            if self.draft_params is not None:
+                # the draft model is small by definition — its prefill
+                # over the text prompt runs one-shot at the final piece
+                # (chunking it would add scheduling for negligible work)
+                bucket = st.embeds_bucket
+                ids = np.full((1, bucket), self.pad_id, np.int32)
+                mask = np.zeros((1, bucket), np.int32)
+                n = len(st.req.input_ids)
+                ids[0, :n] = st.req.input_ids
+                mask[0, :n] = 1
+                extra = self._get_draft_prefill_fn(bucket)(
+                    jnp.asarray(ids), jnp.asarray(mask)
+                )
             self._state = self._get_insert_fn()(
                 self._state, st.cache, jnp.int32(st.total), st.tok0,
-                jnp.int32(r), jnp.int32(st.req.max_new_tokens),
+                jnp.int32(r), jnp.int32(st.req.max_new_tokens), *extra,
             )
             del self._staging_rows[r]
             self._rows[r] = _Row(
                 rid=st.req.rid, budget=st.req.max_new_tokens,
                 emitted=[], free=False,
             )
+
+    def _get_draft_prefill_fn(self, bucket: int):
+        """Draft-only prefill over the text prompt (spec pools under
+        chunked prefill) -> (d_fresh, d_text) for the pool splice."""
+        if bucket in self._draft_fns:
+            return self._draft_fns[bucket]
+        cdt = self.compute_dtype
+        eng = self
+
+        def dprefill(W, ids, mask):
+            d_fresh = llama_mod.KVCache.zeros(
+                eng.draft_cfg, 1, ids.shape[1], dtype=cdt,
+                quantized=eng.kv_quant,
+            )
+            Tkd = d_fresh.k.shape[3]
+            dm = jnp.pad(
+                mask.astype(jnp.int32), ((0, 0), (0, Tkd - mask.shape[1]))
+            )
+            _, d_fresh = llama_mod.llama_forward(
+                W["draft"], eng.draft_cfg, input_ids=ids,
+                attention_mask=dm, kv_cache=d_fresh, compute_dtype=cdt,
+                assume_fresh_cache=True,
+            )
+            return d_fresh, jnp.sum(mask, axis=1).astype(jnp.int32)[0]
+
+        W = self._W
+        f = jax.jit(dprefill)
+        fn = lambda *a: f(W, *a)  # noqa: E731
+        self._draft_fns[bucket] = fn
+        return fn
 
     def _get_embed_fn(self, bucket: int, has_audio: bool):
         """Combined prompt embeds for staging, padded to a whole number

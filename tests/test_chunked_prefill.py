@@ -165,12 +165,27 @@ def test_chunked_with_prefix_cache(model):
 
 
 def test_chunked_guards(model):
-    frozen, trainable = model
     with pytest.raises(ValueError, match=">= 1"):
         _engine(model, prefill_chunk_tokens=0)
-    with pytest.raises(NotImplementedError, match="chunked prefill"):
-        _engine(model, prefill_chunk_tokens=4,
-                draft_params=frozen["llama"], draft_cfg=CFG.llama)
+
+
+def test_chunked_with_speculative_pool(model):
+    """Spec pools compose with chunked prefill: the target stages in
+    pieces, the small draft prefills one-shot at the final piece —
+    greedy output stays exact vs the plain pool."""
+    frozen, trainable = model
+    prompts = _prompts(8, (13, 7, 11))
+    ref = _engine(model)
+    rr = [ref.submit(p, max_new_tokens=5) for p in prompts]
+    oref = ref.run()
+
+    eng = _engine(model, prefill_chunk_tokens=4,
+                  draft_params=frozen["llama"], draft_cfg=CFG.llama,
+                  gamma=2)
+    rq = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    out = eng.run(max_chunks=512)
+    for a, b in zip(rr, rq):
+        assert oref[a] == out[b]
 
 
 def test_chunked_reset_clears_staging(model):

@@ -52,7 +52,7 @@ def _kernel_mono4(
     ckv_any,     # [L, B, Hkv, max_len, hd] int8, ANY
     out_ref,     # [1, Hkv, G, hd]
     ckv_out,     # ANY (aliased)
-    kv_db, sems, wsems,
+    kv_db, wb_buf, sems, wsems,
     *,
     scale: float,
     n_heads: int,
@@ -61,6 +61,13 @@ def _kernel_mono4(
     hpd: int,     # heads per DMA (heads are contiguous in the cache layout)
     per_row: bool,  # off_ref is [B]: each batch row has its own append slot
 ):
+    """VPU-lean variant (the B64 trace showed this kernel COMPUTE-bound at
+    ~8.5 us/program vs ~2.6 us of slab DMA): the fresh row's contribution is
+    added ANALYTICALLY (its slab slot is masked out of the logits), so the
+    full-slab where-insert passes are gone; the cache write-back selects on
+    a [32, hd] window only. The nibble unpack stays int32-widened — Mosaic
+    fails to legalize arith.shli on i8/i16 vectors (probed:
+    experiments/nibble_legal_probe.py)."""
     b = pl.program_id(0)
     li = li_ref[0]
     off = off_ref[b] if per_row else off_ref[0]
@@ -81,13 +88,19 @@ def _kernel_mono4(
             slab_dma(j, j % depth).start()
 
     max_len = kv_db.shape[-2]
-    row = jax.lax.broadcasted_iota(jnp.int32, (max_len, 1), 0)
-    is_new = row == off
     row1 = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
     is_new_r = row1 == off
     off_clamped = jnp.clip(off, 0, max_len - 1)
     off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
     valid = valid_ref[0, 0, :]
+    # The fresh row participates iff its slot is in range AND marked valid
+    # (same semantics as the old in-slab insert, where position `off` went
+    # through the valid mask like any other slot).
+    fresh_on = jnp.max(jnp.where(is_new_r, valid[None, :], 0)) > 0
+    # slab slots that feed the QK/PV matmuls: valid and NOT the append slot
+    dead = jnp.logical_or(valid[None, :] <= 0, is_new_r)
+    roww = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) + off_al
+    is_new_w = roww == off
     cdt = q_ref.dtype
 
     for g in range(groups):
@@ -105,23 +118,19 @@ def _kernel_mono4(
 
         for h2 in range(hpd):
             h = g * hpd + h2
-            kv_full = jnp.where(
-                is_new, kvnew_ref[0, h][None, :], kv_db[slot, h2]
-            )
-            kv_db[slot, h2] = kv_full
+            # window-only insert: the 32-row aligned window around `off`
+            # goes through a scratch buffer so the full slab is never
+            # rewritten (the DMA read below is 32-sublane aligned)
+            win = kv_db[slot, h2, pl.ds(off_al, 32), :]
+            wb_buf[...] = jnp.where(is_new_w, kvnew_ref[0, h][None, :], win)
             wb = pltpu.make_async_copy(
-                kv_db.at[slot, h2, pl.ds(off_al, 32), :],
+                wb_buf,
                 ckv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[0],
             )
             wb.start()
 
-            k_s = jnp.where(
-                is_new_r, ks_new_ref[0, h][None, :], ks_ref[0, h][None, :]
-            )
-            v_s = jnp.where(
-                is_new_r, vs_new_ref[0, h][None, :], vs_ref[0, h][None, :]
-            )
-            b32 = kv_full.astype(jnp.int32)
+            # nibble unpack (K low, V high; int32 shifts sign-extend)
+            b32 = kv_db[slot, h2].astype(jnp.int32)
             k_q = jnp.right_shift(jnp.left_shift(b32, 28), 28).astype(cdt)
             v_q = jnp.right_shift(jnp.left_shift(b32, 24), 28).astype(cdt)
             q = q_ref[0, h]
@@ -129,15 +138,33 @@ def _kernel_mono4(
                 q, k_q, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            logits = logits * (k_s * scale)
-            logits = jnp.where(valid[None, :] > 0, logits, -1e30)
-            m = jnp.max(logits, axis=-1, keepdims=True)
+            logits = logits * (ks_ref[0, h][None, :] * scale)
+            logits = jnp.where(dead, -1e30, logits)
+            # analytic fresh-row term
+            n32 = kvnew_ref[0, h][None, :].astype(jnp.int32)
+            k_n = jnp.right_shift(jnp.left_shift(n32, 28), 28).astype(cdt)
+            v_n = jnp.right_shift(jnp.left_shift(n32, 24), 28).astype(cdt)
+            # f32 VPU multiply-reduce: Mosaic rejects the skinny
+            # [G,hd]x[1,hd] bf16->f32 dot (vector.broadcast verify error —
+            # the decode_attention_packed lesson), and at [G,hd] the VPU
+            # pass is cheaper than an MXU trip anyway
+            lf = jnp.sum(
+                q.astype(jnp.float32) * k_n.astype(jnp.float32),
+                axis=1, keepdims=True,
+            )  # [G, 1]
+            lf = lf * (ks_new_ref[0, h] * scale)
+            lf = jnp.where(fresh_on, lf, -1e30)
+            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), lf)
             p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            out = jax.lax.dot_general(
-                (p * v_s).astype(cdt), v_q, (((1,), (0,)), ((), ())),
+            pf = jnp.exp(lf - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + pf
+            acc = jax.lax.dot_general(
+                (p * vs_ref[0, h][None, :]).astype(cdt), v_q,
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            acc = acc + (pf * vs_new_ref[0, h]) * v_n.astype(jnp.float32)
+            out = acc / denom
             out_ref[0, h] = out.astype(out_ref.dtype)
 
             # the 4 KB window write-back must land before this slot's next DMA
@@ -195,6 +222,7 @@ def decode_attention_quantized4_mono(
         ],
         scratch_shapes=[
             pltpu.VMEM((depth, hpd, max_len, hd), jnp.int8),
+            pltpu.VMEM((32, hd), jnp.int8),  # write-back window staging
             pltpu.SemaphoreType.DMA((depth,)),
             pltpu.SemaphoreType.DMA((1,)),
         ],
@@ -241,7 +269,7 @@ def _kernel_mono_q8(
     ck_any, cv_any,
     out_ref,     # [1, Hkv, G, hd]
     ck_out, cv_out,
-    k_db, v_db, sems, wsems,
+    k_db, v_db, wbk_buf, wbv_buf, sems, wsems,
     *,
     scale: float,
     n_heads: int,
@@ -249,7 +277,9 @@ def _kernel_mono_q8(
     per_row: bool,
 ):
     """int8 twin of _kernel_mono4 (separate K and V slabs, two DMAs per
-    head — still one grid program per batch row)."""
+    head — still one grid program per batch row). Same VPU-lean structure:
+    analytic fresh-row term + window-only write-back (no full-slab
+    where-insert passes)."""
     b = pl.program_id(0)
     li = li_ref[0]
     off = off_ref[b] if per_row else off_ref[0]
@@ -271,13 +301,15 @@ def _kernel_mono_q8(
             va.start()
 
     max_len = k_db.shape[1]
-    row = jax.lax.broadcasted_iota(jnp.int32, (max_len, 1), 0)
-    is_new = row == off
     row1 = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
     is_new_r = row1 == off
     off_clamped = jnp.clip(off, 0, max_len - 1)
     off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
     valid = valid_ref[0, 0, :]
+    fresh_on = jnp.max(jnp.where(is_new_r, valid[None, :], 0)) > 0
+    dead = jnp.logical_or(valid[None, :] <= 0, is_new_r)
+    roww = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) + off_al
+    is_new_w = roww == off
     cdt = q_ref.dtype
 
     for h in range(n_heads):
@@ -298,38 +330,52 @@ def _kernel_mono_q8(
         ka.wait()
         va.wait()
 
-        k_full = jnp.where(is_new, knew_ref[0, h][None, :], k_db[slot])
-        v_full = jnp.where(is_new, vnew_ref[0, h][None, :], v_db[slot])
-        k_db[slot] = k_full
-        v_db[slot] = v_full
+        wbk_buf[...] = jnp.where(
+            is_new_w, knew_ref[0, h][None, :],
+            k_db[slot, pl.ds(off_al, 32), :],
+        )
+        wbv_buf[...] = jnp.where(
+            is_new_w, vnew_ref[0, h][None, :],
+            v_db[slot, pl.ds(off_al, 32), :],
+        )
         wb_k = pltpu.make_async_copy(
-            k_db.at[slot, pl.ds(off_al, 32), :],
-            ck_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[0],
+            wbk_buf, ck_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[0],
         )
         wb_v = pltpu.make_async_copy(
-            v_db.at[slot, pl.ds(off_al, 32), :],
-            cv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[1],
+            wbv_buf, cv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[1],
         )
         wb_k.start()
         wb_v.start()
 
-        k_s = jnp.where(is_new_r, ks_new_ref[0, h][None, :], ks_ref[0, h][None, :])
-        v_s = jnp.where(is_new_r, vs_new_ref[0, h][None, :], vs_ref[0, h][None, :])
         q = q_ref[0, h]
         logits = jax.lax.dot_general(
-            q, k_full.astype(cdt), (((1,), (1,)), ((), ())),
+            q, k_db[slot].astype(cdt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        logits = logits * (k_s * scale)
-        logits = jnp.where(valid[None, :] > 0, logits, -1e30)
-        m = jnp.max(logits, axis=-1, keepdims=True)
+        logits = logits * (ks_ref[0, h][None, :] * scale)
+        logits = jnp.where(dead, -1e30, logits)
+        # f32 VPU multiply-reduce (Mosaic rejects the skinny bf16->f32 dot;
+        # see the int4 kernel's note)
+        lf = jnp.sum(
+            q.astype(jnp.float32)
+            * knew_ref[0, h][None, :].astype(jnp.float32),
+            axis=1, keepdims=True,
+        )  # [G, 1]
+        lf = lf * (ks_new_ref[0, h] * scale)
+        lf = jnp.where(fresh_on, lf, -1e30)
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), lf)
         p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        out = jax.lax.dot_general(
-            (p * v_s).astype(cdt), v_full.astype(cdt), (((1,), (0,)), ((), ())),
+        pf = jnp.exp(lf - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True) + pf
+        acc = jax.lax.dot_general(
+            (p * vs_ref[0, h][None, :]).astype(cdt), v_db[slot].astype(cdt),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        out_ref[0, h] = out.astype(out_ref.dtype)
+        acc = acc + (pf * vs_new_ref[0, h]) * vnew_ref[0, h][None, :].astype(
+            jnp.float32
+        )
+        out_ref[0, h] = (acc / denom).astype(out_ref.dtype)
 
         wb_k.wait()
         wb_v.wait()
@@ -377,6 +423,8 @@ def decode_attention_quantized_mono(
         scratch_shapes=[
             pltpu.VMEM((DEPTH, max_len, hd), jnp.int8),
             pltpu.VMEM((DEPTH, max_len, hd), jnp.int8),
+            pltpu.VMEM((32, hd), jnp.int8),  # K write-back window staging
+            pltpu.VMEM((32, hd), jnp.int8),  # V write-back window staging
             pltpu.SemaphoreType.DMA((DEPTH, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

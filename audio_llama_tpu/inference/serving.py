@@ -79,10 +79,13 @@ class _Staging:
     cache: object  # staging KVCache [L, 1, Hkv, comb_b, hd]
     embeds: object  # combined prompt embeds [1, Pb, D] (device)
     emask: object  # [1, Pb] int32 (device)
-    total: int  # real prompt slots (audio block + text)
+    total: int  # real slots STAGED here (suffix only for prefix admissions)
     written: int = 0  # slots appended so far
     tok0: object = None  # first sampled token (set by the last piece)
     embeds_bucket: int = 0  # TEXT bucket (draft prefill at completion)
+    base: int = 0  # prefix real length (pieces append at base + i*c)
+    d_pcache: object = None  # draft prefix slab (spec pools; captured at
+    d_plen: int = 0  # staging start so eviction mid-stage is harmless)
 
 
 @dataclass
@@ -199,8 +202,10 @@ class ServingEngine:
         cache_offsets like the prefix-cache suffix path, and the audio
         encode still runs once up front. None (default) = whole-prompt
         admission. Token-exact either way. Speculative pools compose
-        (the small draft's prefill runs one-shot at the final piece);
-        prefix-cached suffixes stay one-shot.
+        (the small draft's prefill runs one-shot at the final piece),
+        and so do prefix-cached admissions: the suffix stages in pieces
+        appended at base=prefix_len into a slab pre-loaded with the
+        registered prefix KV.
     """
 
     def __init__(
@@ -364,6 +369,8 @@ class ServingEngine:
         self._embed_fns: Dict = {}  # (bucket, has_audio) -> jitted embeds
         self._piece_fns: Dict = {}  # (Pb, cap) -> jitted piece append
         self._draft_fns: Dict = {}  # bucket -> draft-only prefill
+        self._draft_sfx_fns: Dict = {}  # (bucket, d_cap) -> draft suffix
+        self._stage_fns: Dict = {}  # (pcap, Pp) -> prefix staging slab
 
     # ------------------------------------------------------------------
     # row sharding (multi-chip pool)
@@ -709,7 +716,12 @@ class ServingEngine:
                 # rows splice in whole) alongside the generation budget.
                 tb = self._pick_bucket(len(req.input_ids))
                 if req.prefix is not None:
-                    comb_b = llama_mod.KVCache.rounded_len(pfx.cap + tb)
+                    sb = tb
+                    if self.prefill_chunk_tokens is not None:
+                        # staged suffixes pad to whole pieces
+                        c = self.prefill_chunk_tokens
+                        sb = -(-tb // c) * c
+                    comb_b = llama_mod.KVCache.rounded_len(pfx.cap + sb)
                 else:
                     cb = self._combined_len(tb, blk)
                     if self.prefill_chunk_tokens is not None:
@@ -790,10 +802,10 @@ class ServingEngine:
             self._admit(r, req, tb)
 
     def _admit(self, r: int, req: _Pending, bucket: int):
-        if self.prefill_chunk_tokens is not None and req.prefix is None:
+        if self.prefill_chunk_tokens is not None:
             # chunked prefill: reserve the row, fill across rounds
-            # (prefix-cached suffixes stay one-shot — they are short by
-            # construction and already skip the prefix's cost)
+            # (prefix-cached suffixes stage too — pieces append at
+            # base=prefix_len into a slab pre-loaded with the prefix KV)
             self._stage_admission(r, req, bucket)
             return
         ids = np.full((1, bucket), self.pad_id, np.int32)
@@ -960,6 +972,27 @@ class ServingEngine:
         n = len(req.input_ids)
         ids[0, :n] = req.input_ids
         mask[0, :n] = 1
+        if req.prefix is not None:
+            # prefix-cached suffix: embed only the text suffix; the
+            # staging slab starts as a copy of the registered prefix KV
+            # and pieces block-append at base + i*c (same divergent-
+            # timeline primitive as the one-shot suffix path)
+            pfx = self._prefixes[req.prefix]
+            embeds, emask = self._get_embed_fn(bucket, False)(
+                jnp.asarray(ids), jnp.asarray(mask), None
+            )
+            cache = self._get_prefix_stage_fn(
+                pfx.cap, embeds.shape[1]
+            )(pfx.cache)
+            self._staging_rows[r] = _Staging(
+                req=req, cache=cache, embeds=embeds, emask=emask,
+                total=n, embeds_bucket=bucket, base=pfx.length,
+                d_pcache=pfx.d_cache, d_plen=pfx.d_length,
+            )
+            self._rows[r] = _Row(rid=req.rid, budget=req.max_new_tokens,
+                                 emitted=[], free=False, staging=True)
+            self.prefix_admits += 1
+            return
         has_audio = req.audio_features is not None
         blk = (
             self._resolve_audio_len(req.audio_features.shape)
@@ -999,7 +1032,8 @@ class ServingEngine:
         fn = self._get_piece_fn(st.embeds.shape[1], st.cache.k.shape[3])
         self._key, k = jax.random.split(self._key)
         st.cache, st.tok0 = fn(
-            st.cache, st.embeds, st.emask, jnp.int32(st.written // c), k
+            st.cache, st.embeds, st.emask, jnp.int32(st.written // c),
+            jnp.int32(st.base), k,
         )
         st.written += c
         if st.written >= st.total:
@@ -1014,12 +1048,21 @@ class ServingEngine:
                 n = len(st.req.input_ids)
                 ids[0, :n] = st.req.input_ids
                 mask[0, :n] = 1
-                extra = self._get_draft_prefill_fn(bucket)(
-                    jnp.asarray(ids), jnp.asarray(mask)
-                )
+                if st.d_pcache is not None:
+                    # prefix staging: suffix block-appends into the
+                    # draft's registered prefix slab
+                    extra = self._get_draft_suffix_fn(
+                        bucket, st.d_pcache.k.shape[3]
+                    )(st.d_pcache, jnp.int32(st.d_plen),
+                      jnp.asarray(ids), jnp.asarray(mask))
+                else:
+                    extra = self._get_draft_prefill_fn(bucket)(
+                        jnp.asarray(ids), jnp.asarray(mask)
+                    )
             self._state = self._get_insert_fn()(
-                self._state, st.cache, jnp.int32(st.total), st.tok0,
-                jnp.int32(r), jnp.int32(st.req.max_new_tokens), *extra,
+                self._state, st.cache, jnp.int32(st.base + st.total),
+                st.tok0, jnp.int32(r), jnp.int32(st.req.max_new_tokens),
+                *extra,
             )
             del self._staging_rows[r]
             self._rows[r] = _Row(
@@ -1057,6 +1100,106 @@ class ServingEngine:
         self._draft_fns[bucket] = fn
         return fn
 
+    def _get_draft_suffix_fn(self, bucket: int, d_cap: int):
+        """Draft-side suffix append for STAGED prefix-cached admissions
+        (spec pools under chunked prefill): block-append the text suffix
+        into the draft's registered prefix slab at cache_offsets=pdlen —
+        the draft half of _get_suffix_fn's sprefill, run one-shot at the
+        final piece. (The draft is replicated under tp, like
+        _get_draft_prefill_fn.)"""
+        keyfn = (bucket, d_cap)
+        if keyfn in self._draft_sfx_fns:
+            return self._draft_sfx_fns[keyfn]
+        cfg = self.cfg
+        cdt = self.compute_dtype
+        eng = self
+
+        def dsuffix(W, pdcache, pdlen, ids, mask):
+            fresh = llama_mod.KVCache.zeros(
+                eng.draft_cfg, 1, pdcache.k.shape[3] + ids.shape[1],
+                dtype=cdt, quantized=eng.kv_quant,
+            )
+
+            def put(dst, src):
+                if dst is None:
+                    return None
+                return jax.lax.dynamic_update_slice(
+                    dst, src.astype(dst.dtype), (0,) * dst.ndim
+                )
+
+            d_fresh = llama_mod.KVCache(
+                k=put(fresh.k, pdcache.k), v=put(fresh.v, pdcache.v),
+                length=fresh.length,
+                k_scale=put(fresh.k_scale, pdcache.k_scale),
+                v_scale=put(fresh.v_scale, pdcache.v_scale),
+            )
+            n = jnp.sum(mask, axis=1).astype(jnp.int32)[0]
+            dm = (
+                jnp.arange(d_fresh.k.shape[3])[None, :] < pdlen + n
+            ).astype(jnp.int32)
+            _, d_fresh = llama_mod.llama_forward(
+                W["draft"], eng.draft_cfg, input_ids=ids,
+                attention_mask=dm, kv_cache=d_fresh,
+                cache_offsets=jnp.reshape(pdlen, (1,)).astype(jnp.int32),
+                compute_dtype=cdt,
+            )
+            return d_fresh, pdlen + n
+
+        W = self._W
+        f = jax.jit(dsuffix)
+        fn = lambda *a: f(W, *a)  # noqa: E731
+        self._draft_sfx_fns[keyfn] = fn
+        return fn
+
+    def _get_prefix_stage_fn(self, pcap: int, Pp: int):
+        """Staging slab for a chunked prefix-cached admission: a fresh
+        [pcap + Pp]-timeline cache pre-loaded with the registered prefix
+        KV at the origin (the target-model half of _get_suffix_fn's
+        splice_fresh, split out because pieces then fill the rest across
+        rounds). Sharded over the KV-head axis under tp like every pool
+        slab."""
+        keyfn = (pcap, Pp)
+        if keyfn in self._stage_fns:
+            return self._stage_fns[keyfn]
+        cfg = self.cfg
+        cdt = self.compute_dtype
+        eng = self
+
+        def stage(pcache):
+            fresh = llama_mod.KVCache.zeros(
+                cfg.llama, 1, pcache.k.shape[3] + Pp, dtype=cdt,
+                quantized=eng.kv_quant,
+                kv_heads=cfg.llama.num_kv_heads // eng.tp,
+            )
+
+            def put(dst, src):
+                if dst is None:
+                    return None
+                return jax.lax.dynamic_update_slice(
+                    dst, src.astype(dst.dtype), (0,) * dst.ndim
+                )
+
+            return llama_mod.KVCache(
+                k=put(fresh.k, pcache.k), v=put(fresh.v, pcache.v),
+                length=fresh.length,
+                k_scale=put(fresh.k_scale, pcache.k_scale),
+                v_scale=put(fresh.v_scale, pcache.v_scale),
+            )
+
+        if self.tp <= 1:
+            f = jax.jit(stage)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            f = jax.jit(jax.shard_map(
+                stage, mesh=self.mesh,
+                in_specs=(self._fresh_spec(True),),
+                out_specs=self._fresh_spec(True),
+                check_vma=False,
+            ))
+        self._stage_fns[keyfn] = f
+        return f
+
     def _get_embed_fn(self, bucket: int, has_audio: bool):
         """Combined prompt embeds for staging, padded to a whole number
         of pieces (the final piece's static slice must not read past the
@@ -1091,11 +1234,12 @@ class ServingEngine:
 
     def _get_piece_fn(self, Pb: int, cap: int):
         """One prefill piece: block-append embeds[:, i*c:(i+1)*c) at
-        cache_offsets=i*c (the same divergent-timeline primitive the
-        prefix-cache suffix uses) and sample a candidate first token from
-        the piece's last real position (the FINAL piece's sample is the
-        admission's tok0). The staging cache is donated — pieces fill it
-        in place."""
+        cache_offsets=base+i*c (the same divergent-timeline primitive the
+        prefix-cache suffix uses; base=0 for plain admissions, the prefix
+        real length for staged prefix-cached suffixes) and sample a
+        candidate first token from the piece's last real position (the
+        FINAL piece's sample is the admission's tok0). The staging cache
+        is donated — pieces fill it in place."""
         keyfn = (Pb, cap)
         if keyfn in self._piece_fns:
             return self._piece_fns[keyfn]
@@ -1105,13 +1249,14 @@ class ServingEngine:
         eng = self
         tpax = "tp" if self.tp > 1 else None
 
-        def piece(W, cache, embeds, emask, i, key):
+        def piece(W, cache, embeds, emask, i, base, key):
             frozen, lora = W["frozen"], W.get("lora")
-            off = i * c
+            eoff = i * c  # position within the staged embeds
+            off = base + eoff  # position on the cache timeline
             e = jax.lax.dynamic_slice(
-                embeds, (0, off, 0), (1, c, embeds.shape[2])
+                embeds, (0, eoff, 0), (1, c, embeds.shape[2])
             )
-            m = jax.lax.dynamic_slice(emask, (0, off), (1, c))
+            m = jax.lax.dynamic_slice(emask, (0, eoff), (1, c))
             n_i = jnp.sum(m, axis=1).astype(jnp.int32)[0]
             Tk = cache.k.shape[3]
             am = (jnp.arange(Tk)[None, :] < off + n_i).astype(jnp.int32)
@@ -1141,7 +1286,7 @@ class ServingEngine:
                 jax.shard_map(
                     piece, mesh=self.mesh,
                     in_specs=(self._weight_specs(), self._fresh_spec(True),
-                              P(), P(), P(), P()),
+                              P(), P(), P(), P(), P()),
                     out_specs=(self._fresh_spec(True), P()),
                     check_vma=False,
                 ),

@@ -1,0 +1,413 @@
+"""Mono-grid decode-attention kernels: grid (B,), heads unrolled inside.
+
+The double-buffered kernel (ops/decode_attention_db.py) runs one grid
+program per (batch row, KV head) — at 3B dims that is B*8 programs per
+layer, and the r3b10 trace attribution measured it per-program-overhead
+bound: ~260 GB/s effective against an 810 GB/s cache-read floor, with the
+int4-KV sweep confirming that halving the BYTES changes nothing (the cost
+is fixed per program, not per byte). The head-packed kernel attacked this
+with fewer+fatter DMAs and lost end-to-end (fat slabs serialize against
+the concurrent weight stream — BASELINE.md late-r3).
+
+This variant keeps the db kernel's THIN per-(b,h) slab DMAs and DEPTH-deep
+pipeline but collapses the grid to (B,) with the Hkv loop UNROLLED inside
+the program (Hkv is static and small): 8x fewer grid programs, so 8x less
+per-program overhead, with an identical DMA pattern. Slab slots are static
+inside the unrolled loop when DEPTH | Hkv (4 | 8 at llama dims).
+
+Dispatch: attn_impl='decode_mono' (A/B against the db auto default);
+`bench.py --mode decode --decode_impl decode_mono`.
+
+Reference analog: none (reference delegates decode to HF generate,
+src/models/allm.py:326-331).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import os
+
+from audio_llama_tpu.ops.decode_attention_db import DEPTH
+
+# Tuning knobs (read at import; see decode_attention_quantized4_mono):
+MONO_DEPTH = int(os.environ.get("MONO_DEPTH", str(DEPTH)))
+MONO_HPD = int(os.environ.get("MONO_HPD", "1"))
+
+
+def _kernel_mono4(
+    li_ref, off_ref,
+    q_ref,       # [1, Hkv, G, hd] (this batch row)
+    kvnew_ref,   # [1, Hkv, hd] int8 combined packed (llama.quantize_kv_rows4)
+    ks_new_ref,  # [1, Hkv, 1] f32
+    vs_new_ref,
+    ks_ref,      # [1, Hkv, max_len] f32
+    vs_ref,
+    valid_ref,   # [1, 1, max_len] int32 (per batch row; heads share it)
+    ckv_any,     # [L, B, Hkv, max_len, hd] int8, ANY
+    out_ref,     # [1, Hkv, G, hd]
+    ckv_out,     # ANY (aliased)
+    kv_db, sems, wsems,
+    *,
+    scale: float,
+    n_heads: int,
+    n_rows: int,  # B (grid size) — for the tail guard
+    depth: int,
+    hpd: int,     # heads per DMA (heads are contiguous in the cache layout)
+    per_row: bool,  # off_ref is [B]: each batch row has its own append slot
+):
+    b = pl.program_id(0)
+    li = li_ref[0]
+    off = off_ref[b] if per_row else off_ref[0]
+    groups = n_heads // hpd
+    n = n_rows * groups
+
+    def slab_dma(idx, s):
+        bb = idx // groups
+        gg = jax.lax.rem(idx, groups)
+        return pltpu.make_async_copy(
+            ckv_any.at[li, bb, pl.ds(gg * hpd, hpd)], kv_db.at[s], sems.at[s]
+        )
+
+    # Warm-up: program 0 starts the first depth-1 slab groups.
+    for j in range(depth - 1):
+        @pl.when((b == 0) & (j < n))
+        def _(j=j):
+            slab_dma(j, j % depth).start()
+
+    max_len = kv_db.shape[-2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (max_len, 1), 0)
+    is_new = row == off
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+    is_new_r = row1 == off
+    off_clamped = jnp.clip(off, 0, max_len - 1)
+    off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
+    valid = valid_ref[0, 0, :]
+    cdt = q_ref.dtype
+
+    for g in range(groups):
+        i = b * groups + g
+        # keep `depth` slab groups in flight
+        @pl.when(i + depth - 1 < n)
+        def _(g=g):
+            idx = b * groups + g + depth - 1
+            slab_dma(idx, jax.lax.rem(idx, depth)).start()
+
+        slot = jax.lax.rem(i, depth)
+        if groups % depth == 0:
+            slot = g % depth  # static when depth | groups
+        slab_dma(i, slot).wait()
+
+        for h2 in range(hpd):
+            h = g * hpd + h2
+            kv_full = jnp.where(
+                is_new, kvnew_ref[0, h][None, :], kv_db[slot, h2]
+            )
+            kv_db[slot, h2] = kv_full
+            wb = pltpu.make_async_copy(
+                kv_db.at[slot, h2, pl.ds(off_al, 32), :],
+                ckv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[0],
+            )
+            wb.start()
+
+            k_s = jnp.where(
+                is_new_r, ks_new_ref[0, h][None, :], ks_ref[0, h][None, :]
+            )
+            v_s = jnp.where(
+                is_new_r, vs_new_ref[0, h][None, :], vs_ref[0, h][None, :]
+            )
+            b32 = kv_full.astype(jnp.int32)
+            k_q = jnp.right_shift(jnp.left_shift(b32, 28), 28).astype(cdt)
+            v_q = jnp.right_shift(jnp.left_shift(b32, 24), 28).astype(cdt)
+            q = q_ref[0, h]
+            logits = jax.lax.dot_general(
+                q, k_q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits * (k_s * scale)
+            logits = jnp.where(valid[None, :] > 0, logits, -1e30)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                (p * v_s).astype(cdt), v_q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[0, h] = out.astype(out_ref.dtype)
+
+            # the 4 KB window write-back must land before this slot's next DMA
+            wb.wait()
+
+
+def decode_attention_quantized4_mono(
+    q, kv_new, cache_kv, k_scales, v_scales, k_new_scale, v_new_scale,
+    layer, offset, valid, scale, interpret: bool = False,
+    depth: int | None = None, hpd: int | None = None,
+):
+    """int4-KV mono-grid decode attention (same contract as
+    decode_attention_db.decode_attention_quantized4_db).
+
+    depth: slab groups kept in flight (default MONO_DEPTH env or db DEPTH).
+    hpd: KV heads fetched per DMA — heads are contiguous in the cache
+    layout, so a [hpd, max_len, hd] group is one strided copy; amortizes
+    the ~per-DMA fixed cost the B64 trace showed dominating (default
+    MONO_HPD env or 1; must divide Hkv, else falls back to 1).
+
+    offset: scalar (all rows append at the same slot) or [B] int32 —
+    PER-ROW append slots for divergent timelines (continuous-batching
+    serving / batched speculation; models/llama.py cache_offsets)."""
+    L, B, Hkv, max_len, hd = cache_kv.shape
+    if max_len % 32 != 0:
+        raise ValueError(f"max_len % 32 != 0 ({max_len})")
+    depth = MONO_DEPTH if depth is None else depth
+    hpd = MONO_HPD if hpd is None else hpd
+    if Hkv % hpd:
+        hpd = 1
+    off_arr = jnp.asarray(offset, jnp.int32).reshape(-1)
+    per_row = off_arr.size > 1
+    if per_row and off_arr.size != B:
+        raise ValueError(f"offset must be scalar or [B]; got {off_arr.shape}")
+    Hq = q.shape[1]
+    G = Hq // Hkv
+    bmap = lambda i, *_: (i, 0, 0, 0)  # noqa: E731
+    bmap3 = lambda i, *_: (i, 0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, G, hd), bmap),
+            pl.BlockSpec((1, Hkv, hd), bmap3),
+            pl.BlockSpec((1, Hkv, 1), bmap3),
+            pl.BlockSpec((1, Hkv, 1), bmap3),
+            pl.BlockSpec((1, Hkv, max_len), bmap3),
+            pl.BlockSpec((1, Hkv, max_len), bmap3),
+            pl.BlockSpec((1, 1, max_len), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hkv, G, hd), bmap),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((depth, hpd, max_len, hd), jnp.int8),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    out, ckv = pl.pallas_call(
+        functools.partial(
+            _kernel_mono4, scale=scale, n_heads=Hkv, n_rows=B,
+            depth=depth, hpd=hpd, per_row=per_row,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, G, hd), q.dtype),
+            jax.ShapeDtypeStruct(cache_kv.shape, cache_kv.dtype),
+        ],
+        # (li, off, q, kvnew, ksn, vsn, ks, vs, valid, ckv) -> (out, ckv)
+        input_output_aliases={9: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        off_arr,
+        q.reshape(B, Hkv, G, hd),
+        kv_new.reshape(B, Hkv, hd),
+        k_new_scale.astype(jnp.float32).reshape(B, Hkv, 1),
+        v_new_scale.astype(jnp.float32).reshape(B, Hkv, 1),
+        k_scales.astype(jnp.float32).reshape(B, Hkv, max_len),
+        v_scales.astype(jnp.float32).reshape(B, Hkv, max_len),
+        valid.astype(jnp.int32)[:, None, :],
+        cache_kv,
+    )
+    return out.reshape(B, Hq, hd), ckv
+
+
+def _kernel_mono_q8(
+    li_ref, off_ref,
+    q_ref,       # [1, Hkv, G, hd]
+    knew_ref,    # [1, Hkv, hd] int8
+    vnew_ref,
+    ks_new_ref,  # [1, Hkv, 1] f32
+    vs_new_ref,
+    ks_ref,      # [1, Hkv, max_len] f32
+    vs_ref,
+    valid_ref,   # [1, 1, max_len]
+    ck_any, cv_any,
+    out_ref,     # [1, Hkv, G, hd]
+    ck_out, cv_out,
+    k_db, v_db, sems, wsems,
+    *,
+    scale: float,
+    n_heads: int,
+    n_rows: int,
+    per_row: bool,
+):
+    """int8 twin of _kernel_mono4 (separate K and V slabs, two DMAs per
+    head — still one grid program per batch row)."""
+    b = pl.program_id(0)
+    li = li_ref[0]
+    off = off_ref[b] if per_row else off_ref[0]
+    n = n_rows * n_heads
+
+    def slab_dma(idx, s):
+        bb = idx // n_heads
+        hh = jax.lax.rem(idx, n_heads)
+        return (
+            pltpu.make_async_copy(ck_any.at[li, bb, hh], k_db.at[s], sems.at[s, 0]),
+            pltpu.make_async_copy(cv_any.at[li, bb, hh], v_db.at[s], sems.at[s, 1]),
+        )
+
+    for j in range(DEPTH - 1):
+        @pl.when((b == 0) & (j < n))
+        def _(j=j):
+            ka, va = slab_dma(j, j % DEPTH)
+            ka.start()
+            va.start()
+
+    max_len = k_db.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (max_len, 1), 0)
+    is_new = row == off
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+    is_new_r = row1 == off
+    off_clamped = jnp.clip(off, 0, max_len - 1)
+    off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
+    valid = valid_ref[0, 0, :]
+    cdt = q_ref.dtype
+
+    for h in range(n_heads):
+        i = b * n_heads + h
+
+        @pl.when(i + DEPTH - 1 < n)
+        def _(h=h):
+            idx = b * n_heads + h + DEPTH - 1
+            s = jax.lax.rem(idx, DEPTH)
+            ka, va = slab_dma(idx, s)
+            ka.start()
+            va.start()
+
+        slot = jax.lax.rem(i, DEPTH)
+        if n_heads % DEPTH == 0:
+            slot = h % DEPTH
+        ka, va = slab_dma(i, slot)
+        ka.wait()
+        va.wait()
+
+        k_full = jnp.where(is_new, knew_ref[0, h][None, :], k_db[slot])
+        v_full = jnp.where(is_new, vnew_ref[0, h][None, :], v_db[slot])
+        k_db[slot] = k_full
+        v_db[slot] = v_full
+        wb_k = pltpu.make_async_copy(
+            k_db.at[slot, pl.ds(off_al, 32), :],
+            ck_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[0],
+        )
+        wb_v = pltpu.make_async_copy(
+            v_db.at[slot, pl.ds(off_al, 32), :],
+            cv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[1],
+        )
+        wb_k.start()
+        wb_v.start()
+
+        k_s = jnp.where(is_new_r, ks_new_ref[0, h][None, :], ks_ref[0, h][None, :])
+        v_s = jnp.where(is_new_r, vs_new_ref[0, h][None, :], vs_ref[0, h][None, :])
+        q = q_ref[0, h]
+        logits = jax.lax.dot_general(
+            q, k_full.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits * (k_s * scale)
+        logits = jnp.where(valid[None, :] > 0, logits, -1e30)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            (p * v_s).astype(cdt), v_full.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, h] = out.astype(out_ref.dtype)
+
+        wb_k.wait()
+        wb_v.wait()
+
+
+def decode_attention_quantized_mono(
+    q, k_new_q, v_new_q, cache_k, cache_v,
+    k_scales, v_scales, k_new_scale, v_new_scale,
+    layer, offset, valid, scale, interpret: bool = False,
+):
+    """int8 mono-grid decode attention (same contract as
+    decode_attention_db.decode_attention_quantized_db; offset may be
+    scalar or [B] per-row append slots — see the int4 wrapper)."""
+    L, B, Hkv, max_len, hd = cache_k.shape
+    if max_len % 32 != 0:
+        raise ValueError(f"max_len % 32 != 0 ({max_len})")
+    off_arr = jnp.asarray(offset, jnp.int32).reshape(-1)
+    per_row = off_arr.size > 1
+    if per_row and off_arr.size != B:
+        raise ValueError(f"offset must be scalar or [B]; got {off_arr.shape}")
+    Hq = q.shape[1]
+    G = Hq // Hkv
+    bmap = lambda i, *_: (i, 0, 0, 0)  # noqa: E731
+    bmap3 = lambda i, *_: (i, 0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, G, hd), bmap),
+            pl.BlockSpec((1, Hkv, hd), bmap3),
+            pl.BlockSpec((1, Hkv, hd), bmap3),
+            pl.BlockSpec((1, Hkv, 1), bmap3),
+            pl.BlockSpec((1, Hkv, 1), bmap3),
+            pl.BlockSpec((1, Hkv, max_len), bmap3),
+            pl.BlockSpec((1, Hkv, max_len), bmap3),
+            pl.BlockSpec((1, 1, max_len), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hkv, G, hd), bmap),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH, max_len, hd), jnp.int8),
+            pltpu.VMEM((DEPTH, max_len, hd), jnp.int8),
+            pltpu.SemaphoreType.DMA((DEPTH, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, ck, cv = pl.pallas_call(
+        functools.partial(
+            _kernel_mono_q8, scale=scale, n_heads=Hkv, n_rows=B,
+            per_row=per_row,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, G, hd), q.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ],
+        # (li, off, q, knew, vnew, ksn, vsn, ks, vs, valid, ck, cv)
+        input_output_aliases={10: 1, 11: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        off_arr,
+        q.reshape(B, Hkv, G, hd),
+        k_new_q.reshape(B, Hkv, hd),
+        v_new_q.reshape(B, Hkv, hd),
+        k_new_scale.astype(jnp.float32).reshape(B, Hkv, 1),
+        v_new_scale.astype(jnp.float32).reshape(B, Hkv, 1),
+        k_scales.astype(jnp.float32).reshape(B, Hkv, max_len),
+        v_scales.astype(jnp.float32).reshape(B, Hkv, max_len),
+        valid.astype(jnp.int32)[:, None, :],
+        cache_k,
+        cache_v,
+    )
+    return out.reshape(B, Hq, hd), ck, cv

@@ -148,9 +148,11 @@ def test_chunked_with_quantized_pool(model):
 
 
 def test_chunked_with_prefix_cache(model):
-    """Prefix-cached suffixes admit one-shot even in a chunked engine;
-    plain requests stage — both in one pool, both exact."""
-    pfx, sfx, plain = _prompts(6, (6, 4, 13))
+    """Prefix-cached suffixes STAGE like any admission in a chunked
+    engine (pieces block-append at base=prefix_len into a slab
+    pre-loaded with the registered prefix KV); plain requests stage at
+    base=0 — both in one pool, both exact."""
+    pfx, sfx, plain = _prompts(6, (6, 9, 13))
     ref = _engine(model)
     r1 = ref.submit(np.concatenate([pfx, sfx]), max_new_tokens=5)
     r2 = ref.submit(plain, max_new_tokens=5)
@@ -160,8 +162,87 @@ def test_chunked_with_prefix_cache(model):
     h = eng.register_prefix(pfx)
     q1 = eng.submit(sfx, max_new_tokens=5, prefix=h)
     q2 = eng.submit(plain, max_new_tokens=5)
+    eng.step_chunk()  # admissions reserve rows and stage
+    bases = sorted(st.base for st in eng._staging_rows.values())
+    assert bases and bases[-1] == len(pfx)  # suffix staged at prefix_len
     out = eng.run(max_chunks=512)
     assert oref[r1] == out[q1] and oref[r2] == out[q2]
+
+
+@pytest.mark.parametrize("piece", [2, 5])
+def test_chunked_prefix_suffix_piece_sizes(model, piece):
+    """Staged prefix suffixes are exact across piece sizes, including a
+    suffix longer than one piece and one shorter (padding-only tail)."""
+    pfx, s1, s2 = _prompts(12, (7, 9, 3))
+    ref = _engine(model)
+    r1 = ref.submit(np.concatenate([pfx, s1]), max_new_tokens=6)
+    r2 = ref.submit(np.concatenate([pfx, s2]), max_new_tokens=6)
+    oref = ref.run()
+
+    eng = _engine(model, prefill_chunk_tokens=piece)
+    h = eng.register_prefix(pfx)
+    q1 = eng.submit(s1, max_new_tokens=6, prefix=h)
+    q2 = eng.submit(s2, max_new_tokens=6, prefix=h)
+    out = eng.run(max_chunks=512)
+    assert oref[r1] == out[q1] and oref[r2] == out[q2]
+
+
+def test_chunked_prefix_quantized_pool(model):
+    """Chunked prefix suffixes over an int8-KV pool: the staging slab
+    carries the prefix's quantized rows + scales; exact vs the one-shot
+    prefix path on the SAME quantized engine (quantization error must
+    match, not just be small)."""
+    pfx, sfx = _prompts(13, (6, 5))
+    ref = _engine(model, kv_quant=8)
+    h0 = ref.register_prefix(pfx)
+    r1 = ref.submit(sfx, max_new_tokens=5, prefix=h0)
+    oref = ref.run()
+
+    eng = _engine(model, kv_quant=8, prefill_chunk_tokens=3)
+    h = eng.register_prefix(pfx)
+    q1 = eng.submit(sfx, max_new_tokens=5, prefix=h)
+    out = eng.run(max_chunks=512)
+    assert oref[r1] == out[q1]
+
+
+def test_chunked_prefix_with_speculative_pool(model):
+    """The full chunked x prefix x speculative composition: the target
+    suffix stages in pieces, the draft suffix block-appends one-shot
+    into the draft's registered prefix slab at the final piece."""
+    frozen, trainable = model
+    pfx, s1, s2 = _prompts(14, (6, 7, 4))
+    ref = _engine(model)
+    r1 = ref.submit(np.concatenate([pfx, s1]), max_new_tokens=6)
+    r2 = ref.submit(np.concatenate([pfx, s2]), max_new_tokens=6)
+    oref = ref.run()
+
+    eng = _engine(model, prefill_chunk_tokens=3,
+                  draft_params=frozen["llama"], draft_cfg=CFG.llama,
+                  gamma=2)
+    h = eng.register_prefix(pfx)
+    q1 = eng.submit(s1, max_new_tokens=6, prefix=h)
+    q2 = eng.submit(s2, max_new_tokens=6, prefix=h)
+    out = eng.run(max_chunks=512)
+    assert oref[r1] == out[q1] and oref[r2] == out[q2]
+
+
+def test_chunked_prefix_eviction_mid_stage(model):
+    """unregister_prefix while a suffix is mid-stage must not corrupt
+    the staged admission: the staging captured the prefix slabs at
+    admission time."""
+    pfx, sfx = _prompts(15, (6, 9))
+    ref = _engine(model)
+    r1 = ref.submit(np.concatenate([pfx, sfx]), max_new_tokens=5)
+    oref = ref.run()
+
+    eng = _engine(model, prefill_chunk_tokens=3)
+    h = eng.register_prefix(pfx)
+    q1 = eng.submit(sfx, max_new_tokens=5, prefix=h)
+    eng.step_chunk()  # stages the first piece
+    assert eng._staging_rows
+    eng.unregister_prefix(h)
+    out = eng.run(max_chunks=512)
+    assert oref[r1] == out[q1]
 
 
 def test_chunked_guards(model):

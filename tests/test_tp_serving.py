@@ -148,6 +148,24 @@ def test_tp2_chunked_prefill(model):
     assert _run(eng, prompts) == ref
 
 
+def test_tp2_chunked_prefix_cache(model):
+    """Chunked prefix-cached suffixes under tp: the staging slab build
+    and every piece append run inside shard_map with the pool's
+    KV-head sharding specs."""
+    pfx, *sfx = _prompts(7, (6, 9, 4))
+    ref = _engine(model)
+    rr = [ref.submit(np.concatenate([pfx, s]), max_new_tokens=5)
+          for s in sfx]
+    oref = ref.run()
+
+    eng = _engine(model, mesh=_mesh(1, 2), prefill_chunk_tokens=3)
+    h = eng.register_prefix(pfx)
+    rq = [eng.submit(s, max_new_tokens=5, prefix=h) for s in sfx]
+    out = eng.run(max_chunks=512)
+    for a, b in zip(rr, rq):
+        assert oref[a] == out[b]
+
+
 def test_tp2_speculative_lossless(model):
     frozen, trainable = model
     dcfg = CFG.llama.replace(

@@ -181,6 +181,68 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref, c_ref,
         l_ref[0, 0] = l[:, 0]
 
 
+def _fwd_kernel_twopass(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref,
+                        c_ref, acc_ref, lsum_ref, m_ref, *, bq, ck, nk):
+    """Two-pass alternative to 'online': the k-grid runs TWICE (grid
+    (BHq, nq, 2*nk)); pass 1 (kj < nk) computes the global per-row TRUE
+    max (QK + mask + one max pass — the MXU runs far under capacity in
+    this kernel, so the repeated QK rides its idle duty), pass 2 does
+    exp(s - m_global) with NO rescaling: exp args stay <= 0 (exactly as
+    safe as 'online'), the accumulator update is a pure add, and the
+    serial m/acc rescale carry between chunks is gone. Residuals (l,
+    c = global max) are identical to 'online', so the backward is shared.
+    Cost: K/V chunks are fetched twice and the bias+mask VPU passes run
+    twice (lsum_ref is unused — kept for a uniform scratch list)."""
+    qi, kj = pl.program_id(1), pl.program_id(2)
+    j = jax.lax.rem(kj, nk)
+
+    @pl.when(kj == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    valid = j * ck <= qi * bq + bq - 1  # skip fully-future chunks
+
+    def scores():
+        q = q_ref[0]  # [bq, hd] pre-scaled
+        s = jax.lax.dot_general(
+            q, k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, ck]
+        s = s + mb_ref[0, 0][None, :]
+        return _tri_mask(s, qi * bq, j * ck)  # unconditional (cond is slow)
+
+    @pl.when(valid & (kj < nk))
+    def _():
+        m_ref[:] = jnp.maximum(
+            m_ref[:], jnp.max(scores(), axis=1, keepdims=True)
+        )
+
+    @pl.when(valid & (kj >= nk))
+    def _():
+        v = v_ref[0]
+        exp_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
+        p = jnp.exp((scores() - m_ref[:]).astype(exp_dtype)).astype(v.dtype)
+        ck_ = v.shape[0]
+        v_ext = jnp.concatenate(
+            [v, jnp.ones((ck_, 1), v.dtype)], axis=1
+        )  # [ck, hd+1]: denominator rides the PV matmul
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            p, v_ext, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kj == 2 * nk - 1)
+    def _():
+        hd = o_ref.shape[2]
+        l = acc_ref[:, hd : hd + 1]
+        out = acc_ref[:, :hd]
+        c_ref[0, 0] = m_ref[:][:, 0]
+        safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = jnp.where(l > 0, out / safe, 0.0).astype(o_ref.dtype)
+        l_ref[0, 0] = l[:, 0]
+
+
 def _fwd_kernel_dma(q_ref, mb_ref, kn_ref, k_any, v_any, o_ref, l_ref, c_ref,
                     k_db, v_db, sems, *, bq, ck, Hq, Hkv, nk):
     """Forward with MANUAL double-buffered K/V chunk DMA over ONLY the
@@ -506,17 +568,28 @@ def _fwd_call(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret, tri="always",
     def kv_i(bh):
         return (bh // Hq) * Hkv + (bh % Hq) // G
 
-    kernel = functools.partial(
-        _fwd_kernel, bq=bq, ck=ck, nk=nk, tri=tri, softmax=softmax
-    )
+    if softmax == "twopass":
+        # the k-grid runs twice (max pass, then exp/PV pass); K/V/mb
+        # blocks revisit via kj % nk
+        kernel = functools.partial(_fwd_kernel_twopass, bq=bq, ck=ck, nk=nk)
+        nks = 2 * nk
+        kmap = lambda bh, qi, kj: (kv_i(bh), kj % nk, 0)  # noqa: E731
+        mbmap = lambda bh, qi, kj: (bh // Hq, 0, kj % nk)  # noqa: E731
+    else:
+        kernel = functools.partial(
+            _fwd_kernel, bq=bq, ck=ck, nk=nk, tri=tri, softmax=softmax
+        )
+        nks = nk
+        kmap = lambda bh, qi, kj: (kv_i(bh), kj, 0)  # noqa: E731
+        mbmap = lambda bh, qi, kj: (bh // Hq, 0, kj)  # noqa: E731
     o, l, c = pl.pallas_call(
         kernel,
-        grid=(BHq, nq, nk),
+        grid=(BHq, nq, nks),
         in_specs=[
             pl.BlockSpec((1, bq, hd), lambda bh, qi, kj: (bh, qi, 0)),
-            pl.BlockSpec((1, ck, hd), lambda bh, qi, kj: (kv_i(bh), kj, 0)),
-            pl.BlockSpec((1, ck, hd), lambda bh, qi, kj: (kv_i(bh), kj, 0)),
-            pl.BlockSpec((1, 1, ck), lambda bh, qi, kj: (bh // Hq, 0, kj)),
+            pl.BlockSpec((1, ck, hd), kmap),
+            pl.BlockSpec((1, ck, hd), kmap),
+            pl.BlockSpec((1, 1, ck), mbmap),
             pl.BlockSpec((1, 1, 1), lambda bh, qi, kj: (kv_i(bh), 0, 0)),
         ],
         out_specs=[
@@ -689,7 +762,7 @@ def causal_mha(
     chunk_k: int = 0,
     interpret: bool = False,
     fwd_impl: str = "blocks",  # | 'blocks_cond' | 'dma' | 'dma2' (all slower)
-    softmax_mode: str = "online",  # | 'bounded' (unsafe at real magnitudes)
+    softmax_mode: str = "online",  # | 'twopass' | 'bounded' (unsafe)
 ) -> jnp.ndarray:
     """Causal GQA self-attention, [B, T, Hq, hd] in/out, differentiable.
 
@@ -704,9 +777,12 @@ def causal_mha(
     Cauchy-Schwarz shift: measurably similar speed, but when the bound
     exceeds the true row max by > ~87 nats (real-checkpoint outlier/
     attention-sink activations at hd=128 — see round-2 ADVICE) the f32 exp
-    underflows and the row silently zeroes. Production paths use 'online';
-    'bounded' remains for A/B measurement ('dma'/'dma2' impls are
-    bounded-only).
+    underflows and the row silently zeroes. 'twopass' is exactly as safe
+    as 'online' (exp args <= 0 against the global true max) but computes
+    the max in a separate first k-pass — trading a repeated QK matmul
+    (MXU idle duty) for the online mode's serial rescale carry.
+    Production paths use 'online'; 'bounded' remains for A/B measurement
+    ('dma'/'dma2' impls are bounded-only).
 
     Under an active ops.partitioning context (GSPMD-sharded train steps)
     the call self-wraps in a nested shard_map: batch over dp x fsdp, heads

@@ -195,6 +195,51 @@ def test_outlier_magnitudes_online_grads_finite_and_match():
         np.testing.assert_allclose(b, a, atol=5e-3, rtol=5e-3, err_msg=name)
 
 
+def test_twopass_forward_matches_xla():
+    """'twopass' (separate global-max k-pass, no rescale chain) must match
+    XLA exactly like 'online' — including padded keys and GQA."""
+    q, k, v, mask, bias = _setup()
+    ref = mha(q, k, v, bias=bias)
+    out = causal_mha(q, k, v, mask=mask, interpret=True,
+                     block_q=128, chunk_k=128, softmax_mode="twopass")
+    m = np.asarray(mask, bool)
+    np.testing.assert_allclose(
+        np.asarray(out)[m], np.asarray(ref)[m], atol=2e-5, rtol=2e-5
+    )
+
+
+def test_twopass_grads_match_xla():
+    """twopass reuses the shared backward via identical (l, c) residuals."""
+    q, k, v, mask, bias = _setup(T=128, pad_from=100)
+    w = mask.astype(jnp.float32)[..., None, None]
+
+    def loss_ref(q, k, v):
+        return jnp.sum((mha(q, k, v, bias=bias) * w) ** 2)
+
+    def loss_new(q, k, v):
+        o = causal_mha(q, k, v, mask=mask, interpret=True,
+                       block_q=128, chunk_k=128, softmax_mode="twopass")
+        return jnp.sum((o * w) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_new, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gr, gn, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-3, rtol=5e-3, err_msg=name
+        )
+
+
+def test_outlier_magnitudes_twopass_matches_xla():
+    q, k, v = _outlier_setup()
+    T = q.shape[1]
+    ref = mha(q, k, v, bias=causal_bias(T, T))
+    out = causal_mha(q, k, v, interpret=True, block_q=128, chunk_k=128,
+                     softmax_mode="twopass")
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_outlier_magnitudes_bounded_mode_underflows():
     """Documents WHY 'online' is the production default: at outlier
     magnitudes the bounded mode loses the real rows to exp underflow

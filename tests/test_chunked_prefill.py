@@ -226,6 +226,32 @@ def test_chunked_prefix_with_speculative_pool(model):
     assert oref[r1] == out[q1] and oref[r2] == out[q2]
 
 
+def test_chunked_audio_prefix_suffix(model):
+    """The headline 'chat with your audio' case under chunked prefill:
+    an AUDIO prefix (whisper block + instruction) registered once, text
+    suffixes staged in pieces at base = audio block + text length."""
+    rng = np.random.default_rng(16)
+    wav = rng.standard_normal(CFG.mel.max_samples).astype(np.float32) * 0.1
+    pfx, *sfx = _prompts(17, (5, 9, 4))
+
+    ref = _engine(model)
+    rref = [
+        ref.submit(np.concatenate([pfx, s]), audio_features=wav,
+                   max_new_tokens=5)
+        for s in sfx
+    ]
+    oref = ref.run()
+
+    eng = _engine(model, prefill_chunk_tokens=3)
+    h = eng.register_prefix(pfx, audio_features=wav)
+    base = eng._prefixes[h].length
+    assert base > len(pfx)  # the audio block is part of the prefix
+    rids = [eng.submit(s, max_new_tokens=5, prefix=h) for s in sfx]
+    out = eng.run(max_chunks=512)
+    for a, b in zip(rref, rids):
+        assert oref[a] == out[b]
+
+
 def test_chunked_prefix_eviction_mid_stage(model):
     """unregister_prefix while a suffix is mid-stage must not corrupt
     the staged admission: the staging captured the prefix slabs at

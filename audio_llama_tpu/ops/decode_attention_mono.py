@@ -35,9 +35,12 @@ import os
 
 from .decode_attention_db import DEPTH
 
-# Tuning knobs (read at import; see decode_attention_quantized4_mono):
+# Tuning knobs (read at import; see decode_attention_quantized4_mono).
+# hpd=2 measured best across batches on the VPU-lean kernel (B64 +1.2-1.8%,
+# B32 +2.2%, B1 +7.3% end-to-end — half the slab DMAs per program; depth
+# 2/4/8 are within noise, BASELINE.md late-r3 knob sweep).
 MONO_DEPTH = int(os.environ.get("MONO_DEPTH", str(DEPTH)))
-MONO_HPD = int(os.environ.get("MONO_HPD", "1"))
+MONO_HPD = int(os.environ.get("MONO_HPD", "2"))
 
 
 def _kernel_mono4(

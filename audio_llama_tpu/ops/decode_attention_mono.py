@@ -105,6 +105,7 @@ def _kernel_mono4(
     roww = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) + off_al
     is_new_w = roww == off
     cdt = q_ref.dtype
+    wbs = []  # in-flight window write-backs (static Python bookkeeping)
 
     for g in range(groups):
         i = b * groups + g
@@ -121,16 +122,24 @@ def _kernel_mono4(
 
         for h2 in range(hpd):
             h = g * hpd + h2
+            t = g * hpd + h2  # global head index (static)
+            wsl = t % 2
+            if t >= 2:
+                # double-buffered staging: only wait for the copy that
+                # used THIS slot two heads ago (a serial wait per head
+                # was ~the write-back DMA latency on the critical path)
+                wbs[t - 2].wait()
             # window-only insert: the 32-row aligned window around `off`
             # goes through a scratch buffer so the full slab is never
             # rewritten (the DMA read below is 32-sublane aligned)
             win = kv_db[slot, h2, pl.ds(off_al, 32), :]
-            wb_buf[...] = jnp.where(is_new_w, kvnew_ref[0, h][None, :], win)
+            wb_buf[wsl] = jnp.where(is_new_w, kvnew_ref[0, h][None, :], win)
             wb = pltpu.make_async_copy(
-                wb_buf,
-                ckv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[0],
+                wb_buf.at[wsl],
+                ckv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[wsl],
             )
             wb.start()
+            wbs.append(wb)
 
             # nibble unpack (K low, V high; int32 shifts sign-extend)
             b32 = kv_db[slot, h2].astype(jnp.int32)
@@ -170,8 +179,9 @@ def _kernel_mono4(
             out = acc / denom
             out_ref[0, h] = out.astype(out_ref.dtype)
 
-            # the 4 KB window write-back must land before this slot's next DMA
-            wb.wait()
+    # drain the last (up to 2) window write-backs before the program ends
+    for wb in wbs[-2:]:
+        wb.wait()
 
 
 def decode_attention_quantized4_mono(
@@ -225,9 +235,9 @@ def decode_attention_quantized4_mono(
         ],
         scratch_shapes=[
             pltpu.VMEM((depth, hpd, max_len, hd), jnp.int8),
-            pltpu.VMEM((32, hd), jnp.int8),  # write-back window staging
+            pltpu.VMEM((2, 32, hd), jnp.int8),  # 2x write-back staging
             pltpu.SemaphoreType.DMA((depth,)),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out, ckv = pl.pallas_call(
@@ -315,6 +325,7 @@ def _kernel_mono_q8(
     is_new_w = roww == off
     cdt = q_ref.dtype
 
+    wbs = []  # in-flight (k, v) window write-backs, static bookkeeping
     for h in range(n_heads):
         i = b * n_heads + h
 
@@ -333,22 +344,31 @@ def _kernel_mono_q8(
         ka.wait()
         va.wait()
 
-        wbk_buf[...] = jnp.where(
+        wsl = h % 2
+        if h >= 2:
+            # double-buffered staging (see the int4 kernel)
+            pk, pv = wbs[h - 2]
+            pk.wait()
+            pv.wait()
+        wbk_buf[wsl] = jnp.where(
             is_new_w, knew_ref[0, h][None, :],
             k_db[slot, pl.ds(off_al, 32), :],
         )
-        wbv_buf[...] = jnp.where(
+        wbv_buf[wsl] = jnp.where(
             is_new_w, vnew_ref[0, h][None, :],
             v_db[slot, pl.ds(off_al, 32), :],
         )
         wb_k = pltpu.make_async_copy(
-            wbk_buf, ck_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[0],
+            wbk_buf.at[wsl], ck_out.at[li, b, h, pl.ds(off_al, 32), :],
+            wsems.at[wsl, 0],
         )
         wb_v = pltpu.make_async_copy(
-            wbv_buf, cv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[1],
+            wbv_buf.at[wsl], cv_out.at[li, b, h, pl.ds(off_al, 32), :],
+            wsems.at[wsl, 1],
         )
         wb_k.start()
         wb_v.start()
+        wbs.append((wb_k, wb_v))
 
         q = q_ref[0, h]
         logits = jax.lax.dot_general(
@@ -380,6 +400,7 @@ def _kernel_mono_q8(
         )
         out_ref[0, h] = (acc / denom).astype(out_ref.dtype)
 
+    for wb_k, wb_v in wbs[-2:]:
         wb_k.wait()
         wb_v.wait()
 
@@ -426,10 +447,10 @@ def decode_attention_quantized_mono(
         scratch_shapes=[
             pltpu.VMEM((DEPTH, max_len, hd), jnp.int8),
             pltpu.VMEM((DEPTH, max_len, hd), jnp.int8),
-            pltpu.VMEM((32, hd), jnp.int8),  # K write-back window staging
-            pltpu.VMEM((32, hd), jnp.int8),  # V write-back window staging
+            pltpu.VMEM((2, 32, hd), jnp.int8),  # 2x K write-back staging
+            pltpu.VMEM((2, 32, hd), jnp.int8),  # 2x V write-back staging
             pltpu.SemaphoreType.DMA((DEPTH, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out, ck, cv = pl.pallas_call(

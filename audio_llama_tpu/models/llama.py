@@ -518,27 +518,22 @@ def llama_forward(
     )
     # Mono-grid kernels (ops/decode_attention_mono.py): grid (B,) with the
     # Hkv loop unrolled inside — 8x fewer grid programs than db (the
-    # measured per-program overhead), same thin slab DMAs. Quantized caches
-    # only (the serving configs). Measured +16/+26/+35% over db at
-    # B16/32/64 (int4 w + int4 KV, BASELINE.md) — the AUTO choice for
-    # quantized caches; db stays reachable via attn_impl='decode_kernel'.
+    # measured per-program overhead), same thin slab DMAs, plus the
+    # VPU-lean softmax (analytic fresh row) and double-buffered staged
+    # write-backs. Measured +16/+26/+35% over db at B16/32/64 before the
+    # lean/write-back rounds (int4 w + int4 KV, BASELINE.md; the staging
+    # fix alone was +19% at B64) — the AUTO choice for EVERY cache dtype
+    # (int4/int8/bf16/f32); db stays reachable via
+    # attn_impl='decode_kernel'.
     use_mono_kernel = (
         use_decode_kernel
         and sp_axis is None
-        and (
-            attn_impl == "decode_mono"
-            or (attn_impl == "auto" and kv_bits in (4, 8))
-        )
+        and attn_impl in ("decode_mono", "auto")
     )
     if use_packed_kernel and kv_bits == 4:
         raise ValueError(
             "attn_impl='decode_packed' has no int4-KV variant; use the "
             "default db kernel (attn_impl='auto'/'decode_kernel')"
-        )
-    if use_mono_kernel and kv_bits not in (4, 8):
-        raise ValueError(
-            "attn_impl='decode_mono' needs a quantized KV cache "
-            "(kv_quant int8/int4 — the serving configs)"
         )
     # Per-row append offsets (divergent timelines: continuous-batching
     # serving, batched speculation): only the mono kernels take a [B]
@@ -941,6 +936,10 @@ def llama_forward(
                 if use_packed_kernel:
                     from ..ops.decode_attention_packed import (
                         decode_attention_packed as _d,
+                    )
+                elif use_mono_kernel:
+                    from ..ops.decode_attention_mono import (
+                        decode_attention_mono as _d,
                     )
                 else:
                     from ..ops.decode_attention_db import (

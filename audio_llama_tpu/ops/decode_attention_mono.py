@@ -483,3 +483,219 @@ def decode_attention_quantized_mono(
         cache_v,
     )
     return out.reshape(B, Hq, hd), ck, cv
+
+
+def _kernel_mono_full(
+    li_ref, off_ref,
+    q_ref,       # [1, Hkv, G, hd]
+    knew_ref,    # [1, Hkv, hd] cache dtype
+    vnew_ref,
+    valid_ref,   # [1, 1, max_len]
+    ck_any, cv_any,
+    out_ref,     # [1, Hkv, G, hd]
+    ck_out, cv_out,
+    k_db, v_db, wbk_buf, wbv_buf, sems, wsems,
+    *,
+    scale: float,
+    n_heads: int,
+    n_rows: int,
+    depth: int,
+    hpd: int,
+    per_row: bool,
+):
+    """Full-precision (bf16/f32 cache) mono kernel: the VPU-lean structure
+    of _kernel_mono4 (analytic fresh row, double-buffered 32-row staged
+    write-back, hpd heads per DMA) with no scales and no unpack — the
+    replacement for the db kernel on unquantized caches, and the first
+    per-row-offset (serving pool) kernel for bf16 caches (those previously
+    fell back to XLA entirely)."""
+    b = pl.program_id(0)
+    li = li_ref[0]
+    off = off_ref[b] if per_row else off_ref[0]
+    groups = n_heads // hpd
+    n = n_rows * groups
+
+    def slab_dma(idx, s):
+        bb = idx // groups
+        gg = jax.lax.rem(idx, groups)
+        return (
+            pltpu.make_async_copy(
+                ck_any.at[li, bb, pl.ds(gg * hpd, hpd)], k_db.at[s],
+                sems.at[s, 0],
+            ),
+            pltpu.make_async_copy(
+                cv_any.at[li, bb, pl.ds(gg * hpd, hpd)], v_db.at[s],
+                sems.at[s, 1],
+            ),
+        )
+
+    for j in range(depth - 1):
+        @pl.when((b == 0) & (j < n))
+        def _(j=j):
+            ka, va = slab_dma(j, j % depth)
+            ka.start()
+            va.start()
+
+    max_len = k_db.shape[-2]
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+    is_new_r = row1 == off
+    off_clamped = jnp.clip(off, 0, max_len - 1)
+    off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
+    valid = valid_ref[0, 0, :]
+    fresh_on = jnp.max(jnp.where(is_new_r, valid[None, :], 0)) > 0
+    dead = jnp.logical_or(valid[None, :] <= 0, is_new_r)
+    roww = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) + off_al
+    is_new_w = roww == off
+    cdt = q_ref.dtype
+    wbs = []
+
+    for g in range(groups):
+        i = b * groups + g
+
+        @pl.when(i + depth - 1 < n)
+        def _(g=g):
+            idx = b * groups + g + depth - 1
+            s = jax.lax.rem(idx, depth)
+            ka, va = slab_dma(idx, s)
+            ka.start()
+            va.start()
+
+        slot = jax.lax.rem(i, depth)
+        if groups % depth == 0:
+            slot = g % depth
+        ka, va = slab_dma(i, slot)
+        ka.wait()
+        va.wait()
+
+        for h2 in range(hpd):
+            h = g * hpd + h2
+            t = g * hpd + h2
+            wsl = t % 2
+            if t >= 2:
+                pk, pv = wbs[t - 2]
+                pk.wait()
+                pv.wait()
+            wbk_buf[wsl] = jnp.where(
+                is_new_w, knew_ref[0, h][None, :],
+                k_db[slot, h2, pl.ds(off_al, 32), :],
+            )
+            wbv_buf[wsl] = jnp.where(
+                is_new_w, vnew_ref[0, h][None, :],
+                v_db[slot, h2, pl.ds(off_al, 32), :],
+            )
+            wb_k = pltpu.make_async_copy(
+                wbk_buf.at[wsl], ck_out.at[li, b, h, pl.ds(off_al, 32), :],
+                wsems.at[wsl, 0],
+            )
+            wb_v = pltpu.make_async_copy(
+                wbv_buf.at[wsl], cv_out.at[li, b, h, pl.ds(off_al, 32), :],
+                wsems.at[wsl, 1],
+            )
+            wb_k.start()
+            wb_v.start()
+            wbs.append((wb_k, wb_v))
+
+            q = q_ref[0, h]
+            logits = jax.lax.dot_general(
+                q, k_db[slot, h2].astype(cdt), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            logits = jnp.where(dead, -1e30, logits)
+            # analytic fresh-row term (f32 VPU multiply-reduce — Mosaic
+            # rejects the skinny bf16 dot; see the int4 kernel)
+            lf = jnp.sum(
+                q.astype(jnp.float32)
+                * knew_ref[0, h][None, :].astype(jnp.float32),
+                axis=1, keepdims=True,
+            ) * scale
+            lf = jnp.where(fresh_on, lf, -1e30)
+            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), lf)
+            p = jnp.exp(logits - m)
+            pf = jnp.exp(lf - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + pf
+            acc = jax.lax.dot_general(
+                p.astype(cdt), v_db[slot, h2].astype(cdt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + pf * vnew_ref[0, h][None, :].astype(jnp.float32)
+            out_ref[0, h] = (acc / denom).astype(out_ref.dtype)
+
+    for wb_k, wb_v in wbs[-2:]:
+        wb_k.wait()
+        wb_v.wait()
+
+
+def decode_attention_mono(
+    q, k_new, v_new, cache_k, cache_v, layer, offset, valid, scale,
+    interpret: bool = False, depth: int | None = None, hpd: int | None = None,
+):
+    """Full-precision mono-grid decode attention (same contract as
+    decode_attention_db.decode_attention_db; offset may be scalar or [B]
+    per-row append slots — see decode_attention_quantized4_mono)."""
+    L, B, Hkv, max_len, hd = cache_k.shape
+    if max_len % 32 != 0:
+        raise ValueError(f"max_len % 32 != 0 ({max_len})")
+    depth = MONO_DEPTH if depth is None else depth
+    hpd = MONO_HPD if hpd is None else hpd
+    if Hkv % hpd:
+        hpd = 1
+    off_arr = jnp.asarray(offset, jnp.int32).reshape(-1)
+    per_row = off_arr.size > 1
+    if per_row and off_arr.size != B:
+        raise ValueError(f"offset must be scalar or [B]; got {off_arr.shape}")
+    Hq = q.shape[1]
+    G = Hq // Hkv
+    bmap = lambda i, *_: (i, 0, 0, 0)  # noqa: E731
+    bmap3 = lambda i, *_: (i, 0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, G, hd), bmap),
+            pl.BlockSpec((1, Hkv, hd), bmap3),
+            pl.BlockSpec((1, Hkv, hd), bmap3),
+            pl.BlockSpec((1, 1, max_len), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hkv, G, hd), bmap),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((depth, hpd, max_len, hd), cache_k.dtype),
+            pltpu.VMEM((depth, hpd, max_len, hd), cache_v.dtype),
+            pltpu.VMEM((2, 32, hd), cache_k.dtype),
+            pltpu.VMEM((2, 32, hd), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((depth, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out, ck, cv = pl.pallas_call(
+        functools.partial(
+            _kernel_mono_full, scale=scale, n_heads=Hkv, n_rows=B,
+            depth=depth, hpd=hpd, per_row=per_row,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, G, hd), q.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ],
+        # (li, off, q, knew, vnew, valid, ck, cv) -> (out, ck, cv)
+        input_output_aliases={6: 1, 7: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        off_arr,
+        q.reshape(B, Hkv, G, hd),
+        k_new.reshape(B, Hkv, hd).astype(cache_k.dtype),
+        v_new.reshape(B, Hkv, hd).astype(cache_v.dtype),
+        valid.astype(jnp.int32)[:, None, :],
+        cache_k,
+        cache_v,
+    )
+    return out.reshape(B, Hq, hd), ck, cv

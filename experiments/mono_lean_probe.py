@@ -110,10 +110,50 @@ def probe8(per_row):
     assert d < 0.02 and dk == 0 and dv == 0
 
 
+def probe_full(per_row):
+    from audio_llama_tpu.ops.decode_attention_mono import (
+        decode_attention_mono,
+    )
+
+    L, B, Hkv, S, hd = 2, 4, 8, 256, 128
+    Hq = 24
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.bfloat16)
+    k_new = jnp.asarray(rng.randn(B, Hkv, hd), jnp.bfloat16)
+    v_new = jnp.asarray(rng.randn(B, Hkv, hd), jnp.bfloat16)
+    ck = jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.bfloat16)
+    cv = jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.bfloat16)
+    if per_row:
+        offs = np.asarray([40, 200, 7, 100], np.int32)
+        valid = (np.arange(S)[None, :] <= offs[:, None]).astype(np.int32)
+        off = jnp.asarray(offs)
+    else:
+        valid = np.zeros((B, S), np.int32)
+        valid[:, :101] = 1
+        off = jnp.int32(100)
+    sc = hd ** -0.5
+    args = (q, k_new, v_new, ck, cv, jnp.int32(1), off, jnp.asarray(valid))
+    ref = decode_attention_mono(*args, sc, interpret=True)
+    f = jax.jit(lambda *a: decode_attention_mono(*a, sc))
+    got = f(*args)
+    d = float(jnp.max(jnp.abs(got[0].astype(jnp.float32)
+                              - ref[0].astype(jnp.float32))))
+    dk = float(jnp.max(jnp.abs(got[1].astype(jnp.float32)
+                               - ref[1].astype(jnp.float32))))
+    dv = float(jnp.max(jnp.abs(got[2].astype(jnp.float32)
+                               - ref[2].astype(jnp.float32))))
+    print(json.dumps({"probe": "full_bf16", "per_row": per_row,
+                      "max_out_delta": d, "k_delta": dk, "v_delta": dv}),
+          flush=True)
+    assert d < 0.02 and dk == 0 and dv == 0
+
+
 if __name__ == "__main__":
     print(json.dumps({"backend": jax.default_backend()}), flush=True)
     probe4(False)
     probe4(True)
     probe8(False)
     probe8(True)
+    probe_full(False)
+    probe_full(True)
     print(json.dumps({"done": True}), flush=True)

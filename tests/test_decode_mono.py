@@ -73,7 +73,7 @@ def test_mono_q8_matches_db_q8():
         )
 
 
-@pytest.mark.parametrize("kvq", [True, 4])
+@pytest.mark.parametrize("kvq", [False, True, 4])
 def test_llama_decode_mono_matches_xla(kvq):
     """llama_forward dispatch: attn_impl='decode_mono' (interpret) matches
     the XLA quantized path on a full single-token decode step."""
@@ -106,23 +106,86 @@ def test_llama_decode_mono_matches_xla(kvq):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=5e-3, rtol=5e-3
     )
-    np.testing.assert_array_equal(
-        np.asarray(m_cache.k), np.asarray(ref_cache.k)
+    if kvq:
+        np.testing.assert_array_equal(
+            np.asarray(m_cache.k), np.asarray(ref_cache.k)
+        )
+    else:
+        # full-precision fresh row: the two separately-jitted programs
+        # RoPE the appended k with different fusion orderings (~1e-6)
+        np.testing.assert_allclose(
+            np.asarray(m_cache.k), np.asarray(ref_cache.k), atol=1e-5
+        )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("depth,hpd", [(None, None), (2, 2), (8, 1)])
+def test_mono_full_matches_db(dtype, depth, hpd):
+    """Full-precision mono kernel (bf16/f32 cache — no scales, no unpack)
+    vs the db kernel, scalar offset."""
+    from audio_llama_tpu.ops.decode_attention_db import decode_attention_db
+    from audio_llama_tpu.ops.decode_attention_mono import (
+        decode_attention_mono,
     )
 
-
-def test_mono_rejects_unquantized_cache():
-    from audio_llama_tpu.config import LlamaConfig
-    from audio_llama_tpu.models import llama as lm
-
-    cfg = LlamaConfig.tiny()
-    params = lm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
-    cache = lm.KVCache.zeros(cfg, 1, 32)
-    with pytest.raises(ValueError, match="decode_mono"):
-        lm.llama_forward(
-            params, cfg, input_ids=jnp.ones((1, 1), jnp.int32),
-            kv_cache=cache, attn_impl="decode_mono",
+    L, B, Hkv, S, hd = 2, 3, 2, 64, 32
+    Hq = 4
+    rng = np.random.RandomState(23)
+    q = jnp.asarray(rng.randn(B, Hq, hd), dtype)
+    k_new = jnp.asarray(rng.randn(B, Hkv, hd), dtype)
+    v_new = jnp.asarray(rng.randn(B, Hkv, hd), dtype)
+    ck = jnp.asarray(rng.randn(L, B, Hkv, S, hd), dtype)
+    cv = jnp.asarray(rng.randn(L, B, Hkv, S, hd), dtype)
+    valid = np.zeros((B, S), np.int32)
+    valid[:, :22] = 1
+    valid[1, 3:5] = 0
+    args = (q, k_new, v_new, ck, cv,
+            jnp.int32(1), jnp.int32(21), jnp.asarray(valid), hd ** -0.5)
+    ref = decode_attention_db(*args, interpret=True)
+    out = decode_attention_mono(*args, interpret=True, depth=depth, hpd=hpd)
+    tol = 2e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(out[0], np.float32), np.asarray(ref[0], np.float32),
+        atol=tol, rtol=tol,
+    )
+    for a, b in zip(out[1:], ref[1:]):  # cache write-backs bit-exact
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)
         )
+
+
+def test_mono_full_per_row_offsets():
+    """[B] offsets on the full-precision kernel == B scalar calls."""
+    from audio_llama_tpu.ops.decode_attention_mono import (
+        decode_attention_mono,
+    )
+
+    L, B, Hkv, S, hd = 2, 3, 2, 64, 32
+    Hq = 4
+    rng = np.random.RandomState(24)
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    k_new = jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32)
+    v_new = jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32)
+    ck = jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32)
+    cv = jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32)
+    offs = np.asarray([5, 21, 40], np.int32)
+    valid = (np.arange(S)[None, :] <= offs[:, None]).astype(np.int32)
+    out, ock, ocv = decode_attention_mono(
+        q, k_new, v_new, ck, cv, jnp.int32(1), jnp.asarray(offs),
+        jnp.asarray(valid), hd ** -0.5, interpret=True,
+    )
+    for b in range(B):
+        sl = slice(b, b + 1)
+        r_out, r_ck, r_cv = decode_attention_mono(
+            q[sl], k_new[sl], v_new[sl], ck[:, sl], cv[:, sl],
+            jnp.int32(1), jnp.int32(int(offs[b])), jnp.asarray(valid[sl]),
+            hd ** -0.5, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[sl]), np.asarray(r_out), atol=2e-5, rtol=2e-5
+        )
+        np.testing.assert_array_equal(np.asarray(ock[:, sl]), np.asarray(r_ck))
+        np.testing.assert_array_equal(np.asarray(ocv[:, sl]), np.asarray(r_cv))
 
 
 def test_mono4_per_row_offsets_match_per_row_calls():
@@ -170,7 +233,7 @@ def test_mono4_per_row_offsets_match_per_row_calls():
         )
 
 
-@pytest.mark.parametrize("kvq", [True, 4])
+@pytest.mark.parametrize("kvq", [False, True, 4])
 def test_llama_decode_mono_per_row_offsets_match_xla(kvq):
     """Full decode step with cache_offsets (divergent row timelines, the
     continuous-batching serving shape) dispatches to the mono kernel and
@@ -208,8 +271,15 @@ def test_llama_decode_mono_per_row_offsets_match_xla(kvq):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=5e-3, rtol=5e-3
     )
-    np.testing.assert_array_equal(np.asarray(m_cache.k), np.asarray(ref_cache.k))
-    np.testing.assert_allclose(
-        np.asarray(m_cache.k_scale), np.asarray(ref_cache.k_scale),
-        atol=1e-6, rtol=1e-6,
-    )
+    if kvq:
+        np.testing.assert_array_equal(
+            np.asarray(m_cache.k), np.asarray(ref_cache.k)
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_cache.k_scale), np.asarray(ref_cache.k_scale),
+            atol=1e-6, rtol=1e-6,
+        )
+    else:
+        np.testing.assert_allclose(
+            np.asarray(m_cache.k), np.asarray(ref_cache.k), atol=1e-5
+        )

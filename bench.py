@@ -17,6 +17,7 @@ i.e. the real TPU under the driver; tests can pass --backend cpu --tiny).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -80,6 +81,14 @@ def main():
              "the auto default on TPU), head-packed chunked (decode_packed; "
              "ops/decode_attention_packed.py), or mono-grid (decode_mono; "
              "ops/decode_attention_mono.py, quantized caches only)",
+    )
+    ap.add_argument(
+        "--prefill_rows", type=int, default=0,
+        help="decode mode: prefill the pool in row-chunks of this size "
+             "(one fori_loop program; loop-carry aliasing keeps the full-B "
+             "cache in place). 0 = one-shot prefill. Required for batches "
+             "whose one-shot 2014-token prefill exceeds HBM (B128 int4-KV "
+             "OOMs at 20 GB one-shot; the decode pool itself fits ~11 GB).",
     )
     ap.add_argument(
         "--accum", type=int, default=1,
@@ -355,7 +364,13 @@ def run_decode(args):
     cfg = LlamaConfig.tiny(vocab_size=2048) if args.tiny else LlamaConfig.llama32_3b()
     B = args.batch
     prefill_len = 64 if args.tiny else 2014  # audio 1502 + text 512
-    max_len = prefill_len + args.iters + 8
+    # The cache is DONATED to the decode program (without donation XLA
+    # copies the whole cache input before the in-place loop updates — a
+    # 7 GB HLO temp at B128 that OOMs; the copy was per-call constant so
+    # removing it cancels out of the d2-d1 subtraction). Donation threads
+    # one cache through all three calls, so size the timeline for their
+    # cumulative appends: warmup 2 + n_small 8 + n_large (iters+8).
+    max_len = prefill_len + 2 + 8 + (args.iters + 8) + 2
 
     if args.int4_weights:
         import os as _os
@@ -404,6 +419,54 @@ def run_decode(args):
         return jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32), cache
 
     @jax.jit
+    def prefill_chunked(params, ids):
+        """Row-chunked prefill for pools whose one-shot [B, 2014] prefill
+        exceeds HBM: the full-B cache rides the fori_loop carry (aliased
+        in place by XLA) and each iteration prefills --prefill_rows rows
+        into it via dynamic_update_slice on the batch axis. Same flash
+        prefill + last-position unembed as the one-shot path."""
+        R = args.prefill_rows
+        cache = lm.KVCache.zeros(
+            cfg, B, max_len, dtype=jnp.bfloat16, quantized=kvq
+        )
+        ids_c = ids.reshape(B // R, R, ids.shape[1])
+
+        def body(i, carry):
+            cache, toks = carry
+            small = lm.KVCache.zeros(
+                cfg, R, max_len, dtype=jnp.bfloat16, quantized=kvq
+            )
+            _, small, hidden = lm.llama_forward(
+                params, cfg, input_ids=ids_c[i], kv_cache=small,
+                compute_dtype=jnp.bfloat16, assume_fresh_cache=True,
+                return_hidden=True, unembed_logits=False,
+            )
+            logits = lm.unembed(params, cfg, hidden[:, -1:], jnp.bfloat16)
+            tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+
+            def put(big, part):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    big, part, i * R, axis=1
+                )
+
+            cache = cache._replace(
+                k=put(cache.k, small.k),
+                v=None if cache.v is None else put(cache.v, small.v),
+                k_scale=None if cache.k_scale is None
+                else put(cache.k_scale, small.k_scale),
+                v_scale=None if cache.v_scale is None
+                else put(cache.v_scale, small.v_scale),
+                length=small.length,
+            )
+            toks = jax.lax.dynamic_update_slice(toks, tok, (i * R,))
+            return cache, toks
+
+        cache, toks = jax.lax.fori_loop(
+            0, B // R, body, (cache, jnp.zeros((B,), jnp.int32))
+        )
+        return toks, cache
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def decode(params, tok, cache, n):
         # fori_loop (not scan) so n stays a traced arg: one compile serves
         # every loop length — compiles through the tunnel cost minutes.
@@ -417,17 +480,25 @@ def run_decode(args):
             return (nxt, cache)
 
         tok, cache = jax.lax.fori_loop(0, n, body, (tok, cache))
-        return jnp.sum(tok)
+        return jnp.sum(tok), cache
 
-    tok, cache = prefill(params, ids)
-    float(decode(params, tok, cache, 2))  # compile (n is static in scan len)
+    if args.prefill_rows:
+        if B % args.prefill_rows:
+            raise SystemExit("--prefill_rows must divide --batch")
+        tok, cache = prefill_chunked(params, ids)
+    else:
+        tok, cache = prefill(params, ids)
+    s, cache = decode(params, tok, cache, 2)  # compile (n stays traced)
+    float(s)
 
     n_small, n_large = 8, args.iters + 8
     t0 = time.perf_counter()
-    float(decode(params, tok, cache, n_small))
+    s, cache = decode(params, tok, cache, n_small)
+    float(s)
     d1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(decode(params, tok, cache, n_large))
+    s, cache = decode(params, tok, cache, n_large)
+    float(s)
     d2 = time.perf_counter() - t0
     _debug_timing("decode", n_small, d1, n_large, d2)
     dt = max(d2 - d1, 1e-9)

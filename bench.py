@@ -83,6 +83,13 @@ def main():
              "ops/decode_attention_mono.py, quantized caches only)",
     )
     ap.add_argument(
+        "--serve_requests", type=int, default=0,
+        help="serve mode: number of requests in the mixed stream (default "
+             "64). The default stream saturates a 32-64 row pool; larger "
+             "pools (rows >= 128) are tail-dominated with 64 requests — "
+             "scale this with --batch to measure steady-state delivery.",
+    )
+    ap.add_argument(
         "--prefill_rows", type=int, default=0,
         help="decode mode: prefill the pool in row-chunks of this size "
              "(one fori_loop program; loop-carry aliasing keeps the full-B "
@@ -542,6 +549,8 @@ def run_serve(args):
         rows, buckets, max_len, chunk, n_req = 2, (8, 16), 64, 4, 6
         kvq = False
         cdt = jnp.float32
+        if args.serve_requests:
+            n_req = args.serve_requests
     else:
         cfg = AudioLLMConfig()
         lcfg = cfg.llama
@@ -557,6 +566,8 @@ def run_serve(args):
         )
         kvq = 4
         cdt = jnp.bfloat16
+        if args.serve_requests:
+            n_req = args.serve_requests
 
     rng = np.random.default_rng(0)
     reqs = []

@@ -355,6 +355,91 @@ def run_train(args):
     )
 
 
+def make_prefill_fns(cfg, B, max_len, kvq, compute_dtype, prefill_rows=0):
+    """Build the jitted decode-pool prefill program(s): (one_shot, chunked).
+
+    ``chunked`` is None unless prefill_rows > 0. Exposed at module level so
+    tests can parity-pin the REAL jitted fori_loop path (traced chunk index,
+    loop-carry cache aliasing) against the one-shot program — not a Python
+    re-implementation of the chunking."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_llama_tpu.models import llama as lm
+
+    @jax.jit
+    def prefill(params, ids):
+        cache = lm.KVCache.zeros(
+            cfg, B, max_len, dtype=compute_dtype, quantized=kvq
+        )
+        _, cache, hidden = lm.llama_forward(
+            params, cfg, input_ids=ids, kv_cache=cache,
+            compute_dtype=compute_dtype,
+            # Match the production generation prefill (flash path); without
+            # it the warmup materializes [B, H, P, total] attention logits.
+            assume_fresh_cache=True,
+            # unembed only the last position — full prefill logits are
+            # [B, P, V] f32 (~15 GB at B16), see inference/generate.py
+            return_hidden=True,
+            unembed_logits=False,
+        )
+        logits = lm.unembed(params, cfg, hidden[:, -1:], compute_dtype)
+        return jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32), cache
+
+    prefill_chunked = None
+    if prefill_rows:
+        R = prefill_rows
+
+        @jax.jit
+        def prefill_chunked(params, ids):
+            """Row-chunked prefill for pools whose one-shot [B, P] prefill
+            exceeds HBM: the full-B cache rides the fori_loop carry (aliased
+            in place by XLA) and each iteration prefills R rows into it via
+            dynamic_update_slice on the batch axis. Same flash prefill +
+            last-position unembed as the one-shot path."""
+            cache = lm.KVCache.zeros(
+                cfg, B, max_len, dtype=compute_dtype, quantized=kvq
+            )
+            ids_c = ids.reshape(B // R, R, ids.shape[1])
+
+            def body(i, carry):
+                cache, toks = carry
+                small = lm.KVCache.zeros(
+                    cfg, R, max_len, dtype=compute_dtype, quantized=kvq
+                )
+                _, small, hidden = lm.llama_forward(
+                    params, cfg, input_ids=ids_c[i], kv_cache=small,
+                    compute_dtype=compute_dtype, assume_fresh_cache=True,
+                    return_hidden=True, unembed_logits=False,
+                )
+                logits = lm.unembed(params, cfg, hidden[:, -1:], compute_dtype)
+                tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+
+                def put(big, part):
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        big, part, i * R, axis=1
+                    )
+
+                cache = cache._replace(
+                    k=put(cache.k, small.k),
+                    v=None if cache.v is None else put(cache.v, small.v),
+                    k_scale=None if cache.k_scale is None
+                    else put(cache.k_scale, small.k_scale),
+                    v_scale=None if cache.v_scale is None
+                    else put(cache.v_scale, small.v_scale),
+                    length=small.length,
+                )
+                toks = jax.lax.dynamic_update_slice(toks, tok, (i * R,))
+                return cache, toks
+
+            cache, toks = jax.lax.fori_loop(
+                0, B // R, body, (cache, jnp.zeros((B,), jnp.int32))
+            )
+            return toks, cache
+
+    return prefill, prefill_chunked
+
+
 def run_decode(args):
     """KV-cached autoregressive decode throughput on the flagship decoder
     (Llama-3.2-3B dims, bf16, random weights init'd on device): tokens/sec at
@@ -368,6 +453,8 @@ def run_decode(args):
     from audio_llama_tpu.config import LlamaConfig
     from audio_llama_tpu.models import llama as lm
 
+    if args.iters <= 0:  # degenerate --iters would make n_large == n_small
+        args.iters = 1
     cfg = LlamaConfig.tiny(vocab_size=2048) if args.tiny else LlamaConfig.llama32_3b()
     B = args.batch
     prefill_len = 64 if args.tiny else 2014  # audio 1502 + text 512
@@ -406,72 +493,9 @@ def run_decode(args):
 
     kvq = (4 if args.kv_bits == 4 else True) if args.kv_quant else False
 
-    @jax.jit
-    def prefill(params, ids):
-        cache = lm.KVCache.zeros(
-            cfg, B, max_len, dtype=jnp.bfloat16, quantized=kvq
-        )
-        _, cache, hidden = lm.llama_forward(
-            params, cfg, input_ids=ids, kv_cache=cache,
-            compute_dtype=jnp.bfloat16,
-            # Match the production generation prefill (flash path); without
-            # it the warmup materializes [B, H, P, total] attention logits.
-            assume_fresh_cache=True,
-            # unembed only the last position — full prefill logits are
-            # [B, P, V] f32 (~15 GB at B16), see inference/generate.py
-            return_hidden=True,
-            unembed_logits=False,
-        )
-        logits = lm.unembed(params, cfg, hidden[:, -1:], jnp.bfloat16)
-        return jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32), cache
-
-    @jax.jit
-    def prefill_chunked(params, ids):
-        """Row-chunked prefill for pools whose one-shot [B, 2014] prefill
-        exceeds HBM: the full-B cache rides the fori_loop carry (aliased
-        in place by XLA) and each iteration prefills --prefill_rows rows
-        into it via dynamic_update_slice on the batch axis. Same flash
-        prefill + last-position unembed as the one-shot path."""
-        R = args.prefill_rows
-        cache = lm.KVCache.zeros(
-            cfg, B, max_len, dtype=jnp.bfloat16, quantized=kvq
-        )
-        ids_c = ids.reshape(B // R, R, ids.shape[1])
-
-        def body(i, carry):
-            cache, toks = carry
-            small = lm.KVCache.zeros(
-                cfg, R, max_len, dtype=jnp.bfloat16, quantized=kvq
-            )
-            _, small, hidden = lm.llama_forward(
-                params, cfg, input_ids=ids_c[i], kv_cache=small,
-                compute_dtype=jnp.bfloat16, assume_fresh_cache=True,
-                return_hidden=True, unembed_logits=False,
-            )
-            logits = lm.unembed(params, cfg, hidden[:, -1:], jnp.bfloat16)
-            tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-
-            def put(big, part):
-                return jax.lax.dynamic_update_slice_in_dim(
-                    big, part, i * R, axis=1
-                )
-
-            cache = cache._replace(
-                k=put(cache.k, small.k),
-                v=None if cache.v is None else put(cache.v, small.v),
-                k_scale=None if cache.k_scale is None
-                else put(cache.k_scale, small.k_scale),
-                v_scale=None if cache.v_scale is None
-                else put(cache.v_scale, small.v_scale),
-                length=small.length,
-            )
-            toks = jax.lax.dynamic_update_slice(toks, tok, (i * R,))
-            return cache, toks
-
-        cache, toks = jax.lax.fori_loop(
-            0, B // R, body, (cache, jnp.zeros((B,), jnp.int32))
-        )
-        return toks, cache
+    prefill, prefill_chunked = make_prefill_fns(
+        cfg, B, max_len, kvq, jnp.bfloat16, prefill_rows=args.prefill_rows
+    )
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def decode(params, tok, cache, n):
@@ -549,8 +573,6 @@ def run_serve(args):
         rows, buckets, max_len, chunk, n_req = 2, (8, 16), 64, 4, 6
         kvq = False
         cdt = jnp.float32
-        if args.serve_requests:
-            n_req = args.serve_requests
     else:
         cfg = AudioLLMConfig()
         lcfg = cfg.llama
@@ -566,8 +588,8 @@ def run_serve(args):
         )
         kvq = 4
         cdt = jnp.bfloat16
-        if args.serve_requests:
-            n_req = args.serve_requests
+    if args.serve_requests:
+        n_req = args.serve_requests
 
     rng = np.random.default_rng(0)
     reqs = []

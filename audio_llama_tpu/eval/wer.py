@@ -197,6 +197,29 @@ def evaluate_wer(
     return metrics
 
 
+def calib_mel_batch(cfg, entries: List[dict], audio_dir: str, n: int = 4,
+                    audio_key: str = "audio_paths"):
+    """Representative mel batch for int8-encoder SmoothQuant calibration
+    (models/whisper_int8.py:quantize_encoder_smoothed): the first n eval
+    clips through the production featurizer."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..inference.cli import process_audio
+    from ..ops import mel as mel_ops
+
+    audio = np.concatenate(
+        [
+            process_audio(_resolve(audio_dir, e[audio_key]), cfg.mel)
+            for e in entries[: max(n, 1)]
+        ],
+        axis=0,
+    )
+    return jax.jit(lambda a: mel_ops.log_mel(a, cfg.mel))(
+        jnp.asarray(audio, jnp.float32)
+    )
+
+
 def _resolve(audio_dir: str, rel) -> str:
     import os
 
@@ -245,17 +268,20 @@ def main(argv=None):
         tokenizer=args.tokenizer,
         toy_model=args.toy_model,
     )
-    if args.int8_encoder:
-        from ..models import whisper_int8 as w8
-
-        frozen = dict(frozen)
-        frozen["whisper"] = w8.quantize_encoder(frozen["whisper"])
     with open(args.data_path) as f:
         entries = json.load(f)
     if isinstance(entries, dict) and "examples" in entries:
         entries = entries["examples"]
     if args.limit:
         entries = entries[: args.limit]
+    if args.int8_encoder:
+        from ..models import whisper_int8 as w8
+
+        frozen = dict(frozen)
+        frozen["whisper"] = w8.quantize_encoder_smoothed(
+            frozen["whisper"], cfg.whisper,
+            calib_mel_batch(cfg, entries, args.audio_dir),
+        )
 
     metrics = evaluate_wer(
         cfg, frozen, trainable, tk, entries, args.audio_dir,

@@ -53,10 +53,15 @@ def load_audio_llm(
         tk = load_tokenizer(tokenizer or "byte")
         if cfg is None:
             cfg = AudioLLMConfig.tiny()
-        # Random frozen weights must match the training run: use the seed the
-        # trainer recorded in the checkpoint metadata.
-        frozen_seed = meta.get("args", {}).get("seed", seed)
-        frozen = allm.init_frozen(cfg, jax.random.PRNGKey(frozen_seed))
+        # Random frozen weights must match the training run: use the seed
+        # (and outlier injection, if any) the trainer recorded in the
+        # checkpoint metadata.
+        meta_args = meta.get("args", {})
+        frozen_seed = meta_args.get("seed", seed)
+        frozen = allm.init_frozen(
+            cfg, jax.random.PRNGKey(frozen_seed),
+            outlier_scale=meta_args.get("toy_outliers", 0.0),
+        )
     else:
         tk = load_tokenizer(tokenizer or llama_path)
         llama_params, llama_cfg = hf_loader.load_llama(llama_path)

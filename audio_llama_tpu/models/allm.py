@@ -63,13 +63,32 @@ def init_trainable(cfg: AudioLLMConfig, key: jax.Array, dtype=jnp.float32) -> di
     return trainable
 
 
-def init_frozen(cfg: AudioLLMConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
-    """Random frozen base (tests / benchmarks). Production: models.hf_loader."""
+def init_frozen(
+    cfg: AudioLLMConfig, key: jax.Array, dtype=jnp.bfloat16,
+    outlier_scale: float = 0.0,
+) -> dict:
+    """Random frozen base (tests / benchmarks). Production: models.hf_loader.
+
+    outlier_scale > 0 injects the heavy-tailed outlier-channel structure of
+    real trained checkpoints (models/outliers.py) — the hard regime for the
+    quantization accuracy gates. Deterministic in `key`, so a trainer and a
+    later inference load reconstruct identical frozen weights from
+    (seed, outlier_scale)."""
     k1, k2 = jax.random.split(key)
-    return {
+    frozen = {
         "llama": llama_mod.init_params(cfg.llama, k1, dtype),
         "whisper": whisper_mod.init_params(cfg.whisper, k2, dtype),
     }
+    if outlier_scale:
+        from . import outliers
+
+        frozen["llama"] = outliers.inject_llama_outliers(
+            frozen["llama"], jax.random.fold_in(k1, 1), scale=outlier_scale
+        )
+        frozen["whisper"] = outliers.inject_whisper_outliers(
+            frozen["whisper"], jax.random.fold_in(k2, 1), scale=outlier_scale
+        )
+    return frozen
 
 
 def num_trainable_params(trainable: dict) -> int:

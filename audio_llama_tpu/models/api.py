@@ -149,13 +149,34 @@ class AudioLLM:
             self.tokenizer,
         )
 
-    def quantize_encoder(self) -> "AudioLLM":
-        """W8A8 int8 encoder for serving throughput (validate WER first);
-        the audio path auto-dispatches on the quantized param layout."""
+    def quantize_encoder(self, calib_audio=None, alpha: float = 0.5) -> "AudioLLM":
+        """W8A8 int8 encoder for serving throughput; the audio path
+        auto-dispatches on the quantized param layout.
+
+        calib_audio: waveform batch [B, S] (or [S]) of representative audio
+        — enables SmoothQuant activation smoothing, REQUIRED for real
+        checkpoints (naive W8A8 loses 12-57% encoder accuracy at realistic
+        outlier-channel magnitudes; experiments/int8_outlier_probe.py).
+        None quantizes unsmoothed (A/B / toy use only)."""
+        import jax.numpy as jnp
+
         from . import whisper_int8 as w8
 
         frozen = dict(self.frozen)
-        frozen["whisper"] = w8.quantize_encoder(frozen["whisper"])
+        if calib_audio is not None:
+            import jax
+
+            from ..ops import mel as mel_ops
+
+            a = jnp.asarray(calib_audio, jnp.float32)
+            if a.ndim == 1:
+                a = a[None]
+            mel = jax.jit(lambda x: mel_ops.log_mel(x, self.cfg.mel))(a)
+            frozen["whisper"] = w8.quantize_encoder_smoothed(
+                frozen["whisper"], self.cfg.whisper, mel, alpha=alpha
+            )
+        else:
+            frozen["whisper"] = w8.quantize_encoder(frozen["whisper"])
         return AudioLLM(self.cfg, frozen, self.trainable, self.tokenizer)
 
     def quantize_decoder(

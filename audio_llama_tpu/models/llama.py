@@ -497,7 +497,14 @@ def llama_forward(
         and not (use_flash or use_causal_kernel)
         and (
             attn_impl in ("decode_kernel", "decode_packed", "decode_mono")
-            or (attn_impl == "auto" and da.available())
+            # auto additionally requires lane-tiling-friendly geometry: the
+            # decode kernels DMA [*, max_len, hd] slabs whose minor dim must
+            # be a multiple of the 128-lane tile. Toy dims (hd=16) lower
+            # fine in interpret mode but crash Mosaic on real TPU
+            # ("slice shape along dim 4 must be aligned to tiling (128)");
+            # auto falls back to the XLA cached path there.
+            or (attn_impl == "auto" and da.available()
+                and cfg.head_dim % 128 == 0)
         )
     )
     # Timeline-sharded decode runs the db kernel's STATS variant per shard

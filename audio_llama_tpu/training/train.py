@@ -108,6 +108,13 @@ def _build_parser():
     p.add_argument("--whisper_path", type=str, default="openai/whisper-large-v3-turbo")
     p.add_argument("--toy_model", action="store_true",
                    help="random tiny model + byte tokenizer (offline smoke/CI)")
+    p.add_argument("--toy_outliers", type=float, default=0.0,
+                   help="with --toy_model: inject outlier-channel structure "
+                        "of this magnitude into the random frozen weights "
+                        "(models/outliers.py) — the hard regime for the "
+                        "quantization accuracy gates. Recorded in the "
+                        "checkpoint so inference reconstructs the same "
+                        "frozen tree.")
     p.add_argument("--tokenizer", type=str, default=None,
                    help="'byte' or local tokenizer path (default: llama_path)")
     # Data paths (reference src/train.py:39-46)
@@ -257,7 +264,10 @@ def _build_model(args):
             lora=LoraConfig(rank=4, alpha=8) if lora else None,
             splice_mode=args.splice_mode,
         )
-        frozen = allm.init_frozen(cfg, jax.random.PRNGKey(args.seed))
+        frozen = allm.init_frozen(
+            cfg, jax.random.PRNGKey(args.seed),
+            outlier_scale=args.toy_outliers,
+        )
         return cfg, frozen, tokenizer, 2
 
     tokenizer = load_tokenizer(args.tokenizer or args.llama_path)

@@ -49,8 +49,15 @@ def main():
     )
     ap.add_argument(
         "--int8_encoder", action="store_true",
-        help="W8A8 int8 encoder matmuls (2x MXU peak; validate WER on real "
-             "weights before serving with this)",
+        help="(now the default) W8A8 int8 encoder matmuls with SmoothQuant "
+             "activation smoothing calibrated on the bench batch — 2x MXU "
+             "peak, gated by tests/test_outlier_gate.py (WER + logit-KL "
+             "under outlier-injected weights)",
+    )
+    ap.add_argument(
+        "--bf16_encoder", action="store_true",
+        help="encode mode: disable the default int8 encoder (the pre-"
+             "round-4 headline path, kept for A/B)",
     )
     ap.add_argument(
         "--int8_weights", action="store_true",
@@ -174,10 +181,19 @@ def main():
     pparams = jax.jit(lambda k: proj_mod.init_params(pcfg, k))(kp)
     audio = jax.random.normal(ka, (B, mcfg.max_samples), jnp.float32) * 0.1
 
-    if args.int8_encoder:
+    if not args.bf16_encoder:
+        # DEFAULT since round 4: W8A8 encoder with SmoothQuant smoothing
+        # (+17% measured at flagship dims, 1814 -> 2128 audio-s/s).
+        # Calibration runs once on the bench batch, outside the timed loop;
+        # accuracy is gated by tests/test_outlier_gate.py and the flagship-
+        # dims error probe (experiments/int8_outlier_probe.py).
         from audio_llama_tpu.models import whisper_int8 as w8
 
-        wparams = jax.jit(w8.quantize_encoder)(wparams)
+        wparams = jax.jit(
+            lambda wp, a: w8.quantize_encoder_smoothed(
+                wp, wcfg, mel_ops.log_mel(a, mcfg)
+            )
+        )(wparams, audio)
 
         def encode_once(wparams, pparams, audio):
             mel = mel_ops.log_mel(audio, mcfg)

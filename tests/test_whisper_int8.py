@@ -33,6 +33,50 @@ def test_quantize_encoder_structure():
     assert qp["conv1"]["w"].dtype == params["conv1"]["w"].dtype
 
 
+def test_smoothed_quantization_close_on_clean_weights():
+    """Smoothing must cost nothing on easy Gaussian weights (probe row
+    scale=0: naive 0.0297 vs smoothed 0.0273 at flagship dims)."""
+    cfg = WhisperConfig.tiny()
+    params = wm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.num_mel_bins, 128)) * 0.5
+    ref = np.asarray(wm.encode(params, cfg, mel, jnp.float32, attn_impl="xla"))
+    qp = w8.quantize_encoder_smoothed(params, cfg, mel, compute_dtype=jnp.float32)
+    out = np.asarray(w8.encode_int8(qp, cfg, mel, jnp.float32, attn_impl="xla"))
+    rel = np.abs(out - ref) / (np.abs(ref).mean() + 1e-6)
+    assert rel.mean() < 0.03, rel.mean()
+    for name in w8._QUANT_TARGETS:
+        assert "a_s" in qp["layers"][name]
+
+
+def test_smoothing_rescues_outlier_regime():
+    """The round-4 finding, pinned at toy dims: with outlier-channel
+    weights (models/outliers.py), naive W8A8 degrades hard and SmoothQuant
+    smoothing restores accuracy (flagship-dims numbers:
+    experiments/int8_outlier_probe.py — naive 12.3% vs smoothed 2.1%
+    at outlier scale 20)."""
+    from audio_llama_tpu.models import outliers
+
+    cfg = WhisperConfig.tiny()
+    params = wm.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    params = outliers.inject_whisper_outliers(
+        params, jax.random.PRNGKey(7), scale=30.0
+    )
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.num_mel_bins, 128)) * 0.5
+    ref = np.asarray(wm.encode(params, cfg, mel, jnp.float32, attn_impl="xla"))
+
+    def err(qp):
+        out = np.asarray(
+            w8.encode_int8(qp, cfg, mel, jnp.float32, attn_impl="xla")
+        )
+        return float((np.abs(out - ref) / (np.abs(ref).mean() + 1e-6)).mean())
+
+    naive = err(w8.quantize_encoder(params))
+    smooth = err(w8.quantize_encoder_smoothed(
+        params, cfg, mel, compute_dtype=jnp.float32))
+    assert smooth < naive * 0.7, (naive, smooth)
+    assert smooth < 0.05, smooth
+
+
 def test_quantized_encoder_through_model_path():
     """allm.process_audio_features auto-dispatches on quantized params; the
     AudioLLM facade exposes it as .quantize_encoder()."""

@@ -13,7 +13,7 @@ from ...models import llama as llama_mod
 from ...ops import sampling
 from ..generate import build_prefix
 
-from .state import _Row, _Staging, _Pending, _Prefix
+from .state import _Row, _Staging, _Pending, _Prefix, samp_arrays
 
 
 class AdmissionMixin:
@@ -176,13 +176,14 @@ class AdmissionMixin:
         ids[0, :n] = req.input_ids
         mask[0, :n] = 1
         self._key, k = jax.random.split(self._key)
+        samp = samp_arrays([req])
         if req.prefix is not None:
             pfx = self._prefixes[req.prefix]
             fn = self._get_suffix_fn(bucket, pfx.cap, pfx.d_cap)
             args = [pfx.cache, jnp.int32(pfx.length)]
             if self.draft_params is not None:
                 args += [pfx.d_cache, jnp.int32(pfx.d_length)]
-            res = fn(*args, jnp.asarray(ids), jnp.asarray(mask), k)
+            res = fn(*args, jnp.asarray(ids), jnp.asarray(mask), k, samp)
             self.prefix_admits += 1
         else:
             has_audio = req.audio_features is not None
@@ -190,11 +191,14 @@ class AdmissionMixin:
             feats = (
                 jnp.asarray(req.audio_features)[None] if has_audio else None
             )
-            res = fn(jnp.asarray(ids), jnp.asarray(mask), feats, k)
+            res = fn(jnp.asarray(ids), jnp.asarray(mask), feats, k, samp)
         self.admit_sizes.append(1)
         self._state = self._get_insert_fn()(
             self._state, *res[:3], jnp.int32(r),
-            jnp.int32(req.max_new_tokens), *res[3:],
+            jnp.int32(req.max_new_tokens),
+            jnp.float32(req.temperature), jnp.float32(req.top_p),
+            jnp.int32(req.top_k), jnp.bool_(req.greedy),
+            *res[3:],
         )
         self._rows[r] = _Row(rid=req.rid, budget=req.max_new_tokens,
                              emitted=[], free=False)
@@ -219,7 +223,8 @@ class AdmissionMixin:
         self._key, k = jax.random.split(self._key)
         fn = self._get_batch_prefill_fn(bucket, has_audio, Ba)
         self.admit_sizes.append(Ba)
-        res = fn(jnp.asarray(ids), jnp.asarray(mask), feats, k)
+        res = fn(jnp.asarray(ids), jnp.asarray(mask), feats, k,
+                 samp_arrays([q for _, q in group]))
         fresh, real, tok0 = res[:3]
         d_res = res[3:]
         ins = self._get_insert_fn()
@@ -230,7 +235,10 @@ class AdmissionMixin:
                 extra = (sl(d_res[0], jnp.int32(b)), d_res[1][b])
             self._state = ins(
                 self._state, sl(fresh, jnp.int32(b)), real[b], tok0[b],
-                jnp.int32(r), jnp.int32(req.max_new_tokens), *extra,
+                jnp.int32(r), jnp.int32(req.max_new_tokens),
+                jnp.float32(req.temperature), jnp.float32(req.top_p),
+                jnp.int32(req.top_k), jnp.bool_(req.greedy),
+                *extra,
             )
             self._rows[r] = _Row(rid=req.rid, budget=req.max_new_tokens,
                                  emitted=[], free=False)
@@ -265,7 +273,7 @@ class AdmissionMixin:
         eng = self
         tpax = "tp" if self.tp > 1 else None
 
-        def prefill(W, ids, mask, feats, key):
+        def prefill(W, ids, mask, feats, key, samp):
             frozen, trainable = W["frozen"], W.get("trainable")
             lora = W.get("lora")
             embeds, emask = build_prefix(
@@ -294,7 +302,10 @@ class AdmissionMixin:
             logits = llama_mod.unembed_with_tp(
                 frozen["llama"], cfg.llama, last, cdt, tpax
             )
-            tok0 = eng._sample(logits[:, 0], key)  # [Ba]
+            tok0 = sampling.sample_token_per_row(
+                logits[:, 0], key, samp["temperature"],
+                samp["top_p"], samp["top_k"], samp["greedy"],
+            )  # [Ba]
             if eng.draft_params is None:
                 return fresh, real, tok0
             d_fresh = llama_mod.KVCache.zeros(
@@ -335,7 +346,7 @@ class AdmissionMixin:
         eng = self
         tpax = "tp" if self.tp > 1 else None
 
-        def prefill(W, ids, mask, feats, key):
+        def prefill(W, ids, mask, feats, key, samp):
             frozen, trainable = W["frozen"], W.get("trainable")
             lora = W.get("lora")
             embeds, emask = build_prefix(
@@ -364,7 +375,10 @@ class AdmissionMixin:
             logits = llama_mod.unembed_with_tp(
                 frozen["llama"], cfg.llama, last, cdt, tpax
             )
-            tok0 = eng._sample(logits[:, 0], key)[0]
+            tok0 = sampling.sample_token_per_row(
+                logits[:, 0], key, samp["temperature"],
+                samp["top_p"], samp["top_k"], samp["greedy"],
+            )[0]
             if eng.draft_params is None:
                 return fresh, real, tok0
             # draft prefill over the TEXT prompt only (audio conditioning
@@ -435,9 +449,9 @@ class AdmissionMixin:
         def sprefill(W, pcache, plen, *rest):
             frozen, lora = W["frozen"], W.get("lora")
             if eng.draft_params is not None:
-                pdcache, pdlen, ids, mask, key = rest
+                pdcache, pdlen, ids, mask, key, samp = rest
             else:
-                ids, mask, key = rest
+                ids, mask, key, samp = rest
             embeds = llama_mod.embed_tokens(frozen["llama"], ids, cdt)
             fresh = splice_fresh(
                 pcache, cfg.llama, ids.shape[1],
@@ -461,7 +475,10 @@ class AdmissionMixin:
             logits = llama_mod.unembed_with_tp(
                 frozen["llama"], cfg.llama, last, cdt, tpax
             )
-            tok0 = eng._sample(logits[:, 0], key)[0]
+            tok0 = sampling.sample_token_per_row(
+                logits[:, 0], key, samp["temperature"],
+                samp["top_p"], samp["top_k"], samp["greedy"],
+            )[0]
             if eng.draft_params is None:
                 return fresh, plen + n, tok0
             d_fresh = splice_fresh(pdcache, eng.draft_cfg, ids.shape[1])
@@ -487,7 +504,9 @@ class AdmissionMixin:
             if self.draft_params is not None:
                 in_specs += [self._fresh_spec(False), P()]
                 out_specs = out_specs + (self._fresh_spec(False), P())
-            in_specs += [P(), P(), P()]  # ids, mask, key
+            in_specs += [P(), P(), P(),
+                         {"temperature": P(), "top_p": P(),
+                          "top_k": P(), "greedy": P()}]  # ids, mask, key, samp
             f = jax.jit(jax.shard_map(
                 sprefill, mesh=self.mesh, in_specs=tuple(in_specs),
                 out_specs=out_specs, check_vma=False,
@@ -506,6 +525,7 @@ class AdmissionMixin:
         eng = self
 
         def insert(state, fresh, real, tok0, row, max_new,
+                   temp, top_p, top_k, greedy,
                    d_fresh=None, d_text=None):
             cache = state["cache"]
             if eng.mesh is None:
@@ -548,12 +568,19 @@ class AdmissionMixin:
                     v = jnp.where(in_r, v, cur)
                 return jax.lax.dynamic_update_slice(a, v, (loc,))
 
+            samp = state["samp"]
             out = {
                 "cache": cache,
                 "offsets": one(state["offsets"], real),
                 "last_tok": one(state["last_tok"], tok0),
                 "active": one(state["active"], True),
                 "remaining": one(state["remaining"], max_new - 1),
+                "samp": {
+                    "temperature": one(samp["temperature"], temp),
+                    "top_p": one(samp["top_p"], top_p),
+                    "top_k": one(samp["top_k"], top_k),
+                    "greedy": one(samp["greedy"], greedy),
+                },
             }
             if d_fresh is not None:
                 dc = state["d_cache"]
@@ -575,7 +602,8 @@ class AdmissionMixin:
             from jax.sharding import PartitionSpec as P
 
             sspec = eng._state_specs()
-            in_specs = (sspec, eng._fresh_spec(True), P(), P(), P(), P())
+            in_specs = (sspec, eng._fresh_spec(True),
+                        P(), P(), P(), P(), P(), P(), P(), P())
             if eng.draft_params is not None:
                 # broadcast the draft slab + its real length alongside
                 in_specs = in_specs + (eng._fresh_spec(False), P())

@@ -31,6 +31,7 @@ class DecodeMixin:
 
             def chunk(W, state, key):
                 frozen, lora = W["frozen"], W.get("lora")
+                samp = state["samp"]
                 if eng.mesh is not None:
                     # independent sampling per row shard (greedy ignores
                     # it; tp shards must NOT fold — identical logits need
@@ -54,7 +55,10 @@ class DecodeMixin:
                         lora=lora, compute_dtype=cdt,
                         attn_impl=eng.attn_impl, tp_axis=tpax,
                     )
-                    tok = eng._sample(logits[:, 0], k)
+                    tok = sampling.sample_token_per_row(
+                        logits[:, 0], k, samp["temperature"],
+                        samp["top_p"], samp["top_k"], samp["greedy"],
+                    )
                     done = (emit == eng.eos_id) | (remaining <= 0)
                     nxt_active = active & ~done
                     offsets = jnp.where(active, offsets + 1, offsets)
@@ -77,7 +81,7 @@ class DecodeMixin:
                 return {
                     "cache": cache, "offsets": offsets,
                     "last_tok": last_tok, "active": active,
-                    "remaining": remaining,
+                    "remaining": remaining, "samp": samp,
                 }, emit, fire
 
             if eng.mesh is None:
@@ -295,7 +299,7 @@ class DecodeMixin:
                     "cache": t_cache, "d_cache": d_cache,
                     "offsets": offs, "d_offsets": d_offs,
                     "last_tok": last_tok, "active": active,
-                    "remaining": remaining,
+                    "remaining": remaining, "samp": state["samp"],
                 }, emit, n_emit
 
             if eng.mesh is None:

@@ -39,8 +39,13 @@ offset) before it can ever be attended.
   skipped per request (vLLM's prefix caching, restated over static
   shapes: one compiled suffix program per (suffix bucket, prefix cap)).
 
-Sampling config (greedy/temperature/top_p/top_k) is engine-level — per-row
-sampling params would retrace per combination; run one engine per config.
+Sampling config (greedy/temperature/top_p/top_k) has engine-level DEFAULTS
+and per-request overrides (submit(temperature=..., greedy=...)): the params
+ride every program as per-row ARRAY arguments (ops/sampling.py
+sample_token_per_row), so a pool mixing greedy and sampled requests still
+runs one compiled chunk program — no retrace per config. Exception:
+speculative pools compile the filter params into the draft-and-verify
+accept rule and stay engine-level.
 """
 
 from __future__ import annotations
@@ -233,7 +238,7 @@ class ServingEngine(ShardingMixin, AdmissionMixin, StagingMixin,
                 _check_tp_int4_layout(frozen, self.tp)
                 # pre-place: llama Megatron-sharded, whisper/projector/
                 # draft replicated (the make_tp_generate placement)
-                from ..parallel import sharding as shd
+                from ...parallel import sharding as shd
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 frozen = shd.shard_frozen_for_generation(mesh, frozen)
@@ -317,6 +322,15 @@ class ServingEngine(ShardingMixin, AdmissionMixin, StagingMixin,
             "last_tok": jnp.full((self.rows,), self.pad_id, jnp.int32),
             "active": jnp.zeros((self.rows,), jnp.bool_),
             "remaining": jnp.zeros((self.rows,), jnp.int32),
+            # per-row sampling params (written at admission; array args,
+            # so mixed greedy/sampled pools share one compiled chunk)
+            "samp": {
+                "temperature": jnp.full((self.rows,), self.temperature,
+                                        jnp.float32),
+                "top_p": jnp.full((self.rows,), self.top_p, jnp.float32),
+                "top_k": jnp.full((self.rows,), self.top_k, jnp.int32),
+                "greedy": jnp.full((self.rows,), self.greedy, jnp.bool_),
+            },
         }
         if self.draft_params is not None:
             state["d_cache"] = llama_mod.KVCache.zeros(
@@ -344,16 +358,39 @@ class ServingEngine(ShardingMixin, AdmissionMixin, StagingMixin,
         audio_features=None,
         max_new_tokens: int = 64,
         prefix: Optional[int] = None,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+        top_k: Optional[int] = None,
+        greedy: Optional[bool] = None,
     ) -> int:
         """Queue a request; returns its id. Tokens come back from run()/
         drain() as a dict rid -> generated ids (EOS included if hit).
 
         prefix: a register_prefix handle — input_ids are then the text
         SUFFIX continuing that prefix (audio, if any, lives in the
-        prefix; audio_features here would be a second audio block)."""
+        prefix; audio_features here would be a second audio block).
+
+        temperature/top_p/top_k/greedy: PER-REQUEST sampling overrides
+        (None = the engine default). They ride every program as per-row
+        ARRAY arguments, so a pool mixing greedy and sampled requests still
+        runs one compiled chunk program — no retrace per config (the
+        reference exposes per-call sampling params on generate, reference
+        src/models/allm.py:263-270; this is the pool-level analog).
+        Speculative pools (draft_params=) keep engine-level sampling: the
+        draft-and-verify accept rule compiles the filter params into both
+        model paths."""
         ids = np.asarray(input_ids, np.int32).reshape(-1)
         if audio_features is not None and self.trainable is None:
             raise ValueError("audio request on a text-only engine")
+        overrides = (temperature, top_p, top_k, greedy)
+        if self.draft_params is not None and any(
+            o is not None for o in overrides
+        ):
+            raise ValueError(
+                "per-request sampling params are not supported on "
+                "speculative pools (draft_params=); run one engine per "
+                "sampling config there"
+            )
         if prefix is not None:
             if prefix not in self._prefixes:
                 raise ValueError(f"unknown prefix handle {prefix}")
@@ -366,10 +403,19 @@ class ServingEngine(ShardingMixin, AdmissionMixin, StagingMixin,
             prefix, ids = self._match_prefix(ids)
         rid = self._next_rid
         self._next_rid += 1
+        # a per-request greedy=False alone switches the row to the engine's
+        # stochastic defaults; explicit params refine further
+        g = self.greedy if greedy is None else bool(greedy)
         self._queue.append(
             _Pending(rid, ids, None if audio_features is None
                      else np.asarray(audio_features), max_new_tokens,
-                     prefix=prefix)
+                     prefix=prefix,
+                     temperature=float(
+                         self.temperature if temperature is None
+                         else temperature),
+                     top_p=float(self.top_p if top_p is None else top_p),
+                     top_k=int(self.top_k if top_k is None else top_k),
+                     greedy=g)
         )
         return rid
 

@@ -51,10 +51,18 @@ class PrefixMixin:
         idsb[0, : len(ids)] = ids
         maskb[0, : len(ids)] = 1
         fn = self._get_prefill_fn(tb, has_audio)
+        # tok0 is discarded for prefixes; engine-default sampling params
+        # keep the program shape identical to admission prefills
+        samp = {
+            "temperature": np.asarray([self.temperature], np.float32),
+            "top_p": np.asarray([self.top_p], np.float32),
+            "top_k": np.asarray([self.top_k], np.int32),
+            "greedy": np.asarray([self.greedy], np.bool_),
+        }
         fresh, real, _tok0, *d_res = fn(
             jnp.asarray(idsb), jnp.asarray(maskb),
             jnp.asarray(feats)[None] if has_audio else None,
-            jax.random.PRNGKey(0),
+            jax.random.PRNGKey(0), samp,
         )
         length = int(real)
 

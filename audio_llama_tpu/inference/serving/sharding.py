@@ -27,7 +27,7 @@ class ShardingMixin:
 
         if self.tp <= 1:
             return jax.tree_util.tree_map(lambda _: P(), self._W)
-        from ..parallel import sharding as shd
+        from ...parallel import sharding as shd
 
         specs = {
             "frozen": {
@@ -69,10 +69,12 @@ class ShardingMixin:
 
     def _wrap_prefill(self, body, has_feats: bool):
         """Bind the weights bundle and jit an admission-prefill body
-        (W, ids, mask, feats, key) -> (fresh, real, tok0[, d_fresh,
-        d_text]). tp>1 wraps in shard_map with the Megatron weight specs
-        (the make_tp_generate pattern) — each shard prefills its local
-        heads/FFN columns and psums the row-parallel matmuls."""
+        (W, ids, mask, feats, key, samp) -> (fresh, real, tok0[, d_fresh,
+        d_text]). samp is the per-request sampling-param dict (array
+        args — no retrace per config). tp>1 wraps in shard_map with the
+        Megatron weight specs (the make_tp_generate pattern) — each shard
+        prefills its local heads/FFN columns and psums the row-parallel
+        matmuls."""
         W = self._W
         if self.tp <= 1:
             f = jax.jit(body)
@@ -84,10 +86,13 @@ class ShardingMixin:
                 out_specs = out_specs + (self._fresh_spec(False), P())
             f = jax.jit(jax.shard_map(
                 body, mesh=self.mesh,
-                in_specs=(self._weight_specs(), P(), P(), P(), P()),
+                in_specs=(self._weight_specs(), P(), P(), P(), P(),
+                          {"temperature": P(), "top_p": P(), "top_k": P(),
+                           "greedy": P()}),
                 out_specs=out_specs, check_vma=False,
             ))
-        return lambda ids, mask, feats, key: f(W, ids, mask, feats, key)
+        return lambda ids, mask, feats, key, samp: f(
+            W, ids, mask, feats, key, samp)
 
     def _state_specs(self, state=None):
         """PartitionSpec pytree for the pool state: cache slabs shard
@@ -116,6 +121,7 @@ class ShardingMixin:
             "last_tok": P(dp),
             "active": P(dp),
             "remaining": P(dp),
+            "samp": {k: P(dp) for k in st["samp"]},
         }
         if "d_cache" in st:  # speculative pool: draft rows shard alike
             specs["d_cache"] = cache_spec(st["d_cache"], False)

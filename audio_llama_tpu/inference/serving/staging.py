@@ -15,7 +15,7 @@ from ...models import llama as llama_mod
 from ...ops import sampling
 from ..generate import build_prefix
 
-from .state import _Row, _Staging, _Pending, _Prefix
+from .state import _Row, _Staging, _Pending, _Prefix, samp_arrays
 
 
 class StagingMixin:
@@ -93,7 +93,7 @@ class StagingMixin:
         self._key, k = jax.random.split(self._key)
         st.cache, st.tok0 = fn(
             st.cache, st.embeds, st.emask, jnp.int32(st.written // c),
-            jnp.int32(st.base), k,
+            jnp.int32(st.base), k, samp_arrays([st.req]),
         )
         st.written += c
         if st.written >= st.total:
@@ -122,6 +122,8 @@ class StagingMixin:
             self._state = self._get_insert_fn()(
                 self._state, st.cache, jnp.int32(st.base + st.total),
                 st.tok0, jnp.int32(r), jnp.int32(st.req.max_new_tokens),
+                jnp.float32(st.req.temperature), jnp.float32(st.req.top_p),
+                jnp.int32(st.req.top_k), jnp.bool_(st.req.greedy),
                 *extra,
             )
             del self._staging_rows[r]
@@ -309,7 +311,7 @@ class StagingMixin:
         eng = self
         tpax = "tp" if self.tp > 1 else None
 
-        def piece(W, cache, embeds, emask, i, base, key):
+        def piece(W, cache, embeds, emask, i, base, key, samp):
             frozen, lora = W["frozen"], W.get("lora")
             eoff = i * c  # position within the staged embeds
             off = base + eoff  # position on the cache timeline
@@ -333,7 +335,10 @@ class StagingMixin:
             logits = llama_mod.unembed_with_tp(
                 frozen["llama"], cfg.llama, last, cdt, tpax
             )
-            tok0 = eng._sample(logits[:, 0], key)[0]
+            tok0 = sampling.sample_token_per_row(
+                logits[:, 0], key, samp["temperature"],
+                samp["top_p"], samp["top_k"], samp["greedy"],
+            )[0]
             return cache, tok0
 
         W = self._W
@@ -346,7 +351,9 @@ class StagingMixin:
                 jax.shard_map(
                     piece, mesh=self.mesh,
                     in_specs=(self._weight_specs(), self._fresh_spec(True),
-                              P(), P(), P(), P(), P()),
+                              P(), P(), P(), P(), P(),
+                              {"temperature": P(), "top_p": P(),
+                               "top_k": P(), "greedy": P()}),
                     out_specs=(self._fresh_spec(True), P()),
                     check_vma=False,
                 ),

@@ -45,6 +45,24 @@ class _Pending:
     audio_features: Optional[np.ndarray]  # [n_mels, F] or None
     max_new_tokens: int
     prefix: Optional[int] = None  # registered-prefix handle
+    # per-request sampling (resolved to engine defaults at submit; ride
+    # the programs as ARRAY arguments — scalars per row, so mixed
+    # greedy/sampled pools share one compiled program)
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0
+    greedy: bool = True
+
+
+def samp_arrays(reqs) -> dict:
+    """Per-request sampling params -> [len(reqs)] arrays (program ARGS:
+    one compiled prefill/chunk serves every sampling-config mix)."""
+    return {
+        "temperature": np.asarray([r.temperature for r in reqs], np.float32),
+        "top_p": np.asarray([r.top_p for r in reqs], np.float32),
+        "top_k": np.asarray([r.top_k for r in reqs], np.int32),
+        "greedy": np.asarray([r.greedy for r in reqs], np.bool_),
+    }
 
 
 @dataclass

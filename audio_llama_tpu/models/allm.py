@@ -66,14 +66,23 @@ def init_trainable(cfg: AudioLLMConfig, key: jax.Array, dtype=jnp.float32) -> di
 def init_frozen(
     cfg: AudioLLMConfig, key: jax.Array, dtype=jnp.bfloat16,
     outlier_scale: float = 0.0,
+    outlier_targets: tuple = ("whisper",),
 ) -> dict:
     """Random frozen base (tests / benchmarks). Production: models.hf_loader.
 
     outlier_scale > 0 injects the heavy-tailed outlier-channel structure of
     real trained checkpoints (models/outliers.py) — the hard regime for the
-    quantization accuracy gates. Deterministic in `key`, so a trainer and a
-    later inference load reconstruct identical frozen weights from
-    (seed, outlier_scale)."""
+    quantization accuracy gates. Deterministic in (key, scale, targets), so
+    a trainer and a later inference load reconstruct identical frozen trees.
+
+    outlier_targets defaults to whisper-only: that is the TRAINABLE regime
+    — the projector/LoRA learn against the outlier-bearing frozen encoder,
+    exactly as they would against a real Whisper checkpoint. Post-hoc
+    injection into a RANDOM llama breaks the LM substrate itself (measured:
+    the toy pipeline plateaus at loss ~3.3 / WER 1.0 — real models function
+    with outliers only because training co-adapted everything around them),
+    so llama injection is reserved for the no-training logit-KL gates
+    (pass outlier_targets=("whisper", "llama"))."""
     k1, k2 = jax.random.split(key)
     frozen = {
         "llama": llama_mod.init_params(cfg.llama, k1, dtype),
@@ -82,12 +91,16 @@ def init_frozen(
     if outlier_scale:
         from . import outliers
 
-        frozen["llama"] = outliers.inject_llama_outliers(
-            frozen["llama"], jax.random.fold_in(k1, 1), scale=outlier_scale
-        )
-        frozen["whisper"] = outliers.inject_whisper_outliers(
-            frozen["whisper"], jax.random.fold_in(k2, 1), scale=outlier_scale
-        )
+        if "llama" in outlier_targets:
+            frozen["llama"] = outliers.inject_llama_outliers(
+                frozen["llama"], jax.random.fold_in(k1, 1),
+                scale=outlier_scale,
+            )
+        if "whisper" in outlier_targets:
+            frozen["whisper"] = outliers.inject_whisper_outliers(
+                frozen["whisper"], jax.random.fold_in(k2, 1),
+                scale=outlier_scale,
+            )
     return frozen
 
 

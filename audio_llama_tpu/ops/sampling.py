@@ -80,3 +80,53 @@ def sample_token(
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     x = filtered_logits(logits, temperature, top_p, top_k)
     return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
+
+
+def filtered_logits_per_row(
+    logits: jnp.ndarray,  # [B, V]
+    temperature: jnp.ndarray,  # [B] f32
+    top_p: jnp.ndarray,  # [B] f32
+    top_k: jnp.ndarray,  # [B] int32 (<=0 disables)
+) -> jnp.ndarray:
+    """Per-ROW sampling filters as traced array arguments: one compiled
+    program serves every (temperature, top_p, top_k) mix across the batch —
+    the serving pool's per-request sampling needs this (engine-level static
+    params would retrace per combination). Row semantics match the static
+    filtered_logits exactly (same filter order, same HF top-p rule), so a
+    batch with uniform params produces identical logits."""
+    V = logits.shape[-1]
+    x = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)[:, None]
+
+    # per-row top-k: kth-highest logit as the threshold (traced k)
+    sorted_desc = jnp.sort(x, axis=-1)[..., ::-1]
+    k = jnp.clip(top_k, 1, V)
+    kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
+    k_on = (top_k > 0) & (top_k < V)
+    x = jnp.where(k_on[:, None] & (x < kth), NEG_INF, x)
+
+    # per-row top-p (broadcasts; top_p >= 1 keeps everything)
+    sorted_logits = jnp.sort(x, axis=-1)[..., ::-1]
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep_sorted = (cum - sorted_probs) < top_p[:, None]
+    masked = jnp.where(keep_sorted, sorted_logits, jnp.inf)
+    threshold = jnp.min(masked, axis=-1, keepdims=True)
+    return jnp.where(x < threshold, NEG_INF, x)
+
+
+def sample_token_per_row(
+    logits: jnp.ndarray,  # [B, V] f32
+    key: jax.Array,
+    temperature: jnp.ndarray,  # [B] f32
+    top_p: jnp.ndarray,  # [B] f32
+    top_k: jnp.ndarray,  # [B] int32
+    greedy: jnp.ndarray,  # [B] bool
+) -> jnp.ndarray:
+    """-> [B] int32; per-row params as traced arrays (see
+    filtered_logits_per_row). Greedy rows are EXACT argmax — mixing greedy
+    and sampled requests in one batch stays token-exact for the greedy
+    rows."""
+    arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    x = filtered_logits_per_row(logits, temperature, top_p, top_k)
+    samp = jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
+    return jnp.where(greedy, arg, samp)

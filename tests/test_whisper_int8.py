@@ -44,8 +44,20 @@ def test_smoothed_quantization_close_on_clean_weights():
     out = np.asarray(w8.encode_int8(qp, cfg, mel, jnp.float32, attn_impl="xla"))
     rel = np.abs(out - ref) / (np.abs(ref).mean() + 1e-6)
     assert rel.mean() < 0.03, rel.mean()
+    # production fold: only fc2 (behind the GELU nonlinearity) keeps a
+    # runtime smoother; the other five folded into LN scales / v columns
     for name in w8._QUANT_TARGETS:
-        assert "a_s" in qp["layers"][name]
+        assert ("a_s" in qp["layers"][name]) == (name == "fc2"), name
+    # unfolded parity twin: every linear carries its runtime smoother
+    stats = w8.calibrate_encoder(params, cfg, mel, jnp.float32)
+    qp_nf = w8.quantize_encoder(params, stats, fold=False)
+    for name in w8._QUANT_TARGETS:
+        assert "a_s" in qp_nf["layers"][name]
+    out_nf = np.asarray(
+        w8.encode_int8(qp_nf, cfg, mel, jnp.float32, attn_impl="xla")
+    )
+    rel_nf = np.abs(out_nf - ref) / (np.abs(ref).mean() + 1e-6)
+    assert rel_nf.mean() < 0.03, rel_nf.mean()
 
 
 def test_smoothing_rescues_outlier_regime():

@@ -111,7 +111,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref, c_ref,
         else:
             m_ref[:] = jnp.full_like(m_ref, NEG)
 
-    @pl.when(kj * ck <= qi * bq + bq - 1)  # skip fully-future chunks
+    # tri='never' (ring full-attention hops): every chunk contributes,
+    # no triangular mask — the block-level causal structure is the ring's.
+    @pl.when((kj * ck <= qi * bq + bq - 1) | (tri == "never"))
     def _():
         q = q_ref[0]  # [bq, hd] pre-scaled
         k = k_ref[0]  # [ck, hd]
@@ -127,6 +129,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mb_ref, kn_ref, o_ref, l_ref, c_ref,
                 lambda s: s,
                 s,
             )
+        elif tri == "never":
+            pass
         else:  # unconditional iota mask every step
             s = _tri_mask(s, qi * bq, kj * ck)
         if softmax == "bounded":
@@ -465,14 +469,14 @@ def _fwd_call_dma(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret,
 # ---------------------------------------------------------------------------
 
 def _dq_kernel(q_ref, k_ref, v_ref, mb_ref, c_ref, do_ref, l_ref, d_ref,
-               dq_ref, dq_acc, *, bq, ck, nk):
+               dq_ref, dq_acc, *, bq, ck, nk, tri="always"):
     qi, kj = pl.program_id(1), pl.program_id(2)
 
     @pl.when(kj == 0)
     def _():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    @pl.when(kj * ck <= qi * bq + bq - 1)
+    @pl.when((kj * ck <= qi * bq + bq - 1) | (tri == "never"))
     def _():
         q = q_ref[0]
         k = k_ref[0]
@@ -481,8 +485,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, mb_ref, c_ref, do_ref, l_ref, d_ref,
         )
         s = s + mb_ref[0, 0][None, :]
         # unconditional iota mask: a lax.cond here costs ~35% of the whole
-        # kernel (measured — Mosaic evaluates/serializes around both branches)
-        s = _tri_mask(s, qi * bq, kj * ck)
+        # kernel (measured — Mosaic evaluates/serializes around both
+        # branches). tri='never': ring full-attention hop, no mask.
+        if tri != "never":
+            s = _tri_mask(s, qi * bq, kj * ck)
         # c = the forward's per-row softmax shift (true running max in
         # 'online' mode, Cauchy-Schwarz bound in 'bounded') — reusing it
         # keeps the recomputed P bit-consistent with the forward.
@@ -506,7 +512,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, mb_ref, c_ref, do_ref, l_ref, d_ref,
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, mb_ref, c_ref, do_ref, l_ref, d_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc, *, bq, ck, n_inner, nq):
+                dk_ref, dv_ref, dk_acc, dv_acc, *, bq, ck, n_inner, nq,
+                tri="always"):
     kj, i = pl.program_id(1), pl.program_id(2)
     qi = i % nq
 
@@ -515,7 +522,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mb_ref, c_ref, do_ref, l_ref, d_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    @pl.when(qi * bq + bq - 1 >= kj * ck)  # q block can see this chunk
+    @pl.when((qi * bq + bq - 1 >= kj * ck) | (tri == "never"))
     def _():
         q = q_ref[0]
         k = k_ref[0]
@@ -523,7 +530,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mb_ref, c_ref, do_ref, l_ref, d_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s + mb_ref[0, 0][None, :]
-        s = _tri_mask(s, qi * bq, kj * ck)  # unconditional (lax.cond is slow)
+        if tri != "never":  # ring full-attention hops skip the mask
+            s = _tri_mask(s, qi * bq, kj * ck)  # unconditional (cond is slow)
         shift = c_ref[0, 0][:, None]  # forward's per-row softmax shift
         l = l_ref[0, 0][:, None]
         inv_l = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
@@ -614,7 +622,8 @@ def _fwd_call(qs, k, v, mb, kn, Hq, Hkv, *, bq, ck, interpret, tri="always",
     return o, l, c
 
 
-def _dq_call(qs, k, v, mb, c, do, l, d, Hq, Hkv, *, bq, ck, interpret):
+def _dq_call(qs, k, v, mb, c, do, l, d, Hq, Hkv, *, bq, ck, interpret,
+             tri="always"):
     BHq, T, hd = qs.shape
     G = Hq // Hkv
     nq, nk = T // bq, T // ck
@@ -622,7 +631,7 @@ def _dq_call(qs, k, v, mb, c, do, l, d, Hq, Hkv, *, bq, ck, interpret):
     def kv_i(bh):
         return (bh // Hq) * Hkv + (bh % Hq) // G
 
-    kernel = functools.partial(_dq_kernel, bq=bq, ck=ck, nk=nk)
+    kernel = functools.partial(_dq_kernel, bq=bq, ck=ck, nk=nk, tri=tri)
     return pl.pallas_call(
         kernel,
         grid=(BHq, nq, nk),
@@ -643,7 +652,8 @@ def _dq_call(qs, k, v, mb, c, do, l, d, Hq, Hkv, *, bq, ck, interpret):
     )(qs, k, v, mb, c, do, l, d)
 
 
-def _dkv_call(qs, k, v, mb, c, do, l, d, Hq, Hkv, *, bq, ck, interpret):
+def _dkv_call(qs, k, v, mb, c, do, l, d, Hq, Hkv, *, bq, ck, interpret,
+              tri="always"):
     BHq, T, hd = qs.shape
     BHkv = k.shape[0]
     G = Hq // Hkv
@@ -656,7 +666,7 @@ def _dkv_call(qs, k, v, mb, c, do, l, d, Hq, Hkv, *, bq, ck, interpret):
         return (bkv // Hkv) * Hq + (bkv % Hkv) * G + g
 
     kernel = functools.partial(
-        _dkv_kernel, bq=bq, ck=ck, n_inner=n_inner, nq=nq
+        _dkv_kernel, bq=bq, ck=ck, n_inner=n_inner, nq=nq, tri=tri
     )
     dk, dv = pl.pallas_call(
         kernel,
@@ -799,6 +809,7 @@ def causal_mha(
             return ptn.wrap_ring_causal(
                 q, k, v, mask,
                 scale if scale is not None else q.shape[-1] ** -0.5,
+                interpret=interpret,
             )
         local = functools.partial(
             _causal_mha_local, scale=scale, block_q=block_q, chunk_k=chunk_k,

@@ -41,6 +41,9 @@ from .decode_attention_db import DEPTH
 # 2/4/8 are within noise, BASELINE.md late-r3 knob sweep).
 MONO_DEPTH = int(os.environ.get("MONO_DEPTH", str(DEPTH)))
 MONO_HPD = int(os.environ.get("MONO_HPD", "2"))
+# chain-ILP: independent softmax chains per head in the int4 kernel
+# (1 = off; 2 = two half-slab chains merged by flash-stats rescale)
+MONO_ILP = int(os.environ.get("MONO_ILP", "1"))
 
 
 def _kernel_mono4(
@@ -63,6 +66,7 @@ def _kernel_mono4(
     depth: int,
     hpd: int,     # heads per DMA (heads are contiguous in the cache layout)
     per_row: bool,  # off_ref is [B]: each batch row has its own append slot
+    ilp: int = 1,  # independent softmax chains per head (chain-ILP)
 ):
     """VPU-lean variant (the B64 trace showed this kernel COMPUTE-bound at
     ~8.5 us/program vs ~2.6 us of slab DMA): the fresh row's contribution is
@@ -70,7 +74,16 @@ def _kernel_mono4(
     full-slab where-insert passes are gone; the cache write-back selects on
     a [32, hd] window only. The nibble unpack stays int32-widened — Mosaic
     fails to legalize arith.shli on i8/i16 vectors (probed:
-    experiments/nibble_legal_probe.py)."""
+    experiments/nibble_legal_probe.py).
+
+    ilp=2 (chain-ILP, NEXT.md round-5 design): each head's slab is split
+    into two lane-aligned timeline chunks with INDEPENDENT (m, l, acc)
+    softmax chains — the unpack/QK/exp/PV dependency chain is the measured
+    per-group cost (~1.5 us x 4 groups vs the ~2.6 us DMA floor), and two
+    in-flight chains give the scheduler ILP to hide each other's VPU/MXU
+    latency. Chains merge with one flash-stats rescale at the end (the
+    sp_partial_attention math). Requires max_len >= 2*128 lanes; the
+    split point is 128-lane aligned."""
     b = pl.program_id(0)
     li = li_ref[0]
     off = off_ref[b] if per_row else off_ref[0]
@@ -91,6 +104,9 @@ def _kernel_mono4(
             slab_dma(j, j % depth).start()
 
     max_len = kv_db.shape[-2]
+    # chain-ILP split point: 128-lane aligned (f32 logits lanes) and
+    # 32-sublane aligned (int8 slab rows); 0 disables the second chain
+    split = (max_len // 256) * 128 if ilp > 1 and max_len >= 256 else 0
     row1 = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
     is_new_r = row1 == off
     off_clamped = jnp.clip(off, 0, max_len - 1)
@@ -141,18 +157,8 @@ def _kernel_mono4(
             wb.start()
             wbs.append(wb)
 
-            # nibble unpack (K low, V high; int32 shifts sign-extend)
-            b32 = kv_db[slot, h2].astype(jnp.int32)
-            k_q = jnp.right_shift(jnp.left_shift(b32, 28), 28).astype(cdt)
-            v_q = jnp.right_shift(jnp.left_shift(b32, 24), 28).astype(cdt)
             q = q_ref[0, h]
-            logits = jax.lax.dot_general(
-                q, k_q, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            logits = logits * (ks_ref[0, h][None, :] * scale)
-            logits = jnp.where(dead, -1e30, logits)
-            # analytic fresh-row term
+            # analytic fresh-row term (shared by every chain)
             n32 = kvnew_ref[0, h][None, :].astype(jnp.int32)
             k_n = jnp.right_shift(jnp.left_shift(n32, 28), 28).astype(cdt)
             v_n = jnp.right_shift(jnp.left_shift(n32, 24), 28).astype(cdt)
@@ -166,15 +172,58 @@ def _kernel_mono4(
             )  # [G, 1]
             lf = lf * (ks_new_ref[0, h] * scale)
             lf = jnp.where(fresh_on, lf, -1e30)
-            m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), lf)
-            p = jnp.exp(logits - m)
-            pf = jnp.exp(lf - m)
-            denom = jnp.sum(p, axis=-1, keepdims=True) + pf
-            acc = jax.lax.dot_general(
-                (p * vs_ref[0, h][None, :]).astype(cdt), v_q,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+
+            def chain(start, length):
+                """One independent (m, l, acc) softmax chain over slab
+                slots [start, start+length). start/length are static and
+                128-lane aligned."""
+                # nibble unpack (K low, V high; int32 shifts sign-extend)
+                b32 = kv_db[slot, h2, start:start + length, :].astype(
+                    jnp.int32
+                )
+                k_q = jnp.right_shift(
+                    jnp.left_shift(b32, 28), 28).astype(cdt)
+                v_q = jnp.right_shift(
+                    jnp.left_shift(b32, 24), 28).astype(cdt)
+                logits = jax.lax.dot_general(
+                    q, k_q, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                logits = logits * (
+                    ks_ref[0, h, start:start + length][None, :] * scale
+                )
+                logits = jnp.where(
+                    dead[:, start:start + length], -1e30, logits
+                )
+                mh = jnp.max(logits, axis=-1, keepdims=True)
+                p = jnp.exp(logits - mh)
+                lh = jnp.sum(p, axis=-1, keepdims=True)
+                acc = jax.lax.dot_general(
+                    (p * vs_ref[0, h, start:start + length][None, :]
+                     ).astype(cdt), v_q,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return mh, lh, acc
+
+            if ilp <= 1 or split == 0:
+                m1, l1, acc1 = chain(0, max_len)
+                m = jnp.maximum(m1, lf)
+                a1 = jnp.exp(m1 - m)
+                pf = jnp.exp(lf - m)
+                denom = a1 * l1 + pf
+                acc = a1 * acc1
+            else:
+                # two independent chains; merge with one rescale (the
+                # sp_partial_attention stats math, in-kernel)
+                m1, l1, acc1 = chain(0, split)
+                m2, l2, acc2 = chain(split, max_len - split)
+                m = jnp.maximum(jnp.maximum(m1, m2), lf)
+                a1 = jnp.exp(m1 - m)
+                a2 = jnp.exp(m2 - m)
+                pf = jnp.exp(lf - m)
+                denom = a1 * l1 + a2 * l2 + pf
+                acc = a1 * acc1 + a2 * acc2
             acc = acc + (pf * vs_new_ref[0, h]) * v_n.astype(jnp.float32)
             out = acc / denom
             out_ref[0, h] = out.astype(out_ref.dtype)
@@ -188,6 +237,7 @@ def decode_attention_quantized4_mono(
     q, kv_new, cache_kv, k_scales, v_scales, k_new_scale, v_new_scale,
     layer, offset, valid, scale, interpret: bool = False,
     depth: int | None = None, hpd: int | None = None,
+    ilp: int | None = None,
 ):
     """int4-KV mono-grid decode attention (same contract as
     decode_attention_db.decode_attention_quantized4_db).
@@ -206,6 +256,7 @@ def decode_attention_quantized4_mono(
         raise ValueError(f"max_len % 32 != 0 ({max_len})")
     depth = MONO_DEPTH if depth is None else depth
     hpd = MONO_HPD if hpd is None else hpd
+    ilp = MONO_ILP if ilp is None else ilp
     if Hkv % hpd:
         hpd = 1
     off_arr = jnp.asarray(offset, jnp.int32).reshape(-1)
@@ -243,7 +294,7 @@ def decode_attention_quantized4_mono(
     out, ckv = pl.pallas_call(
         functools.partial(
             _kernel_mono4, scale=scale, n_heads=Hkv, n_rows=B,
-            depth=depth, hpd=hpd, per_row=per_row,
+            depth=depth, hpd=hpd, per_row=per_row, ilp=ilp,
         ),
         grid_spec=grid_spec,
         out_shape=[

@@ -37,6 +37,7 @@ Reference analog: none — the reference is single-GPU torch (SURVEY.md §2
 from __future__ import annotations
 
 import contextlib
+import functools
 import math
 import threading
 from typing import Any, NamedTuple, Optional, Sequence
@@ -171,30 +172,46 @@ def seq_ring_applicable(q_shape) -> bool:
     return sp > 1 and q_shape[1] % sp == 0
 
 
-def wrap_ring_causal(q, k, v, mask, scale):
+def wrap_ring_causal(q, k, v, mask, scale, interpret: bool = False,
+                     use_kernel: bool | None = None):
     """Sequence-parallel causal attention: T sharded over seq_axis, each
-    shard holding its slice of q/k/v, K/V rotating around the ring
-    (parallel/ring_attention.py). Heads are NOT additionally sharded here
-    (ring + head sharding composes but is left to the perf tier)."""
+    shard holding its slice of q/k/v, K/V rotating around the ring.
+    Heads are NOT additionally sharded here (ring + head sharding composes
+    but is left to a later tier).
+
+    Two tiers: the flash-kernel ring (parallel/ring_kernel.py — per-hop
+    Pallas kernels, causally-empty hops skipped entirely) when kernels are
+    available or interpret mode is requested, else the XLA correctness
+    ring (parallel/ring_attention.py)."""
     ctx = current()
     assert ctx is not None and ctx.seq_axis is not None
     # function-scope import: parallel imports models imports ops — the
     # cycle is resolved by call time
     from ..parallel.ring_attention import ring_causal_mha
+    from ..parallel.ring_kernel import ring_causal_mha_kernel
+
+    if use_kernel is None:
+        from . import causal_attention as _ca  # self-import safe at call time
+
+        use_kernel = interpret or _ca.available()
+    if use_kernel:
+        ring = functools.partial(ring_causal_mha_kernel, interpret=interpret)
+    else:
+        ring = ring_causal_mha
 
     ba = _batch_entry(ctx, q.shape[0])
     qspec = P(ba, ctx.seq_axis, None, None)
 
     if mask is None:
         fn = _smap(
-            lambda q, k, v: ring_causal_mha(
+            lambda q, k, v: ring(
                 q, k, v, axis_name=ctx.seq_axis, mask=None, scale=scale
             ),
             ctx, in_specs=(qspec, qspec, qspec), out_specs=qspec,
         )
         return fn(q, k, v)
     fn = _smap(
-        lambda q, k, v, m: ring_causal_mha(
+        lambda q, k, v, m: ring(
             q, k, v, axis_name=ctx.seq_axis, mask=m, scale=scale
         ),
         ctx,

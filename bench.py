@@ -97,6 +97,19 @@ def main():
              "scale this with --batch to measure steady-state delivery.",
     )
     ap.add_argument(
+        "--draft", action="store_true",
+        help="serve mode: speculative pool with a random 1B-dims bf16 "
+             "draft. Random draft+target means ~zero acceptance, so this "
+             "measures the WORST-CASE speculative throughput (the cost "
+             "side c_draft/c_verify of the speedup model; acceptance "
+             "itself is measured offline on trained toy pairs — "
+             "experiments/spec_acceptance.py).",
+    )
+    ap.add_argument(
+        "--gamma", type=int, default=4,
+        help="draft tokens per verify round with --draft",
+    )
+    ap.add_argument(
         "--prefill_rows", type=int, default=0,
         help="decode mode: prefill the pool in row-chunks of this size "
              "(one fori_loop program; loop-carry aliasing keeps the full-B "
@@ -620,10 +633,26 @@ def run_serve(args):
             budget,
         ))
 
+    spec_kw = {}
+    if args.draft:
+        from audio_llama_tpu.config import LlamaConfig
+
+        dcfg = (
+            LlamaConfig.tiny(vocab_size=lcfg.vocab_size) if tiny
+            else LlamaConfig.llama32_1b().replace(
+                vocab_size=lcfg.vocab_size)
+        )
+        spec_kw = dict(
+            draft_params=jax.jit(
+                lambda k: lm.init_params(dcfg, k, dtype=cdt)
+            )(jax.random.PRNGKey(7)),
+            draft_cfg=dcfg,
+            gamma=args.gamma,
+        )
     eng = ServingEngine(
         {"llama": params}, None, cfg, rows=rows, max_len=max_len,
         prefill_buckets=buckets, chunk_steps=chunk, kv_quant=kvq,
-        compute_dtype=cdt, greedy=True, eos_id=-1, pad_id=0,
+        compute_dtype=cdt, greedy=True, eos_id=-1, pad_id=0, **spec_kw,
     )
     # warm-up: compile each admit bucket + the chunk program
     for ids, _ in reqs[:2]:

@@ -44,6 +44,44 @@ def test_mono4_matches_db4(depth, hpd):
     np.testing.assert_array_equal(np.asarray(ockv), np.asarray(ref_ckv))
 
 
+def test_mono4_chain_ilp_matches_single_chain():
+    """ilp=2 (two independent half-slab softmax chains, flash-stats merge)
+    is numerically equivalent to the single chain — max_len >= 256 so the
+    128-lane-aligned split actually engages."""
+    from audio_llama_tpu.models.llama import quantize_kv_rows4
+    from audio_llama_tpu.ops.decode_attention_mono import (
+        decode_attention_quantized4_mono,
+    )
+
+    L, B, Hkv, S, hd = 1, 2, 2, 512, 32
+    Hq = 4
+    rng = np.random.RandomState(21)
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    kv_new, ks_new, vs_new = quantize_kv_rows4(
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+    )
+    ckv, ks, vs = quantize_kv_rows4(
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+    )
+    valid = np.zeros((B, S), np.int32)
+    valid[0, :300] = 1  # spans both chains
+    valid[1, :100] = 1  # second chain fully dead for this row
+    args = (q, kv_new, ckv, ks[0], vs[0], ks_new, vs_new,
+            jnp.int32(0), jnp.int32(299), jnp.asarray(valid), hd ** -0.5)
+    ref_out, ref_ckv = decode_attention_quantized4_mono(
+        *args, interpret=True, ilp=1
+    )
+    out, ockv = decode_attention_quantized4_mono(
+        *args, interpret=True, ilp=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), atol=2e-5, rtol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(ockv), np.asarray(ref_ckv))
+
+
 def test_mono_q8_matches_db_q8():
     from audio_llama_tpu.models.llama import quantize_kv_rows
     from audio_llama_tpu.ops.decode_attention_db import (

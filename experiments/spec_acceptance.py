@@ -34,6 +34,61 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _train_text_draft(cfg, tk, entries, a_s, a_e, steps=500, lr=3e-3):
+    """Train a tiny llama as a TEXT LM over (prompt + transcript) byte
+    sequences — the draft's decode-time context in the pool is exactly
+    prompt tokens + emitted transcript tokens."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from audio_llama_tpu.models import llama as llama_mod
+
+    dcfg = cfg.llama
+    rows = []
+    for e in entries:
+        pi, _ = tk.encode(e["text"])
+        ri, _ = tk.encode(e["response"], add_bos=False, add_eos=True)
+        rows.append(list(pi) + list(ri))
+    T = max(len(r) for r in rows)
+    ids = np.full((len(rows), T), tk.pad_id, np.int32)
+    msk = np.zeros((len(rows), T), np.int32)
+    for i, r in enumerate(rows):
+        ids[i, : len(r)] = r
+        msk[i, : len(r)] = 1
+    ids, msk = jnp.asarray(ids), jnp.asarray(msk)
+
+    params = llama_mod.init_params(dcfg, jax.random.PRNGKey(123),
+                                   jnp.float32)
+    opt = optax.adamw(lr, weight_decay=0.01)
+    ost = opt.init(params)
+
+    def loss_fn(p):
+        logits, _ = llama_mod.llama_forward(
+            p, dcfg, input_ids=ids, attention_mask=msk,
+            compute_dtype=jnp.float32,
+        )
+        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+        tgt = ids[:, 1:]
+        nll = -jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
+        w = msk[:, 1:].astype(jnp.float32)
+        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    @jax.jit
+    def step(p, o):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        u, o = opt.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    for i in range(steps):
+        params, ost, l = step(params, ost)
+        if i % 100 == 0:
+            print(f"# draft LM step {i} loss {float(l):.4f}", flush=True)
+    print(f"# draft LM final loss {float(l):.4f}", flush=True)
+    return params
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
@@ -89,7 +144,14 @@ def main():
     a_s = tk.token_to_id(cfg.audio_start_token)
     a_e = tk.token_to_id(cfg.audio_end_token)
 
-    # drafts: LoRA-merged text llama (informed) vs random init (floor)
+    # drafts, strongest to weakest:
+    #   trained_text_draft — a tiny llama trained AS A TEXT LM on the
+    #     corpus (prompt + transcript) byte sequences: the realistic analog
+    #     of a 1B text draft (knows the transcript language, not the audio);
+    #   merged_lora_draft — the target's own LoRA-merged text path (was
+    #     measured ~0 acceptance: the text path never trained as a
+    #     transcript LM, so it predicts nothing useful);
+    #   random_draft — the floor.
     scaling = cfg.lora.alpha / cfg.lora.rank if cfg.lora else 1.0
     merged = lora_mod.merge_into_llama(
         frozen["llama"], trainable["lora"], scaling=scaling
@@ -99,6 +161,7 @@ def main():
     rnd = llama_mod.init_params(
         cfg.llama, jax.random.PRNGKey(99), dtype=jnp.float32
     )
+    trained_draft = _train_text_draft(cfg, tk, entries, a_s, a_e)
     ev = entries[: args.n_eval]
     reqs = []
     for e in ev:
@@ -135,7 +198,8 @@ def main():
             "delivered": total,
         }
 
-    for name, draft in (("merged_lora_draft", merged),
+    for name, draft in (("trained_text_draft", trained_draft),
+                        ("merged_lora_draft", merged),
                         ("random_draft", rnd)):
         for g in args.gammas:
             r = run_pool(draft, g)

@@ -104,7 +104,9 @@ def main():
         def k_fwd(qs, kh, vh):
             o, l, c = _fwd_call(qs, kh, vh, mb, kn, Hq, Hkv, bq=bq, ck=ck,
                                 interpret=interp, tri="never")
-            return jnp.sum(o.astype(jnp.float32)) * 0 + jnp.sum(l) * 1e-9
+            # keep BOTH outputs live (a *0 here lets XLA DCE the PV matmul
+            # in the einsum arm — round-4 first run measured exactly that)
+            return jnp.sum(o.astype(jnp.float32)) * 1e-9 + jnp.sum(l) * 1e-9
 
         def k_bwd(qs, kh, vh):
             dq = _dq_call(qs, kh, vh, mb, crow, do, lrow, drow, Hq, Hkv,
@@ -119,7 +121,7 @@ def main():
         def k_causal(qs, kh, vh):
             o, l, c = _fwd_call(qs, kh, vh, mb, kn, Hq, Hkv, bq=bq, ck=ck,
                                 interpret=interp, tri="always")
-            return jnp.sum(o.astype(jnp.float32)) * 0 + jnp.sum(l) * 1e-9
+            return jnp.sum(o.astype(jnp.float32)) * 1e-9 + jnp.sum(l) * 1e-9
 
         # the XLA ring hop (ring_attention.partial_attn shapes)
         q4 = qs.reshape(B, Hq, Tl, hd).transpose(0, 2, 1, 3)
@@ -127,19 +129,27 @@ def main():
         v4 = vh.reshape(B, Hkv, Tl, hd).transpose(0, 2, 1, 3)
 
         def xla_hop(q4, k4, v4):
+            # bf16 matmuls + f32 stats: the same precision contract as the
+            # kernel (bf16 MXU, f32 softmax statistics)
             g = Hq // Hkv
-            kfh = jnp.repeat(k4.astype(jnp.float32), g, axis=2)
-            vfh = jnp.repeat(v4.astype(jnp.float32), g, axis=2)
-            s = jnp.einsum("bqhd,bkhd->bhqk", q4.astype(jnp.float32), kfh)
+            kfh = jnp.repeat(k4, g, axis=2)
+            vfh = jnp.repeat(v4, g, axis=2)
+            s = jnp.einsum(
+                "bqhd,bkhd->bhqk", q4, kfh,
+                preferred_element_type=jnp.float32,
+            )
             m = jnp.max(s, axis=-1)
             p = jnp.exp(s - m[..., None])
             l = jnp.sum(p, axis=-1)
-            o = jnp.einsum("bhqk,bkhd->bhqd", p, vfh)
+            o = jnp.einsum(
+                "bhqk,bkhd->bhqd", p.astype(q4.dtype), vfh,
+                preferred_element_type=jnp.float32,
+            )
             return m, l, o
 
         def x_fwd(q4, k4, v4):
             m, l, o = xla_hop(q4, k4, v4)
-            return jnp.sum(o) * 0 + jnp.sum(l) * 1e-9
+            return jnp.sum(o) * 1e-9 + jnp.sum(l) * 1e-9
 
         def x_bwd(q4, k4, v4):
             def f(q4, k4, v4):

@@ -642,10 +642,24 @@ def run_serve(args):
             else LlamaConfig.llama32_1b().replace(
                 vocab_size=lcfg.vocab_size)
         )
-        spec_kw = dict(
-            draft_params=jax.jit(
+        if tiny:
+            dparams = jax.jit(
                 lambda k: lm.init_params(dcfg, k, dtype=cdt)
-            )(jax.random.PRNGKey(7)),
+            )(jax.random.PRNGKey(7))
+        else:
+            # the draft must match the pool's weight precision: a bf16 1B
+            # draft streams MORE bytes per step (2.5 GB) than the int4 3B
+            # target (1.5 GB) — measured 3.5x all-reject slowdown vs
+            # the int4 draft's cost (BASELINE.md round-4 spec cost arms)
+            from audio_llama_tpu.models import llama_int4 as l4d
+
+            dparams = jax.jit(
+                lambda k: l4d.quantize_llama_int4(
+                    lm.init_params(dcfg, k, dtype=jnp.bfloat16)
+                )
+            )(jax.random.PRNGKey(7))
+        spec_kw = dict(
+            draft_params=dparams,
             draft_cfg=dcfg,
             gamma=args.gamma,
         )

@@ -50,6 +50,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 128  # contraction rows per scale group (== MXU tile depth)
 
+import os as _os
+
+# output-half-column block default (tuning knob: round-4 B1 trace showed
+# the qkv/o matmuls at 57% of their weight-DMA floor at M=1)
+INT4_BN = int(_os.environ.get("INT4_BN", "0"))
+
+
 
 # ---------------------------------------------------------------------------
 # quantize / pack (jit-able; runs once at load time)
@@ -181,7 +188,8 @@ def int4_matmul(
         bm = block_m
     else:
         bm = 256 if M >= 256 else -(-M // 8) * 8
-    nh = block_n or _pick(Nh, (512, 256, 128))
+    nh = block_n or (INT4_BN if INT4_BN and Nh % INT4_BN == 0 else 0) \
+        or _pick(Nh, (512, 256, 128))
     if not (block_m or block_n):
         while not fits(bm, nh):
             if bm > 8 and bm * K * 2 >= K * nh:
@@ -298,7 +306,8 @@ def int4_matmul_stacked(
         bm = block_m
     else:
         bm = 256 if M >= 256 else -(-M // 8) * 8
-    nh = block_n or _pick(Nh, (512, 256, 128))
+    nh = block_n or (INT4_BN if INT4_BN and Nh % INT4_BN == 0 else 0) \
+        or _pick(Nh, (512, 256, 128))
     if not (block_m or block_n):
         while not fits(bm, nh):
             if bm > 8 and bm * K * 2 >= K * nh:

@@ -231,9 +231,18 @@ def geometry_ok(K: int, F: int, D: int, group: int = GROUP,
     )
 
 
-def pick_chunk(F: int, group: int = GROUP, target: int = 512):
+# F-columns per grid step (tuning knob; round-4 B1 trace showed the MLP
+# kernel at 74% of its weight-DMA floor — sweep via env for A/B)
+import os as _os
+
+MLP4_CHUNK = int(_os.environ.get("MLP4_CHUNK", "512"))
+
+
+def pick_chunk(F: int, group: int = GROUP, target: int | None = None):
     """Largest F-chunk <= target satisfying chunk|F and group|chunk, or
     None when the geometry cannot be tiled (dispatch falls back)."""
+    if target is None:
+        target = MLP4_CHUNK
     c = min(target, F)
     c -= c % group
     while c >= group:

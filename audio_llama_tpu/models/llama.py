@@ -282,15 +282,19 @@ def _linear(x, w, lora_branch, compute_dtype):
                 )
             w = dict(w)
             w["w_p"] = p3.reshape(p3.shape[0], p3.shape[2])
+        # smoothed tree (quantize_llama_int4 smooth=True): the per-input-row
+        # equalizer multiplies the FROZEN matmul's input only — the LoRA
+        # branch below keeps the original x (exact LoRA semantics)
+        xq = x * w["w_r"].astype(x.dtype) if "w_r" in w else x
         # group size is encoded in the shapes: w_p [K, N/2], w_s [K/g, N]
         g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
         if i4.available():
             y = i4.int4_matmul(
-                x.astype(compute_dtype), w["w_p"], w["w_s"], group=g
+                xq.astype(compute_dtype), w["w_p"], w["w_s"], group=g
             )
         else:
             y = i4.int4_matmul_ref(
-                x, w["w_p"], w["w_s"], group=g, compute_dtype=compute_dtype
+                xq, w["w_p"], w["w_s"], group=g, compute_dtype=compute_dtype
             )
     elif isinstance(w, dict):
         y = (x @ w["w_q"].astype(compute_dtype)) * w["w_s"].astype(compute_dtype)
@@ -660,6 +664,17 @@ def llama_forward(
         }
         lp = {k: v for k, v in lp.items() if k not in LINEAR_NAMES}
 
+    def _int4_smooth_in(x_in, w, li):
+        """Smoothed int4 trees (quantize_llama_int4 smooth=True) carry a
+        per-input-row equalizer w_r [L, K]; the effective weight is
+        diag(w_r[li]) @ dequant, applied as an input multiply (the [K]
+        slice is ~12 KB — nothing like the weight-slab dynamic-slice
+        materialization the stacked kernel exists to avoid)."""
+        if "w_r" not in w:
+            return x_in
+        r = jax.lax.dynamic_index_in_dim(w["w_r"], li, 0, keepdims=False)
+        return x_in * r.astype(x_in.dtype)
+
     def _int4_planes(x_in, name, li):
         """Fused-slab matmul returning the (lo, hi) column-half planes
         WITHOUT the final lane concat — the [M, N] materialized copy it
@@ -667,6 +682,7 @@ def llama_forward(
         from ..ops import int4_matmul as i4
 
         w = int4_slabs[name]
+        x_in = _int4_smooth_in(x_in, w, li)
         g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
         if i4.available():
             return i4.int4_matmul_stacked(
@@ -682,14 +698,15 @@ def llama_forward(
         from ..ops import int4_matmul as i4
 
         w = int4_slabs[name]
+        xq = _int4_smooth_in(x_in, w, li)
         g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
         if i4.available():
             y = i4.int4_matmul_stacked(
-                x_in.astype(compute_dtype), w["w_p"], w["w_s"], li, group=g
+                xq.astype(compute_dtype), w["w_p"], w["w_s"], li, group=g
             )
         else:
             y = i4.int4_matmul_stacked_ref(
-                x_in, w["w_p"], w["w_s"], li, group=g,
+                xq, w["w_p"], w["w_s"], li, group=g,
                 compute_dtype=compute_dtype,
             )
         if lora_branch is not None:
@@ -1081,10 +1098,12 @@ def llama_forward(
             gu, dn = int4_slabs["gateup_proj"], int4_slabs["down_proj"]
             grp = gu["w_p"].shape[-2] // gu["w_s"].shape[-2]
             d = mlp4.mlp_int4_stacked(
-                h, gu["w_p"], gu["w_s"], dn["w_p"], dn["w_s"], li,
+                _int4_smooth_in(h, gu, li),
+                gu["w_p"], gu["w_s"], dn["w_p"], dn["w_s"], li,
                 group=grp,
                 chunk=mlp4.pick_chunk(gu["w_p"].shape[-1], grp),
                 interpret=_mlp_fused_mode == "interp",
+                dn_r=dn.get("w_r"),
             )
         elif "gateup_proj" in int4_slabs:
             # halves packing makes the planes EXACTLY gate and up

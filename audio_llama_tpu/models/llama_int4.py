@@ -48,10 +48,30 @@ from .llama_int8 import _quantize_rows, _quantize_stacked
 # packing pairs across — so their packing must be blockwise per tp shard.
 _COL_NAMES = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
 
+# Clipped-RTN scale-search candidates (ops/int4_matmul.quantize_pack):
+# MSE-optimal clip per (group, column). 1.0 keeps plain RTN reachable.
+CLIP_CANDS = (1.0, 0.92, 0.84, 0.76, 0.68)
+
+
+def _equalize_rows(m: jnp.ndarray, eps: float = 1e-6):
+    """[K, N] -> (m / r[:, None], r [K]): per-input-row magnitude
+    equalization. Effective weight stays diag(r) @ quantized(m/r); consumers
+    multiply the matmul INPUT by r (bf16 activations have the dynamic range
+    to spare), so a hot input row (real-checkpoint outlier regime,
+    models/outliers.py) no longer inflates its whole group's absmax and
+    crushes the other group-1 rows' int4 resolution. r is geometric-mean
+    normalized so activations stay near their original scale."""
+    mf = m.astype(jnp.float32)
+    mag = jnp.max(jnp.abs(mf), axis=-1)  # [K]
+    r = mag / jnp.exp(jnp.mean(jnp.log(jnp.maximum(mag, eps))))
+    r = jnp.maximum(r, eps)
+    return (mf / r[:, None]).astype(m.dtype), r
+
 
 def _quantize_stacked_int4(
     w: jnp.ndarray, group: int = i4.GROUP, tp: int = 1,
-    col_parallel: bool = False,
+    col_parallel: bool = False, smooth: bool = False,
+    clip: bool = False,
 ) -> dict:
     """[L, K, N] -> {'w_p' int8 [L, K, N/2], 'w_s' f32 [L, K/group, N]}.
 
@@ -61,33 +81,55 @@ def _quantize_stacked_int4(
     shard a self-contained canonically-packed slab (llama_forward squeezes
     the singleton block axis). w_s stays canonical [L, K/g, N] — scales
     carry no pairing, so a plain last-dim shard aligns.
+
+    smooth: adds 'w_r' f32 [L, K] — per-input-row equalizer (_equalize_rows;
+    consumers multiply the matmul input by w_r[layer]).
+    clip: clipped-RTN scale search (CLIP_CANDS).
     """
+    cands = CLIP_CANDS if clip else None
     if tp > 1 and col_parallel:
         L, K, N = w.shape
         if N % (2 * tp):
             raise ValueError(
                 f"int4 pack-after-shard needs (2*tp) | N; got N={N} tp={tp}"
             )
+        r_all = None
+        if smooth:
+            # equalize on the FULL row (r is shared by every tp block —
+            # the input rows are not column-sharded)
+            w, r_all = jax.lax.map(_equalize_rows, w)
         blocks = w.reshape(L, K, tp, N // tp).transpose(0, 2, 1, 3)
         packed, scales = jax.vmap(jax.vmap(
-            lambda m: i4.quantize_pack(m, group=group)
+            lambda m: i4.quantize_pack(m, group=group, clip_cands=cands)
         ))(blocks)                       # [L, tp, K, N/2tp], [L, tp, K/g, N/tp]
         packed = packed.transpose(0, 2, 1, 3)           # [L, K, tp, N/2tp]
         scales = scales.transpose(0, 2, 1, 3).reshape(L, K // group, N)
-        return {"w_p": packed, "w_s": scales}
+        out = {"w_p": packed, "w_s": scales}
+        if r_all is not None:
+            out["w_r"] = r_all
+        return out
     # lax.map (sequential over layers), not vmap: the fused gate|up slab is
     # [L, 3072, 16384] at 3B dims and quantize_pack's f32 intermediates
     # under vmap peak at ~5.6 GB — enough to OOM HBM next to a B64 cache.
     # One-time setup cost; per-layer peak is ~200 MB.
+    if smooth:
+        def per_layer(m):
+            m2, r = _equalize_rows(m)
+            p, s = i4.quantize_pack(m2, group=group, clip_cands=cands)
+            return p, s, r
+
+        packed, scales, r_all = jax.lax.map(per_layer, w)
+        return {"w_p": packed, "w_s": scales, "w_r": r_all}
     packed, scales = jax.lax.map(
-        lambda m: i4.quantize_pack(m, group=group), w
+        lambda m: i4.quantize_pack(m, group=group, clip_cands=cands), w
     )
     return {"w_p": packed, "w_s": scales}
 
 
 def quantize_llama_int4(
     params: Params, include_embed: bool = True, group: int = i4.GROUP,
-    tp: int = 1, fuse: bool | None = None,
+    tp: int = 1, fuse: bool | None = None, smooth: bool = False,
+    clip: bool = False,
 ) -> Params:
     """Llama param tree -> weight-only-int4 tree (see module docstring).
 
@@ -96,6 +138,12 @@ def quantize_llama_int4(
     row-parallel slabs shard the contraction dim, which the packing never
     pairs across, but their group scales must stay shard-aligned:
     (K/tp) % group == 0 is validated here.
+
+    smooth: per-input-row weight equalization ('w_r' in each slab dict —
+    see _equalize_rows). clip: clipped-RTN scale search (CLIP_CANDS). Both
+    target the outlier-row regime the accuracy gate measures
+    (tests/test_outlier_gate.py); numerics stay W4A16-exact given the
+    quantized values (consumers multiply the input by w_r[layer]).
 
     fuse (default: tp == 1): merge the shared-input projections into ONE
     kernel call each — 'qkv_proj' = [q|k|v] out-columns, 'gateup_proj' =
@@ -126,16 +174,18 @@ def quantize_llama_int4(
                 [layers.pop("q_proj"), layers.pop("k_proj"),
                  layers.pop("v_proj")], axis=-1,
             ),
-            group,
+            group, smooth=smooth, clip=clip,
         )
         layers["gateup_proj"] = _quantize_stacked_int4(
             _jnp.concatenate(
                 [layers.pop("gate_proj"), layers.pop("up_proj")], axis=-1
             ),
-            group,
+            group, smooth=smooth, clip=clip,
         )
         for name in ("o_proj", "down_proj"):
-            layers[name] = _quantize_stacked_int4(layers[name], group)
+            layers[name] = _quantize_stacked_int4(
+                layers[name], group, smooth=smooth, clip=clip
+            )
         out["layers"] = layers
         if include_embed:
             q, s = _quantize_rows(params["embed"]["weight"])
@@ -153,7 +203,8 @@ def quantize_llama_int4(
                     f"({group}) | K/tp ({K}/{tp})"
                 )
         layers[name] = _quantize_stacked_int4(
-            layers[name], group, tp=tp, col_parallel=col
+            layers[name], group, tp=tp, col_parallel=col,
+            smooth=smooth, clip=clip,
         )
     out["layers"] = layers
     if include_embed:
@@ -173,9 +224,12 @@ def dequantize_llama_int4(params: Params) -> Params:
     if "qkv_proj" in layers:
         def deq(w):
             g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
-            return jax.vmap(
+            d = jax.vmap(
                 lambda p, s: i4.dequantize_ref(p, s, group=g)
             )(w["w_p"], w["w_s"])
+            if "w_r" in w:  # effective weight = diag(w_r) @ dequant
+                d = d * w["w_r"][:, :, None]
+            return d
 
         qkv = deq(layers.pop("qkv_proj"))
         gu = deq(layers.pop("gateup_proj"))
@@ -190,11 +244,7 @@ def dequantize_llama_int4(params: Params) -> Params:
         layers["gate_proj"] = gu[..., :nf]
         layers["up_proj"] = gu[..., nf:]
         for name in ("o_proj", "down_proj"):
-            w = layers[name]
-            g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
-            layers[name] = jax.vmap(
-                lambda p, s: i4.dequantize_ref(p, s, group=g)
-            )(w["w_p"], w["w_s"])
+            layers[name] = deq(layers[name])
         out["layers"] = layers
         if isinstance(params["embed"], dict) and "scale" in params["embed"]:
             emb = params["embed"]
@@ -219,12 +269,18 @@ def dequantize_llama_int4(params: Params) -> Params:
             deq = jax.vmap(jax.vmap(
                 lambda p, s: i4.dequantize_ref(p, s, group=g)
             ))(pb, sb)                                    # [L, tp, K, nl]
-            layers[name] = deq.transpose(0, 2, 1, 3).reshape(L, K, tp * nl)
+            d4 = deq.transpose(0, 2, 1, 3).reshape(L, K, tp * nl)
+            if "w_r" in w:
+                d4 = d4 * w["w_r"][:, :, None]
+            layers[name] = d4
             continue
         g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
-        layers[name] = jax.vmap(
+        d = jax.vmap(
             lambda p, s: i4.dequantize_ref(p, s, group=g)
         )(w["w_p"], w["w_s"])
+        if "w_r" in w:
+            d = d * w["w_r"][:, :, None]
+        layers[name] = d
     out["layers"] = layers
     if isinstance(params["embed"], dict) and "scale" in params["embed"]:
         emb = params["embed"]

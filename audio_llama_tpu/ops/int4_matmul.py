@@ -56,16 +56,51 @@ import os as _os
 # the qkv/o matmuls at 57% of their weight-DMA floor at M=1)
 INT4_BN = int(_os.environ.get("INT4_BN", "0"))
 
+# nibble-unpack variant (A/B knob; all three are BIT-EXACT equal):
+#   shift   — lo: shl28/shr28, hi: shl24/shr28 on the int32-widened byte
+#   i32lite — hi becomes one arithmetic shr4 (3 shifts instead of 4)
+#   fp      — all-bf16: convert, *0.0625, floor, mul-sub, cmp-select;
+#             half the VPU lane traffic of the int32 domain
+INT4_UNPACK = _os.environ.get("INT4_UNPACK", "shift")
+
+
+def _unpack_planes(b_i8, cdt):
+    """Packed int8 block -> (lo, hi) int4 planes in compute dtype.
+    Variant selected by INT4_UNPACK (bit-exact equal; perf A/B)."""
+    if INT4_UNPACK == "fp":
+        bf = b_i8.astype(jnp.bfloat16)
+        hi = jnp.floor(bf * 0.0625)
+        lo_u = bf - hi * 16.0
+        lo = jnp.where(lo_u >= 8.0, lo_u - 16.0, lo_u)
+        return lo.astype(cdt), hi.astype(cdt)
+    b = b_i8.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(b, 28), 28)
+    if INT4_UNPACK == "i32lite":
+        hi = jnp.right_shift(b, 4)
+    else:
+        hi = jnp.right_shift(jnp.left_shift(b, 24), 28)
+    return lo.astype(cdt), hi.astype(cdt)
+
 
 
 # ---------------------------------------------------------------------------
 # quantize / pack (jit-able; runs once at load time)
 # ---------------------------------------------------------------------------
 
-def quantize_pack(w: jnp.ndarray, group: int = GROUP) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def quantize_pack(
+    w: jnp.ndarray, group: int = GROUP,
+    clip_cands: Tuple[float, ...] | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """w [K, N] float -> (packed [K, N/2] int8, scales [K/group, N] f32).
 
     N must be even; K must divide by `group`.
+
+    clip_cands: optional clipped-RTN scale search — for each (group, column)
+    the scale absmax*c/7 with the lowest reconstruction MSE over the
+    candidates wins (AWQ/GPTQ-family clipping: shrinking the scale trades
+    one outlier element's error for finer resolution on the other group-1
+    elements). One-time offline cost; sequential lax.map over candidates
+    bounds the transients.
     """
     K, N = w.shape
     if N % 2 or K % group:
@@ -74,6 +109,15 @@ def quantize_pack(w: jnp.ndarray, group: int = GROUP) -> Tuple[jnp.ndarray, jnp.
     g = wf.reshape(K // group, group, N)
     absmax = jnp.max(jnp.abs(g), axis=1)  # [K/g, N]
     scales = jnp.maximum(absmax, 1e-8) / 7.0
+    if clip_cands:
+        def err_for(c):
+            s = scales * c
+            qc = jnp.clip(jnp.round(g / s[:, None, :]), -7, 7)
+            return jnp.sum((g - qc * s[:, None, :]) ** 2, axis=1)  # [K/g, N]
+
+        errs = jax.lax.map(err_for, jnp.asarray(clip_cands, jnp.float32))
+        best = jnp.argmin(errs, axis=0)  # [K/g, N]
+        scales = scales * jnp.asarray(clip_cands, jnp.float32)[best]
     q = jnp.clip(jnp.round(g / scales[:, None, :]), -7, 7).astype(jnp.int8)
     q = q.reshape(K, N)
     lo = q[:, : N // 2]
@@ -130,9 +174,7 @@ def _kernel(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, group, n_groups, bm, nh):
     acc_hi = jnp.zeros((bm, nh), jnp.float32)
     for g in range(n_groups):
         rows = slice(g * group, (g + 1) * group)
-        b = p_ref[rows, :].astype(jnp.int32)  # [group, nh]
-        lo = jnp.right_shift(jnp.left_shift(b, 28), 28).astype(x.dtype)
-        hi = jnp.right_shift(jnp.left_shift(b, 24), 28).astype(x.dtype)
+        lo, hi = _unpack_planes(p_ref[rows, :], x.dtype)  # [group, nh]
         xg = x[:, rows]  # [bm, group]
         plo = jax.lax.dot_general(
             xg, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -251,9 +293,7 @@ def _kernel_stacked(li_ref, x_ref, p_ref, slo_ref, shi_ref, o_ref, *,
     acc_hi = jnp.zeros((bm, nh), jnp.float32)
     for g in range(n_groups):
         rows = slice(g * group, (g + 1) * group)
-        b = p_ref[0, rows, :].astype(jnp.int32)
-        lo = jnp.right_shift(jnp.left_shift(b, 28), 28).astype(x.dtype)
-        hi = jnp.right_shift(jnp.left_shift(b, 24), 28).astype(x.dtype)
+        lo, hi = _unpack_planes(p_ref[0, rows, :], x.dtype)
         xg = x[:, rows]
         plo = jax.lax.dot_general(
             xg, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32

@@ -40,6 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .int4_matmul import GROUP, int4_matmul_stacked_ref
 
 
+from .int4_matmul import _unpack_planes
+
+
 def _sx(b, lo: bool):
     """Sign-extended nibble planes of an int32 byte tensor."""
     if lo:
@@ -56,16 +59,19 @@ def _kernel(
     dnp_ref,    # [1, cn, nd] int8 (down lo/hi column pairs)
     dsl_ref,    # [1, 1, cg, nd] f32 (chunk axis is a major grid axis —
     dsh_ref,    # [1, 1, cg, nd]      see the 4-D reshape in the caller)
-    o_ref,      # [2, m, nd]
-    acc,        # scratch f32 [2, m, nd]
-    *,
+    *rest,      # [dnr_ref [1, 1, 1, cn]] if has_dnr, then o_ref, acc
     group: int,
     kg: int,    # K / group
     cg: int,    # cn / group
     m: int,
     nc: int,    # grid size (F / cn)
+    has_dnr: bool = False,
 ):
     del li_ref  # consumed by the BlockSpec index maps
+    if has_dnr:
+        dnr_ref, o_ref, acc = rest
+    else:
+        o_ref, acc = rest
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -74,37 +80,42 @@ def _kernel(
 
     x = x_ref[:]
     cdt = x.dtype
-    gup = gup_ref[0].astype(jnp.int32)  # [K, cn]
-    g_acc = jnp.zeros((m, gup.shape[1]), jnp.float32)
-    u_acc = jnp.zeros((m, gup.shape[1]), jnp.float32)
+    cn_ = gup_ref.shape[2]
+    g_acc = jnp.zeros((m, cn_), jnp.float32)
+    u_acc = jnp.zeros((m, cn_), jnp.float32)
     for g in range(kg):
         rows = slice(g * group, (g + 1) * group)
-        b = gup[rows, :]
+        glo, ghi = _unpack_planes(gup_ref[0, rows, :], cdt)
         xg = x[:, rows]
         pg = jax.lax.dot_general(
-            xg, _sx(b, True).astype(cdt), (((1,), (0,)), ((), ())),
+            xg, glo, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         pu = jax.lax.dot_general(
-            xg, _sx(b, False).astype(cdt), (((1,), (0,)), ((), ())),
+            xg, ghi, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         g_acc = g_acc + pg * gsl_ref[0, g, :][None, :]
         u_acc = u_acc + pu * gsh_ref[0, g, :][None, :]
     # SiLU(gate) * up in f32, then to compute dtype for the down MXU pass
-    a = (g_acc * jax.nn.sigmoid(g_acc) * u_acc).astype(cdt)  # [m, cn]
+    a = g_acc * jax.nn.sigmoid(g_acc) * u_acc  # [m, cn] f32
+    if has_dnr:
+        # smoothed down slab (llama_int4 smooth=True): the down matmul's
+        # effective weight is diag(w_r) @ dequant — multiply its input by
+        # this chunk's equalizer slice (one VPU op per grid step)
+        a = a * dnr_ref[0, 0, 0, :][None, :]
+    a = a.astype(cdt)
 
-    dnp = dnp_ref[0].astype(jnp.int32)  # [cn, nd]
     for g2 in range(cg):
         rows = slice(g2 * group, (g2 + 1) * group)
-        b = dnp[rows, :]
+        dlo, dhi = _unpack_planes(dnp_ref[0, rows, :], cdt)
         ag = a[:, rows]
         plo = jax.lax.dot_general(
-            ag, _sx(b, True).astype(cdt), (((1,), (0,)), ((), ())),
+            ag, dlo, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         phi = jax.lax.dot_general(
-            ag, _sx(b, False).astype(cdt), (((1,), (0,)), ((), ())),
+            ag, dhi, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc[0] += plo * dsl_ref[0, 0, g2, :][None, :]
@@ -128,6 +139,7 @@ def mlp_int4_stacked(
     group: int = GROUP,
     chunk: int = 512,         # F columns per grid step
     interpret: bool = False,
+    dn_r: jnp.ndarray | None = None,  # [L, F] f32 equalizer (smooth trees)
 ) -> jnp.ndarray:
     """silu(x @ Wgate) * (x @ Wup) @ Wdown -> [..., D] in x.dtype."""
     *lead, K = x.shape
@@ -164,24 +176,39 @@ def mlp_int4_stacked(
         x2 = jnp.pad(x2, ((0, m - M), (0, 0)))
 
     kernel = functools.partial(
-        _kernel, group=group, kg=kg, cg=cg, m=m, nc=nc
+        _kernel, group=group, kg=kg, cg=cg, m=m, nc=nc,
+        has_dnr=dn_r is not None,
     )
+    in_specs = [
+        pl.BlockSpec((m, K), lambda c, li: (0, 0)),
+        pl.BlockSpec((1, K, chunk), lambda c, li: (li[0], 0, c)),
+        # gate scales: F-column block c of [L, kg, 2F]; up at block c+nc
+        pl.BlockSpec((1, kg, chunk), lambda c, li: (li[0], 0, c)),
+        pl.BlockSpec(
+            (1, kg, chunk), lambda c, li, _nc=nc: (li[0], 0, c + _nc)
+        ),
+        pl.BlockSpec((1, chunk, nd), lambda c, li: (li[0], c, 0)),
+        # down scales: chunk-c block of [L, nc, cg, D]; lo/hi col halves
+        pl.BlockSpec((1, 1, cg, nd), lambda c, li: (li[0], c, 0, 0)),
+        pl.BlockSpec((1, 1, cg, nd), lambda c, li: (li[0], c, 0, 1)),
+    ]
+    operands = [
+        x2, gup_packed, gup_scales, gup_scales, dn_packed,
+        dn_scales4, dn_scales4,
+    ]
+    if dn_r is not None:
+        # [L, F] -> [L, nc, 1, chunk]: the last two block dims span their
+        # whole array dims (Mosaic tiling rule — same trick as dn_scales4)
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, chunk), lambda c, li: (li[0], c, 0, 0))
+        )
+        operands.append(
+            dn_r.astype(jnp.float32).reshape(L, nc, 1, chunk)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
-        in_specs=[
-            pl.BlockSpec((m, K), lambda c, li: (0, 0)),
-            pl.BlockSpec((1, K, chunk), lambda c, li: (li[0], 0, c)),
-            # gate scales: F-column block c of [L, kg, 2F]; up at block c+nc
-            pl.BlockSpec((1, kg, chunk), lambda c, li: (li[0], 0, c)),
-            pl.BlockSpec(
-                (1, kg, chunk), lambda c, li, _nc=nc: (li[0], 0, c + _nc)
-            ),
-            pl.BlockSpec((1, chunk, nd), lambda c, li: (li[0], c, 0)),
-            # down scales: chunk-c block of [L, nc, cg, D]; lo/hi col halves
-            pl.BlockSpec((1, 1, cg, nd), lambda c, li: (li[0], c, 0, 0)),
-            pl.BlockSpec((1, 1, cg, nd), lambda c, li: (li[0], c, 0, 1)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((2, m, nd), lambda c, li: (0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((2, m, nd), jnp.float32)],
     )
@@ -191,9 +218,7 @@ def mlp_int4_stacked(
         out_shape=jax.ShapeDtypeStruct((2, m, nd), x.dtype),
         interpret=interpret,
     )(
-        jnp.asarray(layer, jnp.int32).reshape(1),
-        x2, gup_packed, gup_scales, gup_scales, dn_packed,
-        dn_scales4, dn_scales4,
+        jnp.asarray(layer, jnp.int32).reshape(1), *operands
     )
     y = jnp.concatenate([out[0], out[1]], axis=-1)  # [m, D]
     if m != M:
@@ -203,7 +228,7 @@ def mlp_int4_stacked(
 
 def mlp_int4_stacked_ref(
     x, gup_packed, gup_scales, dn_packed, dn_scales, layer,
-    group: int = GROUP, compute_dtype=jnp.bfloat16,
+    group: int = GROUP, compute_dtype=jnp.bfloat16, dn_r=None,
 ):
     """XLA oracle: the two-call planes path this kernel fuses."""
     g, u = int4_matmul_stacked_ref(
@@ -211,6 +236,10 @@ def mlp_int4_stacked_ref(
         compute_dtype=compute_dtype, return_planes=True,
     )
     a = jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+    if dn_r is not None:
+        a = a * jax.lax.dynamic_index_in_dim(
+            dn_r, layer, 0, keepdims=False
+        ).astype(jnp.float32)
     return int4_matmul_stacked_ref(
         a.astype(compute_dtype), dn_packed, dn_scales, layer, group=group,
         compute_dtype=compute_dtype,

@@ -75,6 +75,11 @@ def _frozen_leaf_spec(path, leaf) -> P:
             return P(None, "tp", None)
     if last == "w_s" and ndim == 3 and mod is not None:
         return P(None, None, "tp") if mod in _COL else P(None, "tp", None)
+    if last == "w_r" and mod is not None:
+        # int4 per-input-row equalizer [L, K] (llama_int4 smooth=True):
+        # row-parallel linears shard the contraction dim K; column-parallel
+        # inputs are replicated, so w_r replicates with them
+        return P(None, "tp") if mod in _ROW else P()
     if mod in _COL:
         if ndim == 3:  # stacked weight [L, in, out] (w or int8 w_q)
             return P(None, "fsdp", "tp")

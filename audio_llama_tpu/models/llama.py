@@ -346,8 +346,14 @@ def llama_forward(
     sp_axis: Optional[str] = None,
     sp_size: int = 1,
     unembed_logits: bool = True,
+    collect_quant_stats: tuple = (),
 ):
     """Decoder forward.
+
+    collect_quant_stats: subset of ("qkv", "o", "gateup", "down") — also
+    return per-layer input Gram matrices H = sum_t x_t x_t^T (masked, f32)
+    for those linears' inputs, stacked [L, K, K], as a third output
+    (models/llama_gptq.py consumes them; full-precision trees only).
 
     remat=True wraps each scanned layer in jax.checkpoint so the backward
     pass recomputes layer activations instead of saving them — O(1-layer)
@@ -807,6 +813,19 @@ def llama_forward(
         x, ck_all, cv_all, ks_all, vs_all = carry
         (p, lor, li) = scanned
         h = rms_norm(x, p["input_ln"].astype(compute_dtype), cfg.rms_norm_eps)
+        qstats = {}
+
+        def _gram(v):
+            """Masked input Gram sum_t x_t x_t^T [K, K] f32 (calibration
+            statistics for GPTQ error feedback, models/llama_gptq.py)."""
+            vf = v.astype(jnp.float32)
+            if attention_mask is not None:
+                vf = vf * attention_mask[:, :T, None].astype(jnp.float32)
+            v2 = vf.reshape(-1, vf.shape[-1])
+            return v2.T @ v2
+
+        if "qkv" in collect_quant_stats:
+            qstats["qkv"] = _gram(h)
 
         def lb(name):
             if lor is None:
@@ -1078,6 +1097,8 @@ def llama_forward(
         else:  # no cache, or xla_fresh ([B, T, Hkv, hd] fresh k/v)
             attn = mha(q, attn_k, attn_v, bias=bias, scale=cfg.head_dim ** -0.5)
         attn = attn.reshape(B, T, -1)
+        if "o" in collect_quant_stats:
+            qstats["o"] = _gram(attn)
         if int4_slabs:
             attn = _int4_linear(attn, "o_proj", li, lb("o_proj"))
         else:
@@ -1087,6 +1108,8 @@ def llama_forward(
         x = x + attn
 
         h = rms_norm(x, p["post_attn_ln"].astype(compute_dtype), cfg.rms_norm_eps)
+        if "gateup" in collect_quant_stats:
+            qstats["gateup"] = _gram(h)
         if "gateup_proj" in int4_slabs and _fused_mlp_ok(lb):
             # One pallas_call for the whole MLP (gate|up matmul + SiLU*up +
             # down matmul, ops/mlp_int4.py): halves the MLP launch
@@ -1118,11 +1141,14 @@ def llama_forward(
         else:
             g = _linear(h, p["gate_proj"], lb("gate_proj"), compute_dtype)
             u = _linear(h, p["up_proj"], lb("up_proj"), compute_dtype)
-            d = _linear(jax.nn.silu(g) * u, p["down_proj"], lb("down_proj"), compute_dtype)
+            a_mlp = jax.nn.silu(g) * u
+            if "down" in collect_quant_stats:
+                qstats["down"] = _gram(a_mlp)
+            d = _linear(a_mlp, p["down_proj"], lb("down_proj"), compute_dtype)
         if tp_axis is not None:  # row-parallel down projection
             d = lax.psum(d, tp_axis)
         x = x + d
-        return (x, ck_all, cv_all, ks_all, vs_all), None
+        return (x, ck_all, cv_all, ks_all, vs_all), (qstats or None)
 
     # Assemble scanned pytrees: stacked layer params + optional stacked lora,
     # with the layer index as xs for cache addressing.
@@ -1133,10 +1159,15 @@ def llama_forward(
     else:
         carry0 = (x, None, None, None, None)
 
+    if collect_quant_stats and int4_slabs:
+        raise ValueError(
+            "collect_quant_stats calibrates FULL-PRECISION trees "
+            "(quantize after capturing)"
+        )
     step_fn = layer_step
     if remat:
         step_fn = jax.checkpoint(layer_step, prevent_cse=False)
-    (x, ck_out, cv_out, ks_out, vs_out), _ = lax.scan(
+    (x, ck_out, cv_out, ks_out, vs_out), scan_ys = lax.scan(
         step_fn, carry0, (lp, lora_layers, jnp.arange(L))
     )
 
@@ -1163,6 +1194,10 @@ def llama_forward(
             k=ck_out, v=cv_out, length=new_len,
             k_scale=ks_out, v_scale=vs_out,
         )
+    if collect_quant_stats:
+        if return_hidden:
+            return logits, new_cache, x, scan_ys
+        return logits, new_cache, scan_ys
     if return_hidden:
         return logits, new_cache, x
     return logits, new_cache

@@ -245,7 +245,7 @@ def unpack_kv4(packed: jnp.ndarray):
     (sign-extended nibbles; scales not applied)."""
     b = packed.astype(jnp.int32)
     k = jnp.right_shift(jnp.left_shift(b, 28), 28)  # arithmetic shifts
-    v = jnp.right_shift(jnp.left_shift(b, 24), 28)
+    v = jnp.right_shift(b, 4)  # hi nibble: b is sign-extended, one shr4
     return k, v
 
 

@@ -50,12 +50,13 @@ def _pack(q: jnp.ndarray) -> jnp.ndarray:
     ).astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "damp"))
+@functools.partial(jax.jit, static_argnames=("group", "damp", "clip_cands"))
 def gptq_pack(
     w: jnp.ndarray,        # [K, N] float
     H: jnp.ndarray,        # [K, K] f32 input Gram (sum x x^T)
     group: int = i4.GROUP,
     damp: float = 0.01,
+    clip_cands: Tuple[float, ...] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """GPTQ row-sequential int4 quantization with error feedback.
 
@@ -98,6 +99,18 @@ def gptq_pack(
         Wg = jax.lax.dynamic_slice_in_dim(W, r0, group, 0)  # [group, N]
         Ug = jax.lax.dynamic_slice(U, (r0, r0), (group, group))
         s_g = jnp.maximum(jnp.max(jnp.abs(Wg), axis=0), 1e-8) / 7.0  # [N]
+        if clip_cands:
+            # clipped-RTN scale search per column on the error-fed group
+            # values (same MSE criterion as int4_matmul.quantize_pack)
+            def err_for(c):
+                sc = s_g * c
+                qc = jnp.clip(jnp.round(Wg / sc[None, :]), -7, 7)
+                return jnp.sum((Wg - qc * sc[None, :]) ** 2, axis=0)  # [N]
+
+            errs = jax.lax.map(err_for, jnp.asarray(clip_cands, jnp.float32))
+            s_g = s_g * jnp.asarray(clip_cands, jnp.float32)[
+                jnp.argmin(errs, axis=0)
+            ]
 
         def inner(j, st):
             Wg_, Qg_, Err_ = st
@@ -175,6 +188,7 @@ def collect_llama_stats(
 def quantize_llama_int4_gptq(
     params: Params, stats: dict, include_embed: bool = True,
     group: int = i4.GROUP, damp: float = 0.01,
+    clip_cands: Tuple[float, ...] | None = None,
 ) -> Params:
     """Full-precision llama tree + calibration Grams -> fused int4 tree
     (identical layout/consumers to quantize_llama_int4(fuse=True):
@@ -202,9 +216,9 @@ def quantize_llama_int4_gptq(
         if role in stats:
             H = stats[role]
 
-            def per_layer(args, _g=group, _d=damp):
+            def per_layer(args, _g=group, _d=damp, _c=clip_cands):
                 m, h = args
-                return gptq_pack(m, h, group=_g, damp=_d)
+                return gptq_pack(m, h, group=_g, damp=_d, clip_cands=_c)
 
             packed, sc = jax.lax.map(per_layer, (w, H))
         else:

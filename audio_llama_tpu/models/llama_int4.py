@@ -129,7 +129,7 @@ def _quantize_stacked_int4(
 def quantize_llama_int4(
     params: Params, include_embed: bool = True, group: int = i4.GROUP,
     tp: int = 1, fuse: bool | None = None, smooth: bool = False,
-    clip: bool = False,
+    clip: bool = True,
 ) -> Params:
     """Llama param tree -> weight-only-int4 tree (see module docstring).
 
@@ -139,11 +139,16 @@ def quantize_llama_int4(
     pairs across, but their group scales must stay shard-aligned:
     (K/tp) % group == 0 is validated here.
 
-    smooth: per-input-row weight equalization ('w_r' in each slab dict —
-    see _equalize_rows). clip: clipped-RTN scale search (CLIP_CANDS). Both
-    target the outlier-row regime the accuracy gate measures
-    (tests/test_outlier_gate.py); numerics stay W4A16-exact given the
-    quantized values (consumers multiply the input by w_r[layer]).
+    clip (DEFAULT ON): clipped-RTN scale search (CLIP_CANDS) — zero runtime
+    or layout cost, one-time quantize cost, never worse per (group, column)
+    and measured outlier-gate KL 0.657 -> 0.376. smooth: per-input-row
+    weight equalization ('w_r' in each slab dict — see _equalize_rows;
+    ~= clip's win, does NOT stack with it, adds a runtime input multiply —
+    kept for A/B). The highest-accuracy path is calibrated GPTQ error
+    feedback (models/llama_gptq.py, measured 0.336); int4 decode remains
+    OPT-IN either way (the < 0.2 flip bar is unmet; per-role attribution
+    experiments/int4_role_attrib.py shows no dominant slab to mix-precision
+    away). Numerics stay W4A16-exact given the quantized values.
 
     fuse (default: tp == 1): merge the shared-input projections into ONE
     kernel call each — 'qkv_proj' = [q|k|v] out-columns, 'gateup_proj' =

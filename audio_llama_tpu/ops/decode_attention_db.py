@@ -611,7 +611,7 @@ def _kernel_quantized4(
     cdt = q_ref.dtype
     b32 = kv_full.astype(jnp.int32)
     k_q = jnp.right_shift(jnp.left_shift(b32, 28), 28).astype(cdt)
-    v_q = jnp.right_shift(jnp.left_shift(b32, 24), 28).astype(cdt)
+    v_q = jnp.right_shift(b32, 4).astype(cdt)  # hi nibble: one shr4
     logits = jax.lax.dot_general(
         q, k_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )

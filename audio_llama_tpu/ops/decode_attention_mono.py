@@ -161,7 +161,10 @@ def _kernel_mono4(
             # analytic fresh-row term (shared by every chain)
             n32 = kvnew_ref[0, h][None, :].astype(jnp.int32)
             k_n = jnp.right_shift(jnp.left_shift(n32, 28), 28).astype(cdt)
-            v_n = jnp.right_shift(jnp.left_shift(n32, 24), 28).astype(cdt)
+            # hi nibble: one arithmetic shr4 (n32 is the sign-extended byte)
+            # — the shl24/shr28 pair costs an extra VPU pass per byte
+            # (round-4 finding: +17% B1 decode in the matmul kernels)
+            v_n = jnp.right_shift(n32, 4).astype(cdt)
             # f32 VPU multiply-reduce: Mosaic rejects the skinny
             # [G,hd]x[1,hd] bf16->f32 dot (vector.broadcast verify error —
             # the decode_attention_packed lesson), and at [G,hd] the VPU
@@ -183,8 +186,7 @@ def _kernel_mono4(
                 )
                 k_q = jnp.right_shift(
                     jnp.left_shift(b32, 28), 28).astype(cdt)
-                v_q = jnp.right_shift(
-                    jnp.left_shift(b32, 24), 28).astype(cdt)
+                v_q = jnp.right_shift(b32, 4).astype(cdt)  # hi: one shr4
                 logits = jax.lax.dot_general(
                     q, k_q, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,

@@ -57,11 +57,17 @@ import os as _os
 INT4_BN = int(_os.environ.get("INT4_BN", "0"))
 
 # nibble-unpack variant (A/B knob; all three are BIT-EXACT equal):
-#   shift   — lo: shl28/shr28, hi: shl24/shr28 on the int32-widened byte
-#   i32lite — hi becomes one arithmetic shr4 (3 shifts instead of 4)
-#   fp      — all-bf16: convert, *0.0625, floor, mul-sub, cmp-select;
-#             half the VPU lane traffic of the int32 domain
-INT4_UNPACK = _os.environ.get("INT4_UNPACK", "shift")
+#   i32lite — DEFAULT: lo shl28/shr28, hi = one arithmetic shr4 (3 shifts).
+#             One shift fewer than 'shift' measured +17.4% B1 decode /
+#             +2.5% B32 / +2.3% B64 end-to-end (the int4 kernels are
+#             VPU-unpack-bound at small M, not DMA-bound — round-4 finding
+#             experiments/b1_unpack_ab.sh).
+#   shift   — the round-3 unpack (lo shl/shr, hi shl24/shr28), kept for A/B
+#   fp      — all-bf16 (convert, *0.0625, floor, mul-sub, floor-based sign
+#             fix; half the VPU lane traffic of int32). NOTE: bf16 vector
+#             compare does not legalize on v5e Mosaic ("Target does not
+#             support this comparison"), hence the floor-based sign fix.
+INT4_UNPACK = _os.environ.get("INT4_UNPACK", "i32lite")
 
 
 def _unpack_planes(b_i8, cdt):
@@ -70,15 +76,17 @@ def _unpack_planes(b_i8, cdt):
     if INT4_UNPACK == "fp":
         bf = b_i8.astype(jnp.bfloat16)
         hi = jnp.floor(bf * 0.0625)
-        lo_u = bf - hi * 16.0
-        lo = jnp.where(lo_u >= 8.0, lo_u - 16.0, lo_u)
+        lo_u = bf - hi * 16.0          # unsigned low nibble in [0, 15]
+        # sign fix without a vector compare: floor(lo_u/8) is 1 iff the
+        # nibble's sign bit is set (exact in bf16 for integers <= 15)
+        lo = lo_u - 16.0 * jnp.floor(lo_u * 0.125)
         return lo.astype(cdt), hi.astype(cdt)
     b = b_i8.astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(b, 28), 28)
-    if INT4_UNPACK == "i32lite":
-        hi = jnp.right_shift(b, 4)
-    else:
+    if INT4_UNPACK == "shift":
         hi = jnp.right_shift(jnp.left_shift(b, 24), 28)
+    else:  # i32lite (default)
+        hi = jnp.right_shift(b, 4)
     return lo.astype(cdt), hi.astype(cdt)
 
 

@@ -150,15 +150,16 @@ def main():
                       "roles": sorted(stats.keys())}), flush=True)
 
     # ---- arms ------------------------------------------------------------
-    for damp in (0.01, 0.05):
+    for damp, cands in ((0.01, None), (0.01, l4.CLIP_CANDS),
+                        (0.05, l4.CLIP_CANDS)):
         fz = dict(fz_ref)
         fz["llama"] = gq.quantize_llama_int4_gptq(
-            lo, stats, group=32, damp=damp
+            lo, stats, group=32, damp=damp, clip_cands=cands,
         )
         r = kl(fz_ref, fz)
-        print(json.dumps({"mode": f"int4 GPTQ damp={damp}",
-                          **{k: round(float(v), 4) for k, v in r.items()}}),
-              flush=True)
+        print(json.dumps({
+            "mode": f"int4 GPTQ damp={damp} clip={int(bool(cands))}",
+            **{k: round(float(v), 4) for k, v in r.items()}}), flush=True)
 
     # reference arms re-measured in-session for comparability
     for smooth, clip in ((False, False), (False, True)):

@@ -158,6 +158,7 @@ def test_tp_pack_matches_canonical_numerics(trees):
 def test_tp_pack_shard_slices_are_canonical(trees):
     """Block s of a tp-packed COL slab == canonical pack of that shard's
     column slice (the property make_tp_generate's in_specs rely on)."""
+    from audio_llama_tpu.models.llama_int4 import CLIP_CANDS
     from audio_llama_tpu.ops import int4_matmul as i4
 
     cfg, params, q, deq = trees
@@ -167,9 +168,11 @@ def test_tp_pack_shard_slices_are_canonical(trees):
     L, K, N = w.shape
     for s in range(tp):
         blk = w[:, :, s * N // tp:(s + 1) * N // tp]
-        pk, sc = jax.vmap(lambda m: i4.quantize_pack(m, group=g))(
-            jnp.asarray(blk)
-        )
+        # clip is default-on in quantize_llama_int4; mirror it here (the
+        # property under test is the BLOCK layout, scales are per-column)
+        pk, sc = jax.vmap(
+            lambda m: i4.quantize_pack(m, group=g, clip_cands=CLIP_CANDS)
+        )(jnp.asarray(blk))
         np.testing.assert_array_equal(
             np.asarray(q2["layers"]["q_proj"]["w_p"][:, :, s]),
             np.asarray(pk),

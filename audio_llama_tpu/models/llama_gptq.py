@@ -40,14 +40,10 @@ from .llama import Params
 
 def _pack(q: jnp.ndarray) -> jnp.ndarray:
     """int4 values [K, N] -> column-pair-halves packed [K, N/2] int8
-    (the ops/int4_matmul.py layout)."""
+    (ops/int4_matmul.pack_nibbles — shared so INT4_FMT has exactly one
+    packing implementation)."""
     K, N = q.shape
-    lo = q[:, : N // 2]
-    hi = q[:, N // 2 :]
-    return jnp.bitwise_or(
-        jnp.bitwise_and(lo.astype(jnp.int32), 0xF),
-        jnp.left_shift(jnp.bitwise_and(hi.astype(jnp.int32), 0xF), 4),
-    ).astype(jnp.int8)
+    return i4.pack_nibbles(q[:, : N // 2], q[:, N // 2 :])
 
 
 @functools.partial(jax.jit, static_argnames=("group", "damp", "clip_cands"))

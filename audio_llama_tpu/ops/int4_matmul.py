@@ -69,6 +69,36 @@ INT4_BN = int(_os.environ.get("INT4_BN", "0"))
 #             support this comparison"), hence the floor-based sign fix.
 INT4_UNPACK = _os.environ.get("INT4_UNPACK", "i32lite")
 
+# pack FORMAT (not just an unpack variant — quantize_pack and the kernels
+# must agree; process-level via env, explicit `fmt=` for tests):
+#   pair — low nibble = signed lo, high nibble = signed hi (rounds 3-4).
+#   obin — low nibble stores lo+8 (offset-binary). The sign-extended BYTE
+#          is then exactly 16*hi + (lo+8), so the kernel matmuls the RAW
+#          byte plane (one i8->bf16 convert, no shifts) plus the hi plane
+#          (one shr4) and recovers the lo output in the f32 epilogue:
+#              dot(x, lo) = dot(x, byte) - 16*dot(x, hi) - 8*sum(x_group)
+#          Unpack drops from 3 shifts + 2 converts per weight byte to
+#          1 shift + 2 converts; the correction runs on the [bm, nh]
+#          accumulator instead of the [group, nh] weight tile. The round-4
+#          finding that the int4 kernels are VPU-unpack-bound at M=1
+#          (i32lite's single dropped shift = +17% B1) motivates this.
+INT4_FMT = _os.environ.get("INT4_FMT", "pair")
+
+
+def pack_nibbles(lo: jnp.ndarray, hi: jnp.ndarray, fmt: str | None = None
+                 ) -> jnp.ndarray:
+    """int4 planes (values in [-7, 7]) -> packed int8 byte per column pair.
+    Shared by quantize_pack and models/llama_gptq._pack so the format flag
+    has exactly one implementation."""
+    fmt = fmt or INT4_FMT
+    lo32 = lo.astype(jnp.int32)
+    if fmt == "obin":
+        lo32 = lo32 + 8  # [1, 15]: no sign bit, byte == 16*hi + (lo+8)
+    return jnp.bitwise_or(
+        jnp.bitwise_and(lo32, 0xF),
+        jnp.left_shift(jnp.bitwise_and(hi.astype(jnp.int32), 0xF), 4),
+    ).astype(jnp.int8)
+
 
 def _unpack_planes(b_i8, cdt):
     """Packed int8 block -> (lo, hi) int4 planes in compute dtype.
@@ -90,6 +120,31 @@ def _unpack_planes(b_i8, cdt):
     return lo.astype(cdt), hi.astype(cdt)
 
 
+def _group_dots(xg, braw, cdt, fmt):
+    """One scale-group's raw int4 dots: (p_lo, p_hi) f32 [bm, nh].
+
+    pair: unpack both nibble planes (3 shifts + 2 converts over the
+    [group, nh] weight tile), two MXU dots.
+    obin: dot the RAW byte plane and the hi plane; the lo dot falls out of
+    the f32 epilogue (see INT4_FMT). byte values are ints in [-127, 127] —
+    exact in bf16; products are exact in the f32 MXU accumulator."""
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if fmt == "obin":
+        b_bf = braw.astype(cdt)  # one convert, no shifts
+        hi = jnp.right_shift(braw.astype(jnp.int32), 4).astype(cdt)
+        p_b = dot(xg, b_bf)
+        p_hi = dot(xg, hi)
+        sx = jnp.sum(xg.astype(jnp.float32), axis=1)  # [bm]
+        p_lo = p_b - 16.0 * p_hi - 8.0 * sx[:, None]
+        return p_lo, p_hi
+    lo, hi = _unpack_planes(braw, cdt)
+    return dot(xg, lo), dot(xg, hi)
+
+
 
 # ---------------------------------------------------------------------------
 # quantize / pack (jit-able; runs once at load time)
@@ -98,6 +153,7 @@ def _unpack_planes(b_i8, cdt):
 def quantize_pack(
     w: jnp.ndarray, group: int = GROUP,
     clip_cands: Tuple[float, ...] | None = None,
+    fmt: str | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """w [K, N] float -> (packed [K, N/2] int8, scales [K/group, N] f32).
 
@@ -128,37 +184,37 @@ def quantize_pack(
         scales = scales * jnp.asarray(clip_cands, jnp.float32)[best]
     q = jnp.clip(jnp.round(g / scales[:, None, :]), -7, 7).astype(jnp.int8)
     q = q.reshape(K, N)
-    lo = q[:, : N // 2]
-    hi = q[:, N // 2 :]
-    packed = jnp.bitwise_or(
-        jnp.bitwise_and(lo.astype(jnp.int32), 0xF),
-        jnp.left_shift(jnp.bitwise_and(hi.astype(jnp.int32), 0xF), 4),
-    ).astype(jnp.int8)
+    packed = pack_nibbles(q[:, : N // 2], q[:, N // 2 :], fmt)
     return packed, scales
 
 
-def unpack_ref(packed: jnp.ndarray) -> jnp.ndarray:
+def unpack_ref(packed: jnp.ndarray, fmt: str | None = None) -> jnp.ndarray:
     """packed [K, N/2] int8 -> q [K, N] int32 (sign-extended nibbles)."""
+    fmt = fmt or INT4_FMT
     b = packed.astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(b, 28), 28)  # arithmetic: sign-extends
+    if fmt == "obin":
+        lo = jnp.bitwise_and(b, 0xF) - 8
+    else:
+        lo = jnp.right_shift(jnp.left_shift(b, 28), 28)  # sign-extends
     hi = jnp.right_shift(jnp.left_shift(b, 24), 28)
     return jnp.concatenate([lo, hi], axis=1)
 
 
 def dequantize_ref(packed: jnp.ndarray, scales: jnp.ndarray,
-                   group: int = GROUP) -> jnp.ndarray:
+                   group: int = GROUP, fmt: str | None = None) -> jnp.ndarray:
     """Inverse of quantize_pack (f32) — the parity oracle."""
-    q = unpack_ref(packed).astype(jnp.float32)
+    q = unpack_ref(packed, fmt).astype(jnp.float32)
     K, N = q.shape
     s = jnp.repeat(scales, group, axis=0)  # [K, N]
     return q * s
 
 
 def int4_matmul_ref(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
-                    group: int = GROUP, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                    group: int = GROUP, compute_dtype=jnp.bfloat16,
+                    fmt: str | None = None) -> jnp.ndarray:
     """XLA fallback/oracle: x [..., K] @ dequant(packed) -> [..., N] in
     compute dtype (f32 accumulation like the kernel)."""
-    w = dequantize_ref(packed, scales, group).astype(compute_dtype)
+    w = dequantize_ref(packed, scales, group, fmt).astype(compute_dtype)
     y = jnp.einsum(
         "...k,kn->...n", x.astype(compute_dtype), w,
         preferred_element_type=jnp.float32,
@@ -170,26 +226,21 @@ def int4_matmul_ref(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
 # kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, group, n_groups, bm, nh):
+def _kernel(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, group, n_groups, bm,
+            nh, fmt):
     """Grid step: x block [bm, K] @ packed block [K, nh] -> o [2, bm, nh].
 
     Loops the scale groups (static python loop — n_groups ~ 24 at llama
-    dims): unpack the group's packed rows, two MXU matmuls (lo/hi), one
-    scale-multiply-accumulate each.
+    dims): per-group raw dots via _group_dots (pair: unpack + two MXU
+    matmuls; obin: byte-plane + hi-plane matmuls, epilogue correction),
+    one scale-multiply-accumulate each.
     """
     x = x_ref[:]  # [bm, K]
     acc_lo = jnp.zeros((bm, nh), jnp.float32)
     acc_hi = jnp.zeros((bm, nh), jnp.float32)
     for g in range(n_groups):
         rows = slice(g * group, (g + 1) * group)
-        lo, hi = _unpack_planes(p_ref[rows, :], x.dtype)  # [group, nh]
-        xg = x[:, rows]  # [bm, group]
-        plo = jax.lax.dot_general(
-            xg, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        phi = jax.lax.dot_general(
-            xg, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        plo, phi = _group_dots(x[:, rows], p_ref[rows, :], x.dtype, fmt)
         acc_lo = acc_lo + plo * slo_ref[g, :][None, :]
         acc_hi = acc_hi + phi * shi_ref[g, :][None, :]
     o_ref[0] = acc_lo.astype(o_ref.dtype)
@@ -204,7 +255,8 @@ def _pick(n, cands):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "block_m", "block_n", "interpret")
+    jax.jit,
+    static_argnames=("group", "block_m", "block_n", "interpret", "fmt"),
 )
 def int4_matmul(
     x: jnp.ndarray,  # [..., K] bf16/f32
@@ -214,8 +266,10 @@ def int4_matmul(
     block_m: int = 0,
     block_n: int = 0,
     interpret: bool = False,
+    fmt: str | None = None,
 ) -> jnp.ndarray:
     """x @ dequant(packed, scales) -> [..., N] in x.dtype (f32 accum)."""
+    fmt = fmt or INT4_FMT
     *lead, K = x.shape
     Nh = packed.shape[1]
     N = Nh * 2
@@ -259,7 +313,7 @@ def int4_matmul(
     s_hi = scales[:, N // 2 :]
 
     kernel = functools.partial(
-        _kernel, group=group, n_groups=n_groups, bm=bm, nh=nh
+        _kernel, group=group, n_groups=n_groups, bm=bm, nh=nh, fmt=fmt
     )
     out = pl.pallas_call(
         kernel,
@@ -287,7 +341,7 @@ def available() -> bool:
 
 
 def _kernel_stacked(li_ref, x_ref, p_ref, slo_ref, shi_ref, o_ref, *,
-                    group, n_groups, bm, nh):
+                    group, n_groups, bm, nh, fmt):
     """Stacked-layer variant: identical math to _kernel, but the weight
     operands are the FULL [L, ...] slabs and the layer is chosen by the
     scalar-prefetched index inside the BlockSpec index maps. This exists
@@ -295,20 +349,14 @@ def _kernel_stacked(li_ref, x_ref, p_ref, slo_ref, shi_ref, o_ref, *,
     scan's per-layer weight slice was MATERIALIZED as a copy of every
     layer's packed weights (decode trace: 2.3 ms/step of dynamic-slice —
     a full extra read+write pass over the weight stream, r3b8 trace)."""
+    # (fmt threading: see _kernel)
     del li_ref  # consumed by the index maps
     x = x_ref[:]
     acc_lo = jnp.zeros((bm, nh), jnp.float32)
     acc_hi = jnp.zeros((bm, nh), jnp.float32)
     for g in range(n_groups):
         rows = slice(g * group, (g + 1) * group)
-        lo, hi = _unpack_planes(p_ref[0, rows, :], x.dtype)
-        xg = x[:, rows]
-        plo = jax.lax.dot_general(
-            xg, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        phi = jax.lax.dot_general(
-            xg, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        plo, phi = _group_dots(x[:, rows], p_ref[0, rows, :], x.dtype, fmt)
         acc_lo = acc_lo + plo * slo_ref[0, g, :][None, :]
         acc_hi = acc_hi + phi * shi_ref[0, g, :][None, :]
     o_ref[0] = acc_lo.astype(o_ref.dtype)
@@ -318,7 +366,7 @@ def _kernel_stacked(li_ref, x_ref, p_ref, slo_ref, shi_ref, o_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("group", "block_m", "block_n", "interpret",
-                     "return_planes"),
+                     "return_planes", "fmt"),
 )
 def int4_matmul_stacked(
     x: jnp.ndarray,  # [..., K]
@@ -330,6 +378,7 @@ def int4_matmul_stacked(
     block_n: int = 0,
     interpret: bool = False,
     return_planes: bool = False,
+    fmt: str | None = None,
 ) -> jnp.ndarray:
     """x @ dequant(packed_all[layer]) with the layer chosen INSIDE the
     kernel's index maps (scalar prefetch) — no host-side slice, no copy.
@@ -339,6 +388,7 @@ def int4_matmul_stacked(
     fused gate|up slab the halves ARE gate and up (N_gate == N_up), so
     the caller skips a [M, N] materialized copy — at B64 x 2048 prefill
     rows that copy transient OOM'd HBM (llama_int4 fusion note)."""
+    fmt = fmt or INT4_FMT
     *lead, K = x.shape
     L, _, Nh = packed_all.shape
     N = Nh * 2
@@ -372,7 +422,8 @@ def int4_matmul_stacked(
     nm, nn = M_pad // bm, Nh // nh
 
     kernel = functools.partial(
-        _kernel_stacked, group=group, n_groups=n_groups, bm=bm, nh=nh
+        _kernel_stacked, group=group, n_groups=n_groups, bm=bm, nh=nh,
+        fmt=fmt,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -413,11 +464,13 @@ def int4_matmul_stacked(
 
 def int4_matmul_stacked_ref(x, packed_all, scales_all, layer,
                             group: int = GROUP, compute_dtype=jnp.bfloat16,
-                            return_planes: bool = False):
+                            return_planes: bool = False,
+                            fmt: str | None = None):
     """XLA fallback/oracle for the stacked variant."""
     p = jax.lax.dynamic_index_in_dim(packed_all, layer, 0, keepdims=False)
     s = jax.lax.dynamic_index_in_dim(scales_all, layer, 0, keepdims=False)
-    y = int4_matmul_ref(x, p, s, group=group, compute_dtype=compute_dtype)
+    y = int4_matmul_ref(x, p, s, group=group, compute_dtype=compute_dtype,
+                        fmt=fmt)
     if return_planes:
         nh = y.shape[-1] // 2
         return y[..., :nh], y[..., nh:]

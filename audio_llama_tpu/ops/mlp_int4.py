@@ -37,17 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .int4_matmul import GROUP, int4_matmul_stacked_ref
-
-
-from .int4_matmul import _unpack_planes
-
-
-def _sx(b, lo: bool):
-    """Sign-extended nibble planes of an int32 byte tensor."""
-    if lo:
-        return jnp.right_shift(jnp.left_shift(b, 28), 28)
-    return jnp.right_shift(jnp.left_shift(b, 24), 28)
+from .int4_matmul import GROUP, INT4_FMT, _group_dots, int4_matmul_stacked_ref
 
 
 def _kernel(
@@ -66,6 +56,7 @@ def _kernel(
     m: int,
     nc: int,    # grid size (F / cn)
     has_dnr: bool = False,
+    fmt: str = "pair",
 ):
     del li_ref  # consumed by the BlockSpec index maps
     if has_dnr:
@@ -85,16 +76,7 @@ def _kernel(
     u_acc = jnp.zeros((m, cn_), jnp.float32)
     for g in range(kg):
         rows = slice(g * group, (g + 1) * group)
-        glo, ghi = _unpack_planes(gup_ref[0, rows, :], cdt)
-        xg = x[:, rows]
-        pg = jax.lax.dot_general(
-            xg, glo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        pu = jax.lax.dot_general(
-            xg, ghi, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        pg, pu = _group_dots(x[:, rows], gup_ref[0, rows, :], cdt, fmt)
         g_acc = g_acc + pg * gsl_ref[0, g, :][None, :]
         u_acc = u_acc + pu * gsh_ref[0, g, :][None, :]
     # SiLU(gate) * up in f32, then to compute dtype for the down MXU pass
@@ -108,16 +90,7 @@ def _kernel(
 
     for g2 in range(cg):
         rows = slice(g2 * group, (g2 + 1) * group)
-        dlo, dhi = _unpack_planes(dnp_ref[0, rows, :], cdt)
-        ag = a[:, rows]
-        plo = jax.lax.dot_general(
-            ag, dlo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        phi = jax.lax.dot_general(
-            ag, dhi, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        plo, phi = _group_dots(a[:, rows], dnp_ref[0, rows, :], cdt, fmt)
         acc[0] += plo * dsl_ref[0, 0, g2, :][None, :]
         acc[1] += phi * dsh_ref[0, 0, g2, :][None, :]
 
@@ -127,7 +100,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "chunk", "interpret")
+    jax.jit, static_argnames=("group", "chunk", "interpret", "fmt")
 )
 def mlp_int4_stacked(
     x: jnp.ndarray,          # [..., K] bf16/f32 (M = prod(lead) <= 64)
@@ -140,8 +113,10 @@ def mlp_int4_stacked(
     chunk: int = 512,         # F columns per grid step
     interpret: bool = False,
     dn_r: jnp.ndarray | None = None,  # [L, F] f32 equalizer (smooth trees)
+    fmt: str | None = None,
 ) -> jnp.ndarray:
     """silu(x @ Wgate) * (x @ Wup) @ Wdown -> [..., D] in x.dtype."""
+    fmt = fmt or INT4_FMT
     *lead, K = x.shape
     L, _, F = gup_packed.shape
     nd = dn_packed.shape[2]
@@ -177,7 +152,7 @@ def mlp_int4_stacked(
 
     kernel = functools.partial(
         _kernel, group=group, kg=kg, cg=cg, m=m, nc=nc,
-        has_dnr=dn_r is not None,
+        has_dnr=dn_r is not None, fmt=fmt,
     )
     in_specs = [
         pl.BlockSpec((m, K), lambda c, li: (0, 0)),
@@ -228,12 +203,12 @@ def mlp_int4_stacked(
 
 def mlp_int4_stacked_ref(
     x, gup_packed, gup_scales, dn_packed, dn_scales, layer,
-    group: int = GROUP, compute_dtype=jnp.bfloat16, dn_r=None,
+    group: int = GROUP, compute_dtype=jnp.bfloat16, dn_r=None, fmt=None,
 ):
     """XLA oracle: the two-call planes path this kernel fuses."""
     g, u = int4_matmul_stacked_ref(
         x, gup_packed, gup_scales, layer, group=group,
-        compute_dtype=compute_dtype, return_planes=True,
+        compute_dtype=compute_dtype, return_planes=True, fmt=fmt,
     )
     a = jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
     if dn_r is not None:
@@ -242,7 +217,7 @@ def mlp_int4_stacked_ref(
         ).astype(jnp.float32)
     return int4_matmul_stacked_ref(
         a.astype(compute_dtype), dn_packed, dn_scales, layer, group=group,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, fmt=fmt,
     )
 
 

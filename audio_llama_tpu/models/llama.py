@@ -400,6 +400,14 @@ def llama_forward(
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids, compute_dtype)
     x = inputs_embeds.astype(compute_dtype)
+    # QuaRot sandwich (models/llama_rotate.py): a rotated tree carries the
+    # stream rotation as params["rot"]; rotate once here, un-rotate once
+    # before the final norm. Embedding/unembedding stay in the original
+    # basis, so tied tables and the audio-spliced inputs_embeds need no
+    # special handling.
+    _rot = params.get("rot")
+    if _rot is not None:
+        x = x @ _rot.astype(compute_dtype)
     B, T, D = x.shape
 
     if cache_offsets is not None:
@@ -1173,6 +1181,9 @@ def llama_forward(
 
     if T_real != T:  # drop the flash tile-padding rows
         x = x[:, :T_real]
+
+    if _rot is not None:  # leave the rotated basis (QuaRot sandwich)
+        x = x @ _rot.astype(compute_dtype).T
 
     x = rms_norm(x, params["final_ln"].astype(compute_dtype), cfg.rms_norm_eps)
 

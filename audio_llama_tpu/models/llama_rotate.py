@@ -86,11 +86,34 @@ def _out_rot(w: jnp.ndarray, rf: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _head_cols_rot(w: jnp.ndarray, r2: jnp.ndarray, hd: int) -> jnp.ndarray:
+    """[L, D, H*hd]: rotate each head's OUTPUT column block by R2."""
+    L, D, N = w.shape
+
+    def one(m):
+        m3 = m.astype(jnp.float32).reshape(D, N // hd, hd)
+        return jnp.einsum("dhk,kj->dhj", m3, r2).reshape(D, N).astype(w.dtype)
+
+    return jax.lax.map(one, w)
+
+
+def _head_rows_rot(w: jnp.ndarray, r2: jnp.ndarray, hd: int) -> jnp.ndarray:
+    """[L, H*hd, D]: counter-rotate each head's INPUT row block (R2^T @)."""
+    L, N, D = w.shape
+
+    def one(m):
+        m3 = m.astype(jnp.float32).reshape(N // hd, hd, D)
+        return jnp.einsum("kj,hkd->hjd", r2, m3).reshape(N, D).astype(w.dtype)
+
+    return jax.lax.map(one, w)
+
+
 def rotate_llama(
     params: Params,
     cfg: LlamaConfig,
     key_or_rot,
     lora: dict | None = None,
+    heads: bool = True,
 ):
     """Full-precision llama tree -> exactly-equivalent rotated tree.
 
@@ -98,6 +121,15 @@ def rotate_llama(
     orthogonal [D, D] matrix. Returns the rotated tree (with params["rot"])
     — and, if a trainable LoRA overlay is passed, (tree, rotated_lora) so
     adapters trained on the unrotated model keep working verbatim.
+
+    heads (default on): also apply the per-head R2 [hd, hd] rotation of
+    the v/o pair — v_proj's per-head output columns get R2 and o_proj's
+    per-head input rows get R2^T, cancelling through the (linear-in-v)
+    attention mix. This spreads o_proj's head-space input outliers AND the
+    v activations that the int8/int4 KV cache quantizes per row. It folds
+    completely (no runtime term, nothing stored); q/k stay untouched —
+    RoPE sits between their projections and the dot product, so an hd
+    rotation would not commute.
 
     The input tree must be full precision (quantize AFTER rotating) and
     not already rotated.
@@ -130,20 +162,34 @@ def rotate_llama(
     new_layers["input_ln"] = jnp.ones_like(g_in)
     new_layers["post_attn_ln"] = jnp.ones_like(g_post)
 
+    r2 = None
+    if heads:
+        hd = cfg.head_dim
+        key2 = (
+            jax.random.PRNGKey(0x52) if isinstance(key_or_rot, jnp.ndarray)
+            and key_or_rot.ndim == 2 else jax.random.fold_in(key_or_rot, 2)
+        )
+        r2 = random_rotation(key2, hd).astype(jnp.float32)
+        new_layers["v_proj"] = _head_cols_rot(new_layers["v_proj"], r2, hd)
+        new_layers["o_proj"] = _head_rows_rot(new_layers["o_proj"], r2, hd)
+
     out = dict(params)
     out["layers"] = new_layers
     out["rot"] = rot
     if lora is None:
         return out
-    return out, rotate_lora(lora, g_in, g_post, rot)
+    return out, rotate_lora(lora, g_in, g_post, rot, r2=r2, hd=cfg.head_dim)
 
 
 def rotate_lora(lora: dict, g_in: jnp.ndarray, g_post: jnp.ndarray,
-                rot: jnp.ndarray) -> dict:
+                rot: jnp.ndarray, r2: jnp.ndarray | None = None,
+                hd: int | None = None) -> dict:
     """Transform a trainable LoRA overlay to act on the rotated stream.
 
     Input-side factors a [L, D, r] absorb the same R^T diag(gamma) as their
-    base weights; output-side b [L, r, D] factors of o/down get b R. The
+    base weights; output-side b [L, r, D] factors of o/down get b R. With
+    the per-head R2 (r2, hd): v_proj's b columns rotate per head and
+    o_proj's a rows counter-rotate, mirroring the base v/o fold. The
     adapted model's logits are unchanged (same algebra as the base fold).
     """
     rf = rot.astype(jnp.float32)
@@ -155,6 +201,11 @@ def rotate_lora(lora: dict, g_in: jnp.ndarray, g_post: jnp.ndarray,
             br["a"] = _in_rot(br["a"], g, rf)
         if name in _OUT_SIDE:
             br["b"] = _out_rot(br["b"], rf)
+        if r2 is not None:
+            if name == "v_proj":  # b [L, r, Hkv*hd]: per-head columns
+                br["b"] = _head_cols_rot(br["b"], r2, hd)
+            if name == "o_proj":  # a [L, Hq*hd, r]: per-head rows
+                br["a"] = _head_rows_rot(br["a"], r2, hd)
         layers[name] = br
     out = dict(lora)
     out["layers"] = layers

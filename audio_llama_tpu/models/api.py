@@ -181,7 +181,7 @@ class AudioLLM:
 
     def quantize_decoder(
         self, include_embed: bool = True, bits: int = 8, tp: int = 1,
-        rotate: bool = False, rotate_key=None,
+        rotate: bool = False, rotate_key=None, fmt: str | None = None,
     ) -> "AudioLLM":
         """Weight-only quantized frozen Llama for decode serving — bits=8
         (W8A16, models/llama_int8.py) halves the per-step HBM weight stream
@@ -217,7 +217,7 @@ class AudioLLM:
             from . import llama_int4 as l4
 
             frozen["llama"] = l4.quantize_llama_int4(
-                llama_tree, include_embed=include_embed, tp=tp
+                llama_tree, include_embed=include_embed, tp=tp, fmt=fmt
             )
         elif bits == 8:
             from . import llama_int8 as l8

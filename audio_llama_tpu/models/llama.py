@@ -677,6 +677,11 @@ def llama_forward(
             n: _squeeze_int4_blocks(lp[n]) for n in LINEAR_NAMES
         }
         lp = {k: v for k, v in lp.items() if k not in LINEAR_NAMES}
+    # nibble pack format is a TREE property (quantize_llama_int4 fmt=,
+    # marker leaf 'int4_obin') so dispatch always matches the storage
+    _i4fmt = "obin" if "int4_obin" in params else "pair"
+    if "int4_obin" in lp:
+        lp = {k: v for k, v in lp.items() if k != "int4_obin"}
 
     def _int4_smooth_in(x_in, w, li):
         """Smoothed int4 trees (quantize_llama_int4 smooth=True) carry a
@@ -701,11 +706,11 @@ def llama_forward(
         if i4.available():
             return i4.int4_matmul_stacked(
                 x_in.astype(compute_dtype), w["w_p"], w["w_s"], li, group=g,
-                return_planes=True,
+                return_planes=True, fmt=_i4fmt,
             )
         return i4.int4_matmul_stacked_ref(
             x_in, w["w_p"], w["w_s"], li, group=g,
-            compute_dtype=compute_dtype, return_planes=True,
+            compute_dtype=compute_dtype, return_planes=True, fmt=_i4fmt,
         )
 
     def _int4_linear(x_in, name, li, lora_branch):
@@ -716,12 +721,13 @@ def llama_forward(
         g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
         if i4.available():
             y = i4.int4_matmul_stacked(
-                xq.astype(compute_dtype), w["w_p"], w["w_s"], li, group=g
+                xq.astype(compute_dtype), w["w_p"], w["w_s"], li, group=g,
+                fmt=_i4fmt,
             )
         else:
             y = i4.int4_matmul_stacked_ref(
                 xq, w["w_p"], w["w_s"], li, group=g,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, fmt=_i4fmt,
             )
         if lora_branch is not None:
             a, b, scaling = lora_branch
@@ -1134,7 +1140,7 @@ def llama_forward(
                 group=grp,
                 chunk=mlp4.pick_chunk(gu["w_p"].shape[-1], grp),
                 interpret=_mlp_fused_mode == "interp",
-                dn_r=dn.get("w_r"),
+                dn_r=dn.get("w_r"), fmt=_i4fmt,
             )
         elif "gateup_proj" in int4_slabs:
             # halves packing makes the planes EXACTLY gate and up

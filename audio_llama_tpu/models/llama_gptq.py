@@ -38,21 +38,22 @@ from ..ops import int4_matmul as i4
 from .llama import Params
 
 
-def _pack(q: jnp.ndarray) -> jnp.ndarray:
+def _pack(q: jnp.ndarray, fmt: str | None = None) -> jnp.ndarray:
     """int4 values [K, N] -> column-pair-halves packed [K, N/2] int8
-    (ops/int4_matmul.pack_nibbles — shared so INT4_FMT has exactly one
-    packing implementation)."""
+    (ops/int4_matmul.pack_nibbles — shared so the pack format has exactly
+    one packing implementation)."""
     K, N = q.shape
-    return i4.pack_nibbles(q[:, : N // 2], q[:, N // 2 :])
+    return i4.pack_nibbles(q[:, : N // 2], q[:, N // 2 :], fmt=fmt)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "damp", "clip_cands"))
+@functools.partial(jax.jit, static_argnames=("group", "damp", "clip_cands", "fmt"))
 def gptq_pack(
     w: jnp.ndarray,        # [K, N] float
     H: jnp.ndarray,        # [K, K] f32 input Gram (sum x x^T)
     group: int = i4.GROUP,
     damp: float = 0.01,
     clip_cands: Tuple[float, ...] | None = None,
+    fmt: str | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """GPTQ row-sequential int4 quantization with error feedback.
 
@@ -141,7 +142,7 @@ def gptq_pack(
             Wt = Wt - U_tail.T @ Err
             W = jax.lax.dynamic_update_slice_in_dim(W, Wt, r0 + group, 0)
 
-    return _pack(Q.astype(jnp.int32)), scales
+    return _pack(Q.astype(jnp.int32), fmt=fmt), scales
 
 
 def gptq_proxy_loss(w, packed, scales, H, group: int = i4.GROUP):
@@ -185,6 +186,7 @@ def quantize_llama_int4_gptq(
     params: Params, stats: dict, include_embed: bool = True,
     group: int = i4.GROUP, damp: float = 0.01,
     clip_cands: Tuple[float, ...] | None = None,
+    fmt: str | None = None,
 ) -> Params:
     """Full-precision llama tree + calibration Grams -> fused int4 tree
     (identical layout/consumers to quantize_llama_int4(fuse=True):
@@ -196,6 +198,7 @@ def quantize_llama_int4_gptq(
     first = params["layers"].get("qkv_proj", params["layers"].get("q_proj"))
     if isinstance(first, dict):
         raise ValueError("quantize_llama_int4_gptq expects a full-precision tree")
+    fmt = fmt or i4.INT4_FMT
 
     layers = dict(params["layers"])
     slabs = {
@@ -214,16 +217,19 @@ def quantize_llama_int4_gptq(
 
             def per_layer(args, _g=group, _d=damp, _c=clip_cands):
                 m, h = args
-                return gptq_pack(m, h, group=_g, damp=_d, clip_cands=_c)
+                return gptq_pack(m, h, group=_g, damp=_d, clip_cands=_c,
+                                 fmt=fmt)
 
             packed, sc = jax.lax.map(per_layer, (w, H))
         else:
             packed, sc = jax.lax.map(
-                lambda m, _g=group: i4.quantize_pack(m, group=_g), w
+                lambda m, _g=group: i4.quantize_pack(m, group=_g, fmt=fmt), w
             )
         layers[name] = {"w_p": packed, "w_s": sc}
 
     out = dict(params)
+    if fmt == "obin":
+        out["int4_obin"] = jnp.zeros((), jnp.int8)  # forward dispatch marker
     out["layers"] = layers
     if include_embed:
         q, s = _quantize_rows(params["embed"]["weight"])

@@ -71,7 +71,7 @@ def _equalize_rows(m: jnp.ndarray, eps: float = 1e-6):
 def _quantize_stacked_int4(
     w: jnp.ndarray, group: int = i4.GROUP, tp: int = 1,
     col_parallel: bool = False, smooth: bool = False,
-    clip: bool = False,
+    clip: bool = False, fmt: str | None = None,
 ) -> dict:
     """[L, K, N] -> {'w_p' int8 [L, K, N/2], 'w_s' f32 [L, K/group, N]}.
 
@@ -100,7 +100,7 @@ def _quantize_stacked_int4(
             w, r_all = jax.lax.map(_equalize_rows, w)
         blocks = w.reshape(L, K, tp, N // tp).transpose(0, 2, 1, 3)
         packed, scales = jax.vmap(jax.vmap(
-            lambda m: i4.quantize_pack(m, group=group, clip_cands=cands)
+            lambda m: i4.quantize_pack(m, group=group, clip_cands=cands, fmt=fmt)
         ))(blocks)                       # [L, tp, K, N/2tp], [L, tp, K/g, N/tp]
         packed = packed.transpose(0, 2, 1, 3)           # [L, K, tp, N/2tp]
         scales = scales.transpose(0, 2, 1, 3).reshape(L, K // group, N)
@@ -115,13 +115,13 @@ def _quantize_stacked_int4(
     if smooth:
         def per_layer(m):
             m2, r = _equalize_rows(m)
-            p, s = i4.quantize_pack(m2, group=group, clip_cands=cands)
+            p, s = i4.quantize_pack(m2, group=group, clip_cands=cands, fmt=fmt)
             return p, s, r
 
         packed, scales, r_all = jax.lax.map(per_layer, w)
         return {"w_p": packed, "w_s": scales, "w_r": r_all}
     packed, scales = jax.lax.map(
-        lambda m: i4.quantize_pack(m, group=group, clip_cands=cands), w
+        lambda m: i4.quantize_pack(m, group=group, clip_cands=cands, fmt=fmt), w
     )
     return {"w_p": packed, "w_s": scales}
 
@@ -129,9 +129,18 @@ def _quantize_stacked_int4(
 def quantize_llama_int4(
     params: Params, include_embed: bool = True, group: int = i4.GROUP,
     tp: int = 1, fuse: bool | None = None, smooth: bool = False,
-    clip: bool = True,
+    clip: bool | None = None, fmt: str | None = None,
 ) -> Params:
     """Llama param tree -> weight-only-int4 tree (see module docstring).
+
+    fmt (None = the INT4_FMT env default): nibble pack format, recorded IN
+    the tree as the scalar marker leaf 'int4_obin' so forward dispatch
+    always matches the storage (a process-level-only flag could silently
+    decode a tree packed under the other format). 'obin' wins at decode B1
+    (epilogue lo recovery, ops/int4_matmul.py; +6%..+45% across sessions —
+    tunnel noise dominates sub-ms steps, clean idle-host reps +6-11%) and
+    loses ~5% at B64 / ties at B128 — pick per pool batch (bench.py
+    auto-picks obin for B <= 32).
 
     tp > 1: pack-after-shard layout for tensor-parallel generation
     (make_tp_generate) — column-parallel slabs pack per tp block (4-D w_p);
@@ -139,16 +148,20 @@ def quantize_llama_int4(
     pairs across, but their group scales must stay shard-aligned:
     (K/tp) % group == 0 is validated here.
 
-    clip (DEFAULT ON): clipped-RTN scale search (CLIP_CANDS) — zero runtime
-    or layout cost, one-time quantize cost, never worse per (group, column)
-    and measured outlier-gate KL 0.657 -> 0.376. smooth: per-input-row
-    weight equalization ('w_r' in each slab dict — see _equalize_rows;
-    ~= clip's win, does NOT stack with it, adds a runtime input multiply —
-    kept for A/B). The highest-accuracy path is calibrated GPTQ error
-    feedback (models/llama_gptq.py, measured 0.336); int4 decode remains
-    OPT-IN either way (the < 0.2 flip bar is unmet; per-role attribution
-    experiments/int4_role_attrib.py shows no dominant slab to mix-precision
-    away). Numerics stay W4A16-exact given the quantized values.
+    clip (default None = AUTO: on for plain trees, OFF for rotated ones):
+    clipped-RTN scale search (CLIP_CANDS) — zero runtime or layout cost,
+    one-time quantize cost, measured outlier-gate KL 0.657 -> 0.376 on
+    plain trees. On QuaRot-ROTATED trees ("rot" in params) clipping HURTS
+    (gate 0.284 vs plain-RTN 0.197: post-rotation weights are near-
+    Gaussian, so per-(group,col) MSE-optimal shrinkage just adds tail
+    error), hence the auto default. smooth: per-input-row weight
+    equalization ('w_r' in each slab dict — see _equalize_rows; ~= clip's
+    win, does NOT stack with it, adds a runtime input multiply — kept for
+    A/B). Accuracy ladder under the outlier gate
+    (experiments/int4_rotate_gate.py): clip 0.376 < rotate+RTN 0.197 <
+    rotate+GPTQ+clip 0.125 (models/llama_gptq.py, calibrated) — the
+    rotated arms PASS the < 0.2 int4-serving bar; unrotated int4 stays
+    opt-in. Numerics stay W4A16-exact given the quantized values.
 
     fuse (default: tp == 1): merge the shared-input projections into ONE
     kernel call each — 'qkv_proj' = [q|k|v] out-columns, 'gateup_proj' =
@@ -167,9 +180,14 @@ def quantize_llama_int4(
         )
     if fuse is None:
         fuse = tp == 1
+    if clip is None:
+        clip = "rot" not in params  # see docstring: clip hurts rotated trees
+    fmt = fmt or i4.INT4_FMT
     if fuse and tp > 1:
         raise ValueError("fused int4 trees are tp=1 only (dp/single-chip)")
     out = dict(params)
+    if fmt == "obin":
+        out["int4_obin"] = jnp.zeros((), jnp.int8)  # forward dispatch marker
     layers = dict(params["layers"])
     if fuse:
         import jax.numpy as _jnp
@@ -179,17 +197,17 @@ def quantize_llama_int4(
                 [layers.pop("q_proj"), layers.pop("k_proj"),
                  layers.pop("v_proj")], axis=-1,
             ),
-            group, smooth=smooth, clip=clip,
+            group, smooth=smooth, clip=clip, fmt=fmt,
         )
         layers["gateup_proj"] = _quantize_stacked_int4(
             _jnp.concatenate(
                 [layers.pop("gate_proj"), layers.pop("up_proj")], axis=-1
             ),
-            group, smooth=smooth, clip=clip,
+            group, smooth=smooth, clip=clip, fmt=fmt,
         )
         for name in ("o_proj", "down_proj"):
             layers[name] = _quantize_stacked_int4(
-                layers[name], group, smooth=smooth, clip=clip
+                layers[name], group, smooth=smooth, clip=clip, fmt=fmt
             )
         out["layers"] = layers
         if include_embed:
@@ -209,7 +227,7 @@ def quantize_llama_int4(
                 )
         layers[name] = _quantize_stacked_int4(
             layers[name], group, tp=tp, col_parallel=col,
-            smooth=smooth, clip=clip,
+            smooth=smooth, clip=clip, fmt=fmt,
         )
     out["layers"] = layers
     if include_embed:
@@ -224,13 +242,14 @@ def dequantize_llama_int4(params: Params) -> Params:
     """int4 tree -> f32 tree (the numerics oracle for parity tests: the
     kernel path must match llama_forward over THIS tree). Fused trees
     ('qkv_proj'/'gateup_proj') are split back to the canonical names."""
-    out = dict(params)
+    fmt = "obin" if "int4_obin" in params else "pair"
+    out = {k: v for k, v in params.items() if k != "int4_obin"}
     layers = dict(params["layers"])
     if "qkv_proj" in layers:
         def deq(w):
             g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
             d = jax.vmap(
-                lambda p, s: i4.dequantize_ref(p, s, group=g)
+                lambda p, s: i4.dequantize_ref(p, s, group=g, fmt=fmt)
             )(w["w_p"], w["w_s"])
             if "w_r" in w:  # effective weight = diag(w_r) @ dequant
                 d = d * w["w_r"][:, :, None]
@@ -272,7 +291,7 @@ def dequantize_llama_int4(params: Params) -> Params:
             pb = w["w_p"].transpose(0, 2, 1, 3)           # [L, tp, K, nh]
             sb = w["w_s"].reshape(L, K // g, tp, nl).transpose(0, 2, 1, 3)
             deq = jax.vmap(jax.vmap(
-                lambda p, s: i4.dequantize_ref(p, s, group=g)
+                lambda p, s: i4.dequantize_ref(p, s, group=g, fmt=fmt)
             ))(pb, sb)                                    # [L, tp, K, nl]
             d4 = deq.transpose(0, 2, 1, 3).reshape(L, K, tp * nl)
             if "w_r" in w:
@@ -281,7 +300,7 @@ def dequantize_llama_int4(params: Params) -> Params:
             continue
         g = w["w_p"].shape[-2] // w["w_s"].shape[-2]
         d = jax.vmap(
-            lambda p, s: i4.dequantize_ref(p, s, group=g)
+            lambda p, s: i4.dequantize_ref(p, s, group=g, fmt=fmt)
         )(w["w_p"], w["w_s"])
         if "w_r" in w:
             d = d * w["w_r"][:, :, None]

@@ -122,7 +122,8 @@ def _unpack_planes(b_i8, cdt):
 
 # obin strategy switch: the epilogue recovery pays a per-activation-row
 # row-sum + two [bm, nh] FMAs; at decode M=1 that is ~free while the saved
-# unpack shifts are the whole kernel (+45% B1 end-to-end, obin_ab.sh), but
+# unpack shifts are the whole kernel (+6..45% B1 end-to-end across
+# sessions — tunnel noise dominates; obin_ab*.sh, /tmp/b1_confirm), but
 # at bm=64 the epilogue measured -6.3%. Above this block-M, unpack obin
 # bytes DIRECTLY — and/sub/shr, the same op count as 'pair' i32lite — so
 # one storage format serves every batch.

@@ -516,10 +516,16 @@ def run_decode(args):
         from audio_llama_tpu.models import llama_int4 as l4
 
         _fuse = _os.environ.get("INT4_FUSE", "1") == "1"  # A/B knob
+        # pack format: obin wins at B1 (epilogue lo recovery; +6..45%
+        # across sessions, tunnel-noise-dominated) and loses ~5% at B64 —
+        # auto-pick by pool batch; INT4_FMT overrides
+        _fmt = _os.environ.get("INT4_FMT") or ("obin" if B <= 32 else "pair")
+        # tiny dims: hidden < the flagship scale-group depth
+        _grp = min(128, cfg.hidden_size)
         params = jax.jit(
             lambda k: l4.quantize_llama_int4(
                 _maybe_rotate(lm.init_params(cfg, k, dtype=jnp.bfloat16), k),
-                fuse=_fuse,
+                fuse=_fuse, fmt=_fmt, group=_grp,
             )
         )(jax.random.PRNGKey(0))
     elif args.int8_weights:

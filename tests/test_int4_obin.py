@@ -123,3 +123,61 @@ def test_mlp_fused_obin_matches_oracle_interpret():
                 np.asarray(got), np.asarray(ref), atol=3e-3, rtol=3e-3,
                 err_msg=f"layer {layer} dn_r={r is not None}",
             )
+
+
+def test_fmt_is_a_tree_property():
+    """The pack format rides the tree (marker leaf 'int4_obin'), so forward
+    dispatch matches the storage REGARDLESS of the process INT4_FMT env —
+    a pair-env process must decode an obin tree correctly and vice versa."""
+    from audio_llama_tpu.config import LlamaConfig
+    from audio_llama_tpu.models import llama as lm
+    from audio_llama_tpu.models.llama_int4 import (
+        dequantize_llama_int4,
+        quantize_llama_int4,
+    )
+
+    cfg = LlamaConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+        max_position_embeddings=2048, rope_scaling=None,
+        tie_word_embeddings=True,
+    )
+    params = lm.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 3, 500)
+    mask = jnp.ones((2, 16), jnp.int32)
+
+    outs = {}
+    for fmt in ("pair", "obin"):
+        q = quantize_llama_int4(params, fmt=fmt)
+        assert ("int4_obin" in q) == (fmt == "obin")
+        deq = dequantize_llama_int4(q)
+        assert "int4_obin" not in deq
+        got, _ = lm.llama_forward(
+            q, cfg, input_ids=ids, attention_mask=mask,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        ref, _ = lm.llama_forward(
+            deq, cfg, input_ids=ids, attention_mask=mask,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-3, rtol=2e-3
+        )
+        outs[fmt] = np.asarray(got)
+    # same quantized VALUES in both formats -> identical logits
+    np.testing.assert_allclose(outs["pair"], outs["obin"], atol=1e-4)
+
+
+def test_gptq_fmt_threading():
+    """GPTQ packing honors fmt= and stamps the marker."""
+    from audio_llama_tpu.models.llama_gptq import gptq_pack
+    from audio_llama_tpu.ops.int4_matmul import dequantize_ref
+
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randn(128, 256).astype(np.float32)) * 0.05
+    h = jnp.eye(128, dtype=jnp.float32) * 4.0
+    for fmt in ("pair", "obin"):
+        p, s = gptq_pack(w, h, fmt=fmt)
+        d = dequantize_ref(p, s, fmt=fmt)
+        err = float(jnp.linalg.norm(d - w) / jnp.linalg.norm(w))
+        assert err < 0.12, (fmt, err)

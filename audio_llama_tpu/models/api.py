@@ -181,26 +181,31 @@ class AudioLLM:
 
     def quantize_decoder(
         self, include_embed: bool = True, bits: int = 8, tp: int = 1,
-        rotate: bool = False, rotate_key=None, fmt: str | None = None,
+        rotate: bool | None = None, rotate_key=None, fmt: str | None = None,
     ) -> "AudioLLM":
         """Weight-only quantized frozen Llama for decode serving — bits=8
         (W8A16, models/llama_int8.py) halves the per-step HBM weight stream
         that bounds decode throughput; bits=4 (W4A16, models/llama_int4.py,
-        Pallas dequant kernel) halves it again with the standard int4-RTN
-        accuracy envelope (validate WER first). LoRA overlays keep working;
-        for zero-overhead serving call merge_lora() FIRST (merging needs
-        bf16 weights).
+        Pallas dequant kernel) halves it again.
 
-        rotate: apply the exact QuaRot residual-stream rotation before
-        quantizing (models/llama_rotate.py) — spreads outlier channels
-        across scale groups, measured to cut the int4 outlier-regime KL
-        (experiments/int4_rotate_gate.py). Any LoRA overlay in trainable
-        is transformed alongside."""
+        rotate (default None = AUTO: on for bits=4, off for bits=8): apply
+        the exact QuaRot residual-stream rotation before quantizing
+        (models/llama_rotate.py) — spreads outlier channels across scale
+        groups. Outlier-regime logit-KL gate (experiments/
+        int4_rotate_gate.py + _gate2.py): plain clipped-RTN 0.376 fails
+        the 0.2 serving bar; rotate+RTN 0.197 and rotate+GPTQ+clip 0.123
+        pass it — rotation is what makes int4 decode honest, hence the
+        auto default. int8's unrotated KL is already 0.034, so bits=8
+        skips the two [*, D] @ [D, D] sandwich matmuls per step. Any LoRA
+        overlay in trainable is transformed alongside; for zero-overhead
+        serving call merge_lora() FIRST (merging needs bf16 weights)."""
         import jax as _jax
 
         frozen = dict(self.frozen)
         trainable = self.trainable
         llama_tree = frozen["llama"]
+        if rotate is None:
+            rotate = bits == 4
         if rotate:
             from . import llama_rotate as rt
 
@@ -215,9 +220,12 @@ class AudioLLM:
                 llama_tree = rt.rotate_llama(llama_tree, self.cfg.llama, key)
         if bits == 4:
             from . import llama_int4 as l4
+            from ..ops import int4_matmul as _i4
 
             frozen["llama"] = l4.quantize_llama_int4(
-                llama_tree, include_embed=include_embed, tp=tp, fmt=fmt
+                llama_tree, include_embed=include_embed, tp=tp, fmt=fmt,
+                # toy dims: hidden < the flagship 128-row scale group
+                group=min(_i4.GROUP, self.cfg.llama.hidden_size),
             )
         elif bits == 8:
             from . import llama_int8 as l8

@@ -253,3 +253,32 @@ def test_facade_quantize_decoder_rotate():
     assert isinstance(out_qr, str)
     if out_q and out_qr:
         assert out_qr[0] == out_q[0]
+
+
+def test_facade_bits4_rotates_by_default():
+    """quantize_decoder's rotate default is AUTO: bits=4 rotates (the gate
+    arms that pass the 0.2 KL serving bar are the rotated ones — 0.197 RTN
+    / 0.123 GPTQ+clip vs 0.376 unrotated, experiments/int4_rotate_gate*),
+    bits=8 does not (unrotated int8 KL 0.034 needs no sandwich matmuls)."""
+    from audio_llama_tpu.config import AudioLLMConfig
+    from audio_llama_tpu.data.tokenizer import ByteTokenizer
+    from audio_llama_tpu.models import allm
+    from audio_llama_tpu.models.api import AudioLLM
+
+    cfg = AudioLLMConfig.tiny()
+    tk = ByteTokenizer()
+    cfg = cfg.replace(
+        llama=cfg.llama.replace(vocab_size=max(tk.vocab_size, 384))
+    )
+    kf, kt = jax.random.split(jax.random.PRNGKey(0))
+    model = AudioLLM(
+        cfg, allm.init_frozen(cfg, kf, dtype=jnp.float32),
+        allm.init_trainable(cfg, kt), tk,
+    )
+    q4 = model.quantize_decoder(bits=4)
+    assert "rot" in q4.frozen["llama"]
+    assert "rot" not in model.quantize_decoder(bits=8).frozen["llama"]
+    assert "rot" not in model.quantize_decoder(bits=4, rotate=False).frozen["llama"]
+    # rotated int4 model is servable end-to-end
+    out = q4.generate("hi", max_new_tokens=4, greedy=True)
+    assert isinstance(out, str)

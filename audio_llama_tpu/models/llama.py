@@ -135,7 +135,8 @@ class KVCache(NamedTuple):
 
     int4 mode (zeros(quantized=4)): `k` holds ONE K/V-COMBINED nibble-packed
     int8 array [L, B, Hkv, max_len, hd] (byte d of a row = K's dim-d int4
-    in the low nibble, V's in the high nibble — quantize_kv_rows4) and `v`
+    offset-binary in the low nibble, V's signed in the high nibble —
+    quantize_kv_rows4) and `v`
     is None (the int4 marker); both per-row f32 scale sets remain. Combined
     packing keeps the slab at a full 128-lane trailing dim (a hd/2-packed
     slab cannot DMA: Mosaic HBM lane tiling is 128), halves cache HBM and
@@ -217,12 +218,22 @@ def quantize_kv_rows4(k: jnp.ndarray, v: jnp.ndarray):
     """(k, v) [..., hd] -> (combined packed int8 [..., hd],
     k_scale f32 [...], v_scale f32 [...]).
 
-    K/V-COMBINED int4 packing: byte d of a row holds K's dim-d int4 in the
-    low nibble and V's in the high nibble (symmetric per-row absmax/7
-    each). K and V rows are always written together, so the byte never
-    needs read-modify-write; the combined slab keeps a full 128-lane
-    trailing dim, which a per-tensor hd/2 packing cannot (Mosaic HBM lane
-    tiling is 128 — a 64-lane slab slice refuses to DMA)."""
+    K/V-COMBINED int4 packing: byte d of a row holds K's dim-d int4
+    OFFSET-BINARY (k+8, in [1, 15]) in the low nibble and V's signed int4
+    in the high nibble (symmetric per-row absmax/7 each). K and V rows are
+    always written together, so the byte never needs read-modify-write;
+    the combined slab keeps a full 128-lane trailing dim, which a
+    per-tensor hd/2 packing cannot (Mosaic HBM lane tiling is 128 — a
+    64-lane slab slice refuses to DMA).
+
+    Why offset-binary K (same trick as the weight kernels' INT4_FMT=obin,
+    ops/int4_matmul.py): the sign-extended BYTE is then exactly
+    16*v + (k+8), so a decode kernel can matmul the RAW byte plane (one
+    i8->bf16 convert, zero shifts) and recover the K logits from the byte
+    dot and the V dot it needs anyway:
+        q . k_row = q . byte_row - 16 (q . v_row) - 8 sum(q)
+    Direct unpack stays the same VPU op count as the signed layout
+    ((b & 0xF) - 8 vs shl28/shr28)."""
     def q4(x):
         absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
         scale = jnp.maximum(absmax, 1e-8) / 7.0
@@ -234,7 +245,7 @@ def quantize_kv_rows4(k: jnp.ndarray, v: jnp.ndarray):
     kq, ks = q4(k)
     vq, vs = q4(v)
     packed = jnp.bitwise_or(
-        jnp.bitwise_and(kq, 0xF),
+        jnp.bitwise_and(kq + 8, 0xF),
         jnp.left_shift(jnp.bitwise_and(vq, 0xF), 4),
     ).astype(jnp.int8)
     return packed, ks, vs
@@ -242,9 +253,9 @@ def quantize_kv_rows4(k: jnp.ndarray, v: jnp.ndarray):
 
 def unpack_kv4(packed: jnp.ndarray):
     """Combined-packed int8 [..., hd] -> (k, v) int32 [..., hd]
-    (sign-extended nibbles; scales not applied)."""
+    (K offset-binary lo nibble, V sign-extended hi; scales not applied)."""
     b = packed.astype(jnp.int32)
-    k = jnp.right_shift(jnp.left_shift(b, 28), 28)  # arithmetic shifts
+    k = jnp.bitwise_and(b, 0xF) - 8  # offset-binary low nibble
     v = jnp.right_shift(b, 4)  # hi nibble: b is sign-extended, one shr4
     return k, v
 

@@ -610,7 +610,8 @@ def _kernel_quantized4(
     q = q_ref[0, 0]
     cdt = q_ref.dtype
     b32 = kv_full.astype(jnp.int32)
-    k_q = jnp.right_shift(jnp.left_shift(b32, 28), 28).astype(cdt)
+    # K rides the low nibble OFFSET-BINARY (llama.quantize_kv_rows4)
+    k_q = (jnp.bitwise_and(b32, 0xF) - 8).astype(cdt)
     v_q = jnp.right_shift(b32, 4).astype(cdt)  # hi nibble: one shr4
     logits = jax.lax.dot_general(
         q, k_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32

@@ -44,6 +44,14 @@ MONO_HPD = int(os.environ.get("MONO_HPD", "2"))
 # chain-ILP: independent softmax chains per head in the int4 kernel
 # (1 = off; 2 = two half-slab chains merged by flash-stats rescale)
 MONO_ILP = int(os.environ.get("MONO_ILP", "1"))
+# K-epilogue mode (int4 kernel): matmul the RAW KV byte plane and recover
+# the K logits from the byte dot and the V dot (the cache stores K
+# offset-binary — llama.quantize_kv_rows4):
+#     q . k = q . byte - 16 (q . v) - 8 sum(q)
+# Trades the K unpack's 2 VPU passes over the [max_len, hd] slab for one
+# extra skinny [G, hd] x [hd, max_len] MXU dot + an O(G*max_len) epilogue.
+# 0 = direct unpack ((b & 0xF) - 8, same op count as the old signed shifts).
+MONO_KEPI = int(os.environ.get("MONO_KEPI", "1"))
 
 
 def _kernel_mono4(
@@ -67,6 +75,7 @@ def _kernel_mono4(
     hpd: int,     # heads per DMA (heads are contiguous in the cache layout)
     per_row: bool,  # off_ref is [B]: each batch row has its own append slot
     ilp: int = 1,  # independent softmax chains per head (chain-ILP)
+    kepi: int = 1,  # K logits via raw-byte dot epilogue (see MONO_KEPI)
 ):
     """VPU-lean variant (the B64 trace showed this kernel COMPUTE-bound at
     ~8.5 us/program vs ~2.6 us of slab DMA): the fresh row's contribution is
@@ -160,7 +169,8 @@ def _kernel_mono4(
             q = q_ref[0, h]
             # analytic fresh-row term (shared by every chain)
             n32 = kvnew_ref[0, h][None, :].astype(jnp.int32)
-            k_n = jnp.right_shift(jnp.left_shift(n32, 28), 28).astype(cdt)
+            # K rides the low nibble OFFSET-BINARY (quantize_kv_rows4)
+            k_n = (jnp.bitwise_and(n32, 0xF) - 8).astype(cdt)
             # hi nibble: one arithmetic shr4 (n32 is the sign-extended byte)
             # — the shl24/shr28 pair costs an extra VPU pass per byte
             # (round-4 finding: +17% B1 decode in the matmul kernels)
@@ -176,21 +186,38 @@ def _kernel_mono4(
             lf = lf * (ks_new_ref[0, h] * scale)
             lf = jnp.where(fresh_on, lf, -1e30)
 
+            # kepi epilogue constant: -8 * sum_d q[g, d] (the lo-nibble
+            # offset applied uniformly to every slot's byte)
+            sq8 = -8.0 * jnp.sum(q.astype(jnp.float32), axis=1,
+                                 keepdims=True)  # [G, 1]
+
             def chain(start, length):
                 """One independent (m, l, acc) softmax chain over slab
                 slots [start, start+length). start/length are static and
                 128-lane aligned."""
-                # nibble unpack (K low, V high; int32 shifts sign-extend)
-                b32 = kv_db[slot, h2, start:start + length, :].astype(
-                    jnp.int32
-                )
-                k_q = jnp.right_shift(
-                    jnp.left_shift(b32, 28), 28).astype(cdt)
+                braw = kv_db[slot, h2, start:start + length, :]
+                b32 = braw.astype(jnp.int32)
                 v_q = jnp.right_shift(b32, 4).astype(cdt)  # hi: one shr4
-                logits = jax.lax.dot_general(
-                    q, k_q, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                if kepi:
+                    # K logits from the raw byte plane: byte = 16v + (k+8),
+                    # so q.k = q.byte - 16 q.v - 8 sum(q). Skips the K
+                    # unpack's 2 VPU passes over [length, hd] for one more
+                    # skinny MXU dot + an O(G*length) f32 epilogue.
+                    d_b = jax.lax.dot_general(
+                        q, braw.astype(cdt), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    d_v = jax.lax.dot_general(
+                        q, v_q, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    logits = d_b - 16.0 * d_v + sq8
+                else:
+                    k_q = (jnp.bitwise_and(b32, 0xF) - 8).astype(cdt)
+                    logits = jax.lax.dot_general(
+                        q, k_q, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
                 logits = logits * (
                     ks_ref[0, h, start:start + length][None, :] * scale
                 )
@@ -239,7 +266,7 @@ def decode_attention_quantized4_mono(
     q, kv_new, cache_kv, k_scales, v_scales, k_new_scale, v_new_scale,
     layer, offset, valid, scale, interpret: bool = False,
     depth: int | None = None, hpd: int | None = None,
-    ilp: int | None = None,
+    ilp: int | None = None, kepi: int | None = None,
 ):
     """int4-KV mono-grid decode attention (same contract as
     decode_attention_db.decode_attention_quantized4_db).
@@ -259,6 +286,7 @@ def decode_attention_quantized4_mono(
     depth = MONO_DEPTH if depth is None else depth
     hpd = MONO_HPD if hpd is None else hpd
     ilp = MONO_ILP if ilp is None else ilp
+    kepi = MONO_KEPI if kepi is None else kepi
     if Hkv % hpd:
         hpd = 1
     off_arr = jnp.asarray(offset, jnp.int32).reshape(-1)
@@ -296,7 +324,7 @@ def decode_attention_quantized4_mono(
     out, ckv = pl.pallas_call(
         functools.partial(
             _kernel_mono4, scale=scale, n_heads=Hkv, n_rows=B,
-            depth=depth, hpd=hpd, per_row=per_row, ilp=ilp,
+            depth=depth, hpd=hpd, per_row=per_row, ilp=ilp, kepi=kepi,
         ),
         grid_spec=grid_spec,
         out_shape=[

@@ -321,3 +321,42 @@ def test_llama_decode_mono_per_row_offsets_match_xla(kvq):
         np.testing.assert_allclose(
             np.asarray(m_cache.k), np.asarray(ref_cache.k), atol=1e-5
         )
+
+
+def test_mono4_kepi_matches_direct_unpack():
+    """kepi (K logits via the raw-byte dot + epilogue; the cache stores K
+    offset-binary) is numerically equivalent to direct unpack — including
+    dead slots (zero bytes decode to k=-8, masked either way) and the
+    analytic fresh row."""
+    from audio_llama_tpu.models.llama import quantize_kv_rows4
+    from audio_llama_tpu.ops.decode_attention_mono import (
+        decode_attention_quantized4_mono,
+    )
+
+    L, B, Hkv, S, hd = 1, 2, 2, 128, 32
+    Hq = 4
+    rng = np.random.RandomState(22)
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    kv_new, ks_new, vs_new = quantize_kv_rows4(
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+    )
+    ckv, ks, vs = quantize_kv_rows4(
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+    )
+    valid = np.zeros((B, S), np.int32)
+    valid[0, :50] = 1
+    valid[1, :33] = 1
+    args = (q, kv_new, ckv, ks[0], vs[0], ks_new, vs_new,
+            jnp.int32(0), jnp.int32(49), jnp.asarray(valid), hd ** -0.5)
+    ref_out, ref_ckv = decode_attention_quantized4_mono(
+        *args, interpret=True, kepi=0
+    )
+    out, ockv = decode_attention_quantized4_mono(
+        *args, interpret=True, kepi=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), atol=5e-5, rtol=5e-5
+    )
+    np.testing.assert_array_equal(np.asarray(ockv), np.asarray(ref_ckv))

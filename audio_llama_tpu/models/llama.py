@@ -966,13 +966,22 @@ def llama_forward(
                     )
 
                 kvp, kq_s, vq_s = quantize_kv_rows4(k[:, 0], v[:, 0])
-                attn_flat, ck_all = _dq4(
-                    q[:, 0], kvp, ck_all,
-                    lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
-                    lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
-                    kq_s, vq_s,
-                    li, offset, decode_valid, cfg.head_dim ** -0.5,
-                )
+                if use_mono_kernel:
+                    # mono takes the FULL scale slabs (layer picked in its
+                    # BlockSpec index maps) — the dynamic_index below
+                    # MATERIALIZED a copy of both slabs every layer
+                    attn_flat, ck_all = _dq4(
+                        q[:, 0], kvp, ck_all, ks_all, vs_all, kq_s, vq_s,
+                        li, offset, decode_valid, cfg.head_dim ** -0.5,
+                    )
+                else:
+                    attn_flat, ck_all = _dq4(
+                        q[:, 0], kvp, ck_all,
+                        lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
+                        lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
+                        kq_s, vq_s,
+                        li, offset, decode_valid, cfg.head_dim ** -0.5,
+                    )
                 ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
                 vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
             elif quantized:

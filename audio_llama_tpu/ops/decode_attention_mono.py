@@ -50,8 +50,11 @@ MONO_ILP = int(os.environ.get("MONO_ILP", "1"))
 #     q . k = q . byte - 16 (q . v) - 8 sum(q)
 # Trades the K unpack's 2 VPU passes over the [max_len, hd] slab for one
 # extra skinny [G, hd] x [hd, max_len] MXU dot + an O(G*max_len) epilogue.
-# 0 = direct unpack ((b & 0xF) - 8, same op count as the old signed shifts).
-MONO_KEPI = int(os.environ.get("MONO_KEPI", "1"))
+# MEASURED NEGATIVE (round 5): B64 4058 vs 4469, B128 4247 vs ~4500 — at
+# decode geometry the third skinny dot costs more than the two saved
+# unpack passes (the kernel is not purely VPU-unpack-bound). Default OFF;
+# kept for reproduction (tests pin kepi == direct-unpack numerics).
+MONO_KEPI = int(os.environ.get("MONO_KEPI", "0"))
 
 
 def _kernel_mono4(
@@ -60,8 +63,8 @@ def _kernel_mono4(
     kvnew_ref,   # [1, Hkv, hd] int8 combined packed (llama.quantize_kv_rows4)
     ks_new_ref,  # [1, Hkv, 1] f32
     vs_new_ref,
-    ks_ref,      # [1, Hkv, max_len] f32
-    vs_ref,
+    ks_ref,      # [1, 1, Hkv, max_len] f32 (layer picked by the index map —
+    vs_ref,      #   the XLA-side dynamic_index copied 2x4 MB per layer)
     valid_ref,   # [1, 1, max_len] int32 (per batch row; heads share it)
     ckv_any,     # [L, B, Hkv, max_len, hd] int8, ANY
     out_ref,     # [1, Hkv, G, hd]
@@ -219,7 +222,7 @@ def _kernel_mono4(
                         preferred_element_type=jnp.float32,
                     )
                 logits = logits * (
-                    ks_ref[0, h, start:start + length][None, :] * scale
+                    ks_ref[0, 0, h, start:start + length][None, :] * scale
                 )
                 logits = jnp.where(
                     dead[:, start:start + length], -1e30, logits
@@ -228,7 +231,7 @@ def _kernel_mono4(
                 p = jnp.exp(logits - mh)
                 lh = jnp.sum(p, axis=-1, keepdims=True)
                 acc = jax.lax.dot_general(
-                    (p * vs_ref[0, h, start:start + length][None, :]
+                    (p * vs_ref[0, 0, h, start:start + length][None, :]
                      ).astype(cdt), v_q,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -279,7 +282,14 @@ def decode_attention_quantized4_mono(
 
     offset: scalar (all rows append at the same slot) or [B] int32 —
     PER-ROW append slots for divergent timelines (continuous-batching
-    serving / batched speculation; models/llama.py cache_offsets)."""
+    serving / batched speculation; models/llama.py cache_offsets).
+
+    k_scales/v_scales: per-layer [B, Hkv, max_len] OR the FULL stacked
+    slabs [L, B, Hkv, max_len] — slab mode picks the layer inside the
+    BlockSpec index map (scalar prefetch), saving the XLA-side
+    dynamic-slice that MATERIALIZED a copy of both scale slabs every
+    layer (B64 trace: 2x ~0.19 ms/step — the int4_matmul_stacked lesson
+    applied to scales)."""
     L, B, Hkv, max_len, hd = cache_kv.shape
     if max_len % 32 != 0:
         raise ValueError(f"max_len % 32 != 0 ({max_len})")
@@ -295,6 +305,9 @@ def decode_attention_quantized4_mono(
         raise ValueError(f"offset must be scalar or [B]; got {off_arr.shape}")
     Hq = q.shape[1]
     G = Hq // Hkv
+    stacked = k_scales.ndim == 4
+    smap = (lambda i, li, *_: (li[0], i, 0, 0)) if stacked else \
+        (lambda i, *_: (0, i, 0, 0))
     bmap = lambda i, *_: (i, 0, 0, 0)  # noqa: E731
     bmap3 = lambda i, *_: (i, 0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -305,8 +318,8 @@ def decode_attention_quantized4_mono(
             pl.BlockSpec((1, Hkv, hd), bmap3),
             pl.BlockSpec((1, Hkv, 1), bmap3),
             pl.BlockSpec((1, Hkv, 1), bmap3),
-            pl.BlockSpec((1, Hkv, max_len), bmap3),
-            pl.BlockSpec((1, Hkv, max_len), bmap3),
+            pl.BlockSpec((1, 1, Hkv, max_len), smap),
+            pl.BlockSpec((1, 1, Hkv, max_len), smap),
             pl.BlockSpec((1, 1, max_len), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -342,8 +355,8 @@ def decode_attention_quantized4_mono(
         kv_new.reshape(B, Hkv, hd),
         k_new_scale.astype(jnp.float32).reshape(B, Hkv, 1),
         v_new_scale.astype(jnp.float32).reshape(B, Hkv, 1),
-        k_scales.astype(jnp.float32).reshape(B, Hkv, max_len),
-        v_scales.astype(jnp.float32).reshape(B, Hkv, max_len),
+        k_scales.astype(jnp.float32).reshape(-1, B, Hkv, max_len),
+        v_scales.astype(jnp.float32).reshape(-1, B, Hkv, max_len),
         valid.astype(jnp.int32)[:, None, :],
         cache_kv,
     )

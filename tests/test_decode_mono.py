@@ -35,8 +35,11 @@ def test_mono4_matches_db4(depth, hpd):
     args = (q, kv_new, ckv, ks[1], vs[1], ks_new, vs_new,
             jnp.int32(1), jnp.int32(21), jnp.asarray(valid), hd ** -0.5)
     ref_out, ref_ckv = decode_attention_quantized4_db(*args, interpret=True)
+    # mono in SLAB mode: full [L, ...] scale slabs, layer via index map
+    slab_args = (q, kv_new, ckv, ks, vs, ks_new, vs_new,
+                 jnp.int32(1), jnp.int32(21), jnp.asarray(valid), hd ** -0.5)
     out, ockv = decode_attention_quantized4_mono(
-        *args, interpret=True, depth=depth, hpd=hpd
+        *slab_args, interpret=True, depth=depth, hpd=hpd
     )
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref_out), atol=2e-5, rtol=2e-5

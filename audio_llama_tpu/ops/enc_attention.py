@@ -167,6 +167,68 @@ def _kernel_v3(q_ref, k_ref, v_ref, kn_ref, o_ref, *, n_valid, chunk, n_heads,
     o_ref[0] = jnp.concatenate(outs, axis=1)  # [bq, D]
 
 
+def _kernel_v3q(q_ref, k_ref, v_ref, sq_ref, sv_ref, o_ref, *, n_valid,
+                n_heads):
+    """int8 twin of _kernel_v3 (unchunked only): QK and PV run on the int8
+    MXU at 2x bf16 throughput.
+
+    Quantization scheme (SageAttention-family, arranged so the softmax
+    stays exact-shape and the extra VPU work is minimal):
+      - K is mean-subtracted over the timeline BEFORE quantization (done by
+        the wrapper) — subtracting a constant from every key adds q.mu to
+        every logit of a row, which softmax cancels EXACTLY; it centers the
+        int8 range where whisper's K mass actually is.
+      - K per-(batch, head) TENSOR scale, FOLDED into the q row scales by
+        the wrapper: the per-row logit scale c_i = sq_i * sk_h * softmax
+        scale arrives as sq_ref. Column-constant scaling is what lets the
+        row max run on the RAW int32 scores (max commutes with one
+        positive per-row constant) — one convert+mul pass instead of a
+        materialized scaled score tile.
+      - P quantized to uint-ish int8 (p in (0, 1] -> round(p * 127)): the
+        ones-column denominator is computed from the SAME quantized P, so
+        out = (sum pq V) / (sum pq) — the 1/127 cancels and the P
+        quantization error self-normalizes.
+      - V per-(batch, head, channel) scales applied on the [bq, hd]
+        accumulator (epilogue, ~free).
+    """
+    T = k_ref.shape[1]
+    hd = q_ref.shape[2] // n_heads
+    outs = []
+    col = None
+    if n_valid < T:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    for h in range(n_heads):
+        q = q_ref[0, :, h * hd : (h + 1) * hd]  # [bq, hd] int8
+        kj = k_ref[0, :, h * hd : (h + 1) * hd]  # [T, hd] int8
+        vj = v_ref[0, :, h * hd : (h + 1) * hd]  # [T, hd] int8
+        s_i = jax.lax.dot_general(
+            q, kj, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [bq, T] int32 — int8 MXU
+        if col is not None:
+            s_i = jnp.where(col < n_valid, s_i, jnp.int32(-(2 ** 30)))
+        m_i = jnp.max(s_i, axis=1, keepdims=True)  # scale-invariant per row
+        c = sq_ref[0, :, h][:, None]  # [bq, 1] f32 per-row logit scale
+        p = jnp.exp((s_i - m_i).astype(jnp.float32) * c)
+        if col is not None:
+            p = jnp.where(col < n_valid, p, 0.0)
+        pq = jnp.round(p * 127.0).astype(jnp.int8)  # in [0, 127]
+        v_ext = jnp.concatenate(
+            [vj, jnp.ones((T, 1), jnp.int8)], axis=1
+        )
+        acc = jax.lax.dot_general(
+            pq, v_ext, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [bq, hd+1] int32
+        den = acc[:, hd:].astype(jnp.float32)  # sum pq (the 127 cancels)
+        num = acc[:, :hd].astype(jnp.float32) * sv_ref[
+            0, 0, h * hd : (h + 1) * hd
+        ][None, :]
+        out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+        outs.append(out.astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=1)  # [bq, D]
+
+
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, exp_dtype):
     q = q_ref[0]  # [bq, hd]
     k = k_ref[0]  # [T, hd]
@@ -286,6 +348,54 @@ def _enc_attention_jit(
             ),
             interpret=interpret,
         )(qs, k3, v3, kn)
+        return out.reshape(B, T, H, hd)
+
+    if algo == "v3q":
+        # int8 QK + int8 PV on the int8 MXU (2x bf16). See _kernel_v3q for
+        # the quantization scheme; all quantization here is XLA (fused into
+        # the projections producing q/k/v). Unchunked only — at whisper
+        # dims the [bq, T] tile fits VMEM (the v3 auto rule).
+        D = H * hd
+        if bq * T * 4 > 4 * 1024 * 1024:
+            raise ValueError(
+                f"v3q is unchunked-only: [bq={bq}, T={T}] tile too large"
+            )
+        qf = q.astype(jnp.float32)
+        sq = jnp.max(jnp.abs(qf), axis=-1) / 127.0  # [B, T, H]
+        sq = jnp.maximum(sq, 1e-8)
+        q_i8 = jnp.round(qf / sq[..., None]).astype(jnp.int8)
+        kf = k.astype(jnp.float32)
+        mu = jnp.mean(kf, axis=1, keepdims=True)  # [B, 1, H, hd]
+        kc = kf - mu  # softmax-exact K smoothing
+        sk = jnp.max(jnp.abs(kc), axis=(1, 3)) / 127.0  # [B, H]
+        sk = jnp.maximum(sk, 1e-8)
+        k_i8 = jnp.round(kc / sk[:, None, :, None]).astype(jnp.int8)
+        vf = v.astype(jnp.float32)
+        sv = jnp.max(jnp.abs(vf), axis=1) / 127.0  # [B, H, hd]
+        sv = jnp.maximum(sv, 1e-8)
+        v_i8 = jnp.round(vf / sv[:, None]).astype(jnp.int8)
+        # per-row logit scale: q row scale x k tensor scale x softmax scale
+        c = (sq * sk[:, None, :] * jnp.float32(scale)).astype(jnp.float32)
+        out = pl.pallas_call(
+            functools.partial(_kernel_v3q, n_valid=nvalid, n_heads=H),
+            grid=(B, T // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0)),
+                pl.BlockSpec((1, T, D), lambda b, qi: (b, 0, 0)),
+                pl.BlockSpec((1, T, D), lambda b, qi: (b, 0, 0)),
+                pl.BlockSpec((1, bq, H), lambda b, qi: (b, qi, 0)),
+                pl.BlockSpec((1, 1, D), lambda b, qi: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            q_i8.reshape(B, T, D), k_i8.reshape(B, T, D),
+            v_i8.reshape(B, T, D), c, sv.reshape(B, 1, D),
+        )
         return out.reshape(B, T, H, hd)
 
     grid = (B * H, T // bq)

@@ -60,6 +60,12 @@ def main():
              "round-4 headline path, kept for A/B)",
     )
     ap.add_argument(
+        "--enc_algo", default="v3",
+        help="encoder attention kernel algo for the int8 path: v3 (bf16 "
+             "attention) | v3q (int8 QK+PV, SageAttention-family scheme) | "
+             "twopass | bounded",
+    )
+    ap.add_argument(
         "--int8_weights", action="store_true",
         help="weight-only int8 frozen decoder in decode mode (halves the "
              "per-step HBM weight stream; see models/llama_int8.py)",
@@ -218,7 +224,9 @@ def main():
 
         def encode_once(wparams, pparams, audio):
             mel = mel_ops.log_mel(audio, mcfg)
-            enc = w8.encode_int8(wparams, wcfg, mel, jnp.bfloat16)
+            enc = w8.encode_int8(
+                wparams, wcfg, mel, jnp.bfloat16, attn_algo=args.enc_algo
+            )
             return proj_mod.project(pparams, enc, jnp.bfloat16)
     else:
         def encode_once(wparams, pparams, audio):

@@ -141,3 +141,31 @@ def test_outlier_magnitudes_safe_softmax():
         q, k, v, scale=hd ** -0.5, interpret=True, softmax="bounded"
     )
     assert float(jnp.max(jnp.abs(bad - ref))) > 0.1
+
+
+def test_v3q_int8_close_to_xla():
+    """v3q (int8 QK + int8 PV, SageAttention-family scheme) tracks the f32
+    oracle within the int8-attention error envelope, padding included.
+    Exactness is impossible (int8 quantization); the gate is relative RMS
+    of the real rows."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    B, T, H, hd = 2, 256, 4, 64
+    valid = 200
+    q, k, v = _rand(k1, B, T, H, hd), _rand(k2, B, T, H, hd), _rand(k3, B, T, H, hd)
+    # give K a nonzero mean so the smoothing path actually does work
+    k = k + 0.7
+    mask = jnp.asarray(
+        np.concatenate([np.ones((B, valid)), np.zeros((B, T - valid))], axis=1),
+        jnp.int32,
+    )
+    ref = np.asarray(mha(q, k, v, bias=padding_bias(mask)))[:, :valid]
+    out = np.asarray(
+        enc_attention(q, k, v, valid_len=valid, interpret=True, algo="v3q")
+    )[:, :valid]
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+    # and the full-length (no padding) path
+    ref2 = np.asarray(mha(q, k, v))
+    out2 = np.asarray(enc_attention(q, k, v, interpret=True, algo="v3q"))
+    rel2 = np.linalg.norm(out2 - ref2) / np.linalg.norm(ref2)
+    assert rel2 < 0.02, rel2

@@ -969,7 +969,17 @@ def llama_forward(
                 if use_mono_kernel:
                     # mono takes the FULL scale slabs (layer picked in its
                     # BlockSpec index maps) — the dynamic_index below
-                    # MATERIALIZED a copy of both slabs every layer
+                    # MATERIALIZED a copy of both slabs every layer.
+                    # The fresh scales are written BEFORE the kernel reads
+                    # the slabs: mono masks the append slot dead (the fresh
+                    # row enters the softmax analytically), so the written
+                    # scale is never read this step — and the write→read
+                    # order lets XLA update the f32 slabs in place on the
+                    # scan carry. The old read→write order forced a full
+                    # slab copy per layer (2x ~0.19 ms/step at B64 — the
+                    # round-5 trace's "scale write-back dus" glue).
+                    ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
+                    vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
                     attn_flat, ck_all = _dq4(
                         q[:, 0], kvp, ck_all, ks_all, vs_all, kq_s, vq_s,
                         li, offset, decode_valid, cfg.head_dim ** -0.5,
@@ -982,8 +992,8 @@ def llama_forward(
                         kq_s, vq_s,
                         li, offset, decode_valid, cfg.head_dim ** -0.5,
                     )
-                ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
-                vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
+                    ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
+                    vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
             elif quantized:
                 if use_packed_kernel:
                     from ..ops.decode_attention_packed import (
@@ -1000,6 +1010,13 @@ def llama_forward(
 
                 kq, kq_s = quantize_kv_rows(k[:, 0])  # [B,Hkv,hd], [B,Hkv]
                 vq, vq_s = quantize_kv_rows(v[:, 0])
+                if use_mono_kernel:
+                    # scale write BEFORE the kernel read (in-place dus on
+                    # the carry instead of a forced slab copy) — safe only
+                    # for mono, which masks the append slot dead and adds
+                    # the fresh row analytically; see the int4 branch.
+                    ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
+                    vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
                 attn_flat, ck_all, cv_all = _dq(
                     q[:, 0], kq, vq, ck_all, cv_all,
                     lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
@@ -1007,8 +1024,9 @@ def llama_forward(
                     kq_s, vq_s,
                     li, offset, decode_valid, cfg.head_dim ** -0.5,
                 )
-                ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
-                vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
+                if not use_mono_kernel:
+                    ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
+                    vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
             else:
                 if use_packed_kernel:
                     from ..ops.decode_attention_packed import (

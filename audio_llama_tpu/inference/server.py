@@ -23,6 +23,12 @@ Endpoints (JSON in/out):
                      "max_new_tokens": int (default 64),
                      "prefix_id": int (a /v1/prefix handle — prompt is
                      then the suffix continuing that cached prefix),
+                     "temperature": float > 0, "top_p": float in (0, 1],
+                     "top_k": int >= 0, "greedy": bool (each optional —
+                     PER-REQUEST sampling overrides of the server's CLI
+                     defaults; they ride the compiled chunk program as
+                     per-row array args, so one server instance serves
+                     mixed greedy+sampled traffic without retracing),
                      "stream": bool (default false)}
                      -> {"tokens", "text"?, "n_tokens"}
                      (400 on bad input / oversized prompt, 503 on shutdown)
@@ -34,8 +40,12 @@ Endpoints (JSON in/out):
   GET  /healthz      -> {"ok": true, "rows", "live", "queued"}
   GET  /v1/stats     -> lifetime counters (requests, tokens, chunks, uptime)
 
-Sampling config is engine-level (static compiled programs — see
-serving.py); run one server per sampling configuration.
+Sampling config: the CLI flags (--greedy/--temperature/--top_p/--top_k)
+set the ENGINE defaults; every /v1/generate body may override any subset
+per request (engine.submit per-row array args — no retrace, no extra
+server instances; speculative pools are the one exception and reject
+overrides with a 400). The reference exposes the same per-call params on
+its generate (reference src/inference.py:158-167).
 """
 
 from __future__ import annotations
@@ -83,7 +93,8 @@ class EngineRunner:
         self.max_queue = max_queue
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
-        self._staging: List[tuple] = []  # (future, ids, feats, max_new, pfx)
+        # (future, ids, feats, max_new, pfx, sampling-overrides)
+        self._staging: List[tuple] = []
         self._prefix_reqs: List[tuple] = []  # (future, ids, feats)
         self._futures: Dict[int, _Future] = {}  # rid -> future
         self._stop = False
@@ -101,7 +112,11 @@ class EngineRunner:
     def submit(
         self, ids: np.ndarray, feats, max_new: int, stream: bool = False,
         prefix: Optional[int] = None,
+        sampling: Optional[dict] = None,
     ) -> _Future:
+        """sampling: per-request overrides ({temperature,top_p,top_k,
+        greedy} subset) forwarded to engine.submit — per-row array args,
+        one compiled chunk program across all config mixes."""
         fut = _Future()
         if stream:
             fut.stream_q = queue.SimpleQueue()
@@ -118,6 +133,15 @@ class EngineRunner:
                 fut.event.set()
                 fut._emit(None)
                 return fut
+            if sampling and self.engine.draft_params is not None:
+                fut.error = (
+                    "per-request sampling params are not supported on "
+                    "speculative pools; this server's sampling config is "
+                    "fixed at startup"
+                )
+                fut.event.set()
+                fut._emit(None)
+                return fut
             # back-pressure: bound host-side memory under overload
             if (
                 len(self._staging) + len(self.engine._queue)
@@ -127,7 +151,9 @@ class EngineRunner:
                 fut.event.set()
                 fut._emit(None)
                 return fut
-            self._staging.append((fut, ids, feats, max_new, prefix))
+            self._staging.append(
+                (fut, ids, feats, max_new, prefix, sampling)
+            )
             self.n_requests += 1
             self._cv.notify()
         return fut
@@ -209,10 +235,10 @@ class EngineRunner:
                     fut.error = f"prefix registration failed: {e}"
                 fut.event.set()
             try:
-                for fut, ids, feats, max_new, pfx in staged:
+                for fut, ids, feats, max_new, pfx, smp in staged:
                     rid = eng.submit(
                         ids, audio_features=feats, max_new_tokens=max_new,
-                        prefix=pfx,
+                        prefix=pfx, **(smp or {}),
                     )
                     self._futures[rid] = fut
                 eng.step_chunk()
@@ -360,12 +386,41 @@ class AudioLLMServer:
 
     # ---- request plumbing ----
 
+    @staticmethod
+    def _sampling_overrides(body: dict) -> Optional[dict]:
+        """Validated per-request sampling overrides from a request body
+        (None if the request doesn't override anything): the server's CLI
+        sampling flags are only engine DEFAULTS."""
+        out = {}
+        if "temperature" in body:
+            t = float(body["temperature"])
+            if not t > 0:
+                raise ValueError("temperature must be > 0")
+            out["temperature"] = t
+        if "top_p" in body:
+            p = float(body["top_p"])
+            if not 0 < p <= 1:
+                raise ValueError("top_p must be in (0, 1]")
+            out["top_p"] = p
+        if "top_k" in body:
+            k = int(body["top_k"])
+            if k < 0:
+                raise ValueError("top_k must be >= 0")
+            out["top_k"] = k
+        if "greedy" in body:
+            g = body["greedy"]
+            if not isinstance(g, bool):
+                raise ValueError("greedy must be a JSON boolean")
+            out["greedy"] = g
+        return out or None
+
     def _prepare(self, body: dict):
-        """(ids, feats, max_new, prefix) from a request body; raises
-        ValueError on client errors."""
+        """(ids, feats, max_new, prefix, sampling) from a request body;
+        raises ValueError on client errors."""
         max_new = int(body.get("max_new_tokens", 64))
         if max_new < 1:
             raise ValueError("max_new_tokens must be >= 1")
+        sampling = self._sampling_overrides(body)
         prefix = body.get("prefix_id")
         if prefix is not None:
             prefix = int(prefix)
@@ -385,7 +440,7 @@ class AudioLLMServer:
             ids = np.asarray(body["prompt_ids"], np.int32).reshape(-1)
             if ids.size == 0:
                 raise ValueError("prompt_ids is empty")
-            return ids, feats, max_new, prefix
+            return ids, feats, max_new, prefix, sampling
 
         prompt = body.get("prompt")
         if prompt is None:
@@ -406,14 +461,19 @@ class AudioLLMServer:
             )
         ids, mask = self.tokenizer.encode(prompt)
         ids = np.asarray(ids, np.int32)[np.asarray(mask, bool)]
-        return ids, feats, max_new, prefix
+        return ids, feats, max_new, prefix, sampling
 
     def _register_prefix(self, body: dict) -> tuple:
         """POST /v1/prefix -> (status, payload with prefix_id)."""
         try:
-            ids, feats, _max_new, pfx = self._prepare(body)
+            ids, feats, _max_new, pfx, smp = self._prepare(body)
             if pfx is not None:
                 raise ValueError("prefix_id is not valid when registering")
+            if smp is not None:
+                raise ValueError(
+                    "sampling params are not valid when registering a "
+                    "prefix (set them on /v1/generate requests)"
+                )
         except (ValueError, TypeError, KeyError, OSError) as e:
             return 400, {"error": str(e)}
         fut = self.runner.register_prefix(
@@ -428,22 +488,23 @@ class AudioLLMServer:
         """-> (400, payload) on bad input, else (200, _Future) whose
         stream_q yields per-chunk token deltas then a None terminator."""
         try:
-            ids, feats, max_new, pfx = self._prepare(body)
+            ids, feats, max_new, pfx, smp = self._prepare(body)
         except (ValueError, TypeError, KeyError, OSError) as e:
             # OSError: unreadable audio_path; Type/KeyError: malformed
             # fields — all client errors, never a dropped socket
             return 400, {"error": str(e)}
         return 200, self.runner.submit(
-            ids, feats, max_new, stream=True, prefix=pfx
+            ids, feats, max_new, stream=True, prefix=pfx, sampling=smp
         )
 
     def _generate(self, body: dict) -> tuple:
         """-> (status, payload)"""
         try:
-            ids, feats, max_new, pfx = self._prepare(body)
+            ids, feats, max_new, pfx, smp = self._prepare(body)
         except (ValueError, TypeError, KeyError, OSError) as e:
             return 400, {"error": str(e)}
-        fut = self.runner.submit(ids, feats, max_new, prefix=pfx)
+        fut = self.runner.submit(ids, feats, max_new, prefix=pfx,
+                                 sampling=smp)
         if not fut.event.wait(self.request_timeout):
             return 504, {"error": "generation timed out"}
         if fut.error is not None:
@@ -722,7 +783,8 @@ def parse_args(argv=None):
                    help="transparently reuse the longest registered "
                         "/v1/prefix whose tokens match a text request's "
                         "head (no prefix_id needed)")
-    # sampling (engine-level; one server per sampling config)
+    # sampling DEFAULTS (any /v1/generate body may override per request;
+    # speculative pools fix these at startup)
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--top_p", type=float, default=0.9)

@@ -8,9 +8,20 @@ run() {
   local tries=$1; shift
   for i in $(seq 1 $tries); do
     echo "=== $* (attempt $i) ==="
-    timeout 3000 "$@" 2>&1 | grep -E '^\{|timing|Error|error' | tail -8
-    rc=${PIPESTATUS[0]}
-    echo "--- rc=$rc ---"
+    local tmplog
+    tmplog=$(mktemp /tmp/r5_anchor.XXXXXX.log)
+    timeout 3000 "$@" >"$tmplog" 2>&1
+    rc=$?
+    grep -E '^\{|timing|Error|error' "$tmplog" | tail -8
+    if [ $rc -eq 124 ]; then
+      echo "--- rc=124 (TIMEOUT after 3000s — likely mid-compile; cache may let a retry finish) ---"
+    elif [ $rc -ne 0 ]; then
+      echo "--- rc=$rc; unfiltered tail follows ---"
+      tail -20 "$tmplog"
+    else
+      echo "--- rc=0 ---"
+    fi
+    rm -f "$tmplog"
     [ $rc -eq 0 ] && break
   done
 }

@@ -302,3 +302,116 @@ def test_stop_fails_inflight_requests(model):
     # post-stop submissions fail immediately
     fut2 = runner.submit(np.asarray([1], np.int32), None, 1)
     assert fut2.event.is_set() and "shutting down" in fut2.error
+
+
+# ---- per-request sampling through the HTTP surface (round-5 VERDICT #5):
+# the CLI sampling flags are only ENGINE DEFAULTS; any /v1/generate body
+# overrides them per request, so ONE server instance serves mixed
+# greedy+sampled traffic (reference per-call analog: src/inference.py
+# sampling params). Pool-level semantics are pinned in
+# test_per_request_sampling.py; this pins the HTTP plumbing.
+
+
+@pytest.fixture(scope="module")
+def stochastic_server(model):
+    """A server whose ENGINE default is stochastic — greedy requests must
+    opt in per-request."""
+    tk = ByteTokenizer()
+    runner = EngineRunner(
+        _engine(model, tk, rows=4, greedy=False, temperature=0.9,
+                top_p=0.95),
+        poll_interval=0.01,
+    )
+    srv = AudioLLMServer(runner, CFG, tokenizer=tk, port=0,
+                         request_timeout=120.0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_mixed_sampling_one_server(stochastic_server, model):
+    """Concurrent greedy + sampled requests on ONE server: greedy
+    responses are token-exact vs a direct greedy engine, and the mix
+    compiles exactly one decode-chunk program."""
+    srv = stochastic_server
+    rng = np.random.default_rng(7)
+    prompts = [
+        [1] + rng.integers(3, 120, (n,)).astype(int).tolist()
+        for n in (4, 6, 5, 7)
+    ]
+    results = {}
+
+    def hit(i, body):
+        results[i] = _post(srv.port, "/v1/generate", body)
+
+    threads = []
+    for i, p in enumerate(prompts):
+        body = {"prompt_ids": p, "max_new_tokens": 5}
+        if i % 2 == 0:
+            body["greedy"] = True
+        else:
+            body.update(temperature=1.2, top_k=3, greedy=False)
+        t = threading.Thread(target=hit, args=(i, body))
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join(120)
+    assert all(code == 200 for code, _ in results.values()), results
+
+    # greedy rows: token-exact vs a direct greedy-engine oracle
+    tk = ByteTokenizer()
+    eng = _engine(model, tk, rows=4, greedy=True)
+    for i in (0, 2):
+        ids = np.asarray(prompts[i], np.int32)
+        rid = eng.submit(ids, max_new_tokens=5)
+        ref = eng.run(max_chunks=64)[rid]
+        assert results[i][1]["tokens"] == [int(t) for t in ref], i
+    # one compiled chunk program across the whole config mix
+    assert srv.runner.engine._chunk_fn._cache_size() == 1
+
+
+def test_sampling_param_validation(stochastic_server):
+    srv = stochastic_server
+    for body, frag in [
+        ({"prompt_ids": [1, 2], "temperature": 0}, "temperature"),
+        ({"prompt_ids": [1, 2], "temperature": -1.0}, "temperature"),
+        ({"prompt_ids": [1, 2], "top_p": 0.0}, "top_p"),
+        ({"prompt_ids": [1, 2], "top_p": 1.5}, "top_p"),
+        ({"prompt_ids": [1, 2], "top_k": -2}, "top_k"),
+        ({"prompt_ids": [1, 2], "greedy": "yes"}, "greedy"),
+    ]:
+        code, out = _post(srv.port, "/v1/generate", body)
+        assert code == 400, (body, out)
+        assert frag in out["error"], (body, out)
+    # prefix registration rejects sampling params
+    code, out = _post(srv.port, "/v1/prefix",
+                      {"prompt_ids": [1, 2], "temperature": 0.5})
+    assert code == 400 and "sampling" in out["error"]
+
+
+def test_streaming_greedy_override_exact(stochastic_server, model):
+    """stream=true + greedy override: streamed deltas concatenate to the
+    greedy oracle tokens even though the engine default samples."""
+    srv = stochastic_server
+    ids = [1, 33, 34, 35, 36]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/v1/generate",
+        data=json.dumps({"prompt_ids": ids, "max_new_tokens": 5,
+                         "stream": True, "greedy": True}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    toks = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        for line in r:
+            evt = json.loads(line)
+            assert "error" not in evt, evt
+            if evt.get("done"):
+                break
+            toks.extend(evt["tokens"])
+    tk = ByteTokenizer()
+    eng = _engine(model, tk, rows=4, greedy=True)
+    rid = eng.submit(np.asarray(ids, np.int32), max_new_tokens=5)
+    ref = eng.run(max_chunks=64)[rid]
+    assert toks == [int(t) for t in ref]

@@ -908,6 +908,21 @@ def llama_forward(
         k = apply_rope(k, cos, sin)
 
         quantized = ks_all is not None
+
+        def write_scales(ks_all, vs_all, kq_s, vq_s):
+            """Append-slot scale write (kernels only write cache VALUES).
+            ORDER IS LOAD-BEARING: mono kernels read the slabs with the
+            fresh scale already written (safe — mono masks the append slot
+            dead and adds the fresh row analytically, so the written scale
+            is never read this step), which lets XLA update the f32 slabs
+            in place on the scan carry; db kernels must be called BEFORE
+            this write (they read the append slot's old contents). The
+            mask-dead invariant is pinned by
+            test_decode_mono.py::test_mono_ignores_poisoned_append_scale."""
+            ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
+            vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
+            return ks_all, vs_all
+
         if sp_decode_kernel:
             from ..ops.attention import merge_partial_stats
             from ..ops.decode_attention_db import (
@@ -969,17 +984,13 @@ def llama_forward(
                 if use_mono_kernel:
                     # mono takes the FULL scale slabs (layer picked in its
                     # BlockSpec index maps) — the dynamic_index below
-                    # MATERIALIZED a copy of both slabs every layer.
-                    # The fresh scales are written BEFORE the kernel reads
-                    # the slabs: mono masks the append slot dead (the fresh
-                    # row enters the softmax analytically), so the written
-                    # scale is never read this step — and the write→read
-                    # order lets XLA update the f32 slabs in place on the
-                    # scan carry. The old read→write order forced a full
-                    # slab copy per layer (2x ~0.19 ms/step at B64 — the
-                    # round-5 trace's "scale write-back dus" glue).
-                    ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
-                    vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
+                    # MATERIALIZED a copy of both slabs every layer. The
+                    # write_scales write→read order lets XLA update the
+                    # f32 slabs in place on the scan carry; the old
+                    # read→write order forced a full slab copy per layer
+                    # (2x ~0.19 ms/step at B64 — the round-5 trace's
+                    # "scale write-back dus" glue).
+                    ks_all, vs_all = write_scales(ks_all, vs_all, kq_s, vq_s)
                     attn_flat, ck_all = _dq4(
                         q[:, 0], kvp, ck_all, ks_all, vs_all, kq_s, vq_s,
                         li, offset, decode_valid, cfg.head_dim ** -0.5,
@@ -992,8 +1003,7 @@ def llama_forward(
                         kq_s, vq_s,
                         li, offset, decode_valid, cfg.head_dim ** -0.5,
                     )
-                    ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
-                    vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
+                    ks_all, vs_all = write_scales(ks_all, vs_all, kq_s, vq_s)
             elif quantized:
                 if use_packed_kernel:
                     from ..ops.decode_attention_packed import (
@@ -1011,22 +1021,24 @@ def llama_forward(
                 kq, kq_s = quantize_kv_rows(k[:, 0])  # [B,Hkv,hd], [B,Hkv]
                 vq, vq_s = quantize_kv_rows(v[:, 0])
                 if use_mono_kernel:
-                    # scale write BEFORE the kernel read (in-place dus on
-                    # the carry instead of a forced slab copy) — safe only
-                    # for mono, which masks the append slot dead and adds
-                    # the fresh row analytically; see the int4 branch.
-                    ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
-                    vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
-                attn_flat, ck_all, cv_all = _dq(
-                    q[:, 0], kq, vq, ck_all, cv_all,
-                    lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
-                    lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
-                    kq_s, vq_s,
-                    li, offset, decode_valid, cfg.head_dim ** -0.5,
-                )
-                if not use_mono_kernel:
-                    ks_all = _cache_write(ks_all, kq_s[None, :, :, None], li)
-                    vs_all = _cache_write(vs_all, vq_s[None, :, :, None], li)
+                    # slab-mode scales, write BEFORE the kernel read (see
+                    # the int4 branch): full stacked slabs ride the kernel
+                    # via li-indexed BlockSpecs, no per-layer slice copy.
+                    ks_all, vs_all = write_scales(ks_all, vs_all, kq_s, vq_s)
+                    attn_flat, ck_all, cv_all = _dq(
+                        q[:, 0], kq, vq, ck_all, cv_all, ks_all, vs_all,
+                        kq_s, vq_s,
+                        li, offset, decode_valid, cfg.head_dim ** -0.5,
+                    )
+                else:
+                    attn_flat, ck_all, cv_all = _dq(
+                        q[:, 0], kq, vq, ck_all, cv_all,
+                        lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
+                        lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
+                        kq_s, vq_s,
+                        li, offset, decode_valid, cfg.head_dim ** -0.5,
+                    )
+                    ks_all, vs_all = write_scales(ks_all, vs_all, kq_s, vq_s)
             else:
                 if use_packed_kernel:
                     from ..ops.decode_attention_packed import (

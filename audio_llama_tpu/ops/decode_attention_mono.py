@@ -55,19 +55,25 @@ MONO_ILP = int(os.environ.get("MONO_ILP", "1"))
 # unpack passes (the kernel is not purely VPU-unpack-bound). Default OFF;
 # kept for reproduction (tests pin kepi == direct-unpack numerics).
 MONO_KEPI = int(os.environ.get("MONO_KEPI", "0"))
+# batch rows per grid program (int4 kernel): the db->mono collapse won 8x
+# on per-program overhead; the round-5 trace still attributes ~1.8 us of
+# the 5.6 us/program B64 kernel to per-program cost (compute ~3.8 +
+# slab-DMA 2.6 overlapped). bb>1 processes several batch rows per program
+# with the SAME global cross-program DMA pipeline — B/bb programs total.
+MONO_BB = int(os.environ.get("MONO_BB", "1"))
 
 
 def _kernel_mono4(
     li_ref, off_ref,
-    q_ref,       # [1, Hkv, G, hd] (this batch row)
-    kvnew_ref,   # [1, Hkv, hd] int8 combined packed (llama.quantize_kv_rows4)
-    ks_new_ref,  # [1, Hkv, 1] f32
+    q_ref,       # [bb, Hkv, G, hd] (this program's batch rows)
+    kvnew_ref,   # [bb, Hkv, hd] int8 combined packed (llama.quantize_kv_rows4)
+    ks_new_ref,  # [bb, Hkv, 1] f32
     vs_new_ref,
-    ks_ref,      # [1, 1, Hkv, max_len] f32 (layer picked by the index map —
+    ks_ref,      # [1, bb, Hkv, max_len] f32 (layer picked by the index map —
     vs_ref,      #   the XLA-side dynamic_index copied 2x4 MB per layer)
-    valid_ref,   # [1, 1, max_len] int32 (per batch row; heads share it)
+    valid_ref,   # [bb, 1, max_len] int32 (per batch row; heads share it)
     ckv_any,     # [L, B, Hkv, max_len, hd] int8, ANY
-    out_ref,     # [1, Hkv, G, hd]
+    out_ref,     # [bb, Hkv, G, hd]
     ckv_out,     # ANY (aliased)
     kv_db, wb_buf, sems, wsems,
     *,
@@ -79,6 +85,7 @@ def _kernel_mono4(
     per_row: bool,  # off_ref is [B]: each batch row has its own append slot
     ilp: int = 1,  # independent softmax chains per head (chain-ILP)
     kepi: int = 1,  # K logits via raw-byte dot epilogue (see MONO_KEPI)
+    bb: int = 1,   # batch rows per grid program (see MONO_BB)
 ):
     """VPU-lean variant (the B64 trace showed this kernel COMPUTE-bound at
     ~8.5 us/program vs ~2.6 us of slab DMA): the fresh row's contribution is
@@ -96,22 +103,21 @@ def _kernel_mono4(
     latency. Chains merge with one flash-stats rescale at the end (the
     sp_partial_attention math). Requires max_len >= 2*128 lanes; the
     split point is 128-lane aligned."""
-    b = pl.program_id(0)
+    p = pl.program_id(0)
     li = li_ref[0]
-    off = off_ref[b] if per_row else off_ref[0]
     groups = n_heads // hpd
-    n = n_rows * groups
+    n = n_rows * groups  # n_rows = TOTAL batch rows (grid is B/bb)
 
     def slab_dma(idx, s):
-        bb = idx // groups
+        rr = idx // groups
         gg = jax.lax.rem(idx, groups)
         return pltpu.make_async_copy(
-            ckv_any.at[li, bb, pl.ds(gg * hpd, hpd)], kv_db.at[s], sems.at[s]
+            ckv_any.at[li, rr, pl.ds(gg * hpd, hpd)], kv_db.at[s], sems.at[s]
         )
 
     # Warm-up: program 0 starts the first depth-1 slab groups.
     for j in range(depth - 1):
-        @pl.when((b == 0) & (j < n))
+        @pl.when((p == 0) & (j < n))
         def _(j=j):
             slab_dma(j, j % depth).start()
 
@@ -120,145 +126,154 @@ def _kernel_mono4(
     # 32-sublane aligned (int8 slab rows); 0 disables the second chain
     split = (max_len // 256) * 128 if ilp > 1 and max_len >= 256 else 0
     row1 = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
-    is_new_r = row1 == off
-    off_clamped = jnp.clip(off, 0, max_len - 1)
-    off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
-    valid = valid_ref[0, 0, :]
-    # The fresh row participates iff its slot is in range AND marked valid
-    # (same semantics as the old in-slab insert, where position `off` went
-    # through the valid mask like any other slot).
-    fresh_on = jnp.max(jnp.where(is_new_r, valid[None, :], 0)) > 0
-    # slab slots that feed the QK/PV matmuls: valid and NOT the append slot
-    dead = jnp.logical_or(valid[None, :] <= 0, is_new_r)
-    roww = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) + off_al
-    is_new_w = roww == off
+    roww0 = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
     cdt = q_ref.dtype
     wbs = []  # in-flight window write-backs (static Python bookkeeping)
 
-    for g in range(groups):
-        i = b * groups + g
-        # keep `depth` slab groups in flight
-        @pl.when(i + depth - 1 < n)
-        def _(g=g):
-            idx = b * groups + g + depth - 1
-            slab_dma(idx, jax.lax.rem(idx, depth)).start()
+    for r in range(bb):
+        b = p * bb + r  # global batch row
+        off = off_ref[b] if per_row else off_ref[0]
+        is_new_r = row1 == off
+        off_clamped = jnp.clip(off, 0, max_len - 1)
+        off_al = pl.multiple_of((off_clamped // 32) * 32, 32)
+        valid = valid_ref[r, 0, :]
+        # The fresh row participates iff its slot is in range AND marked
+        # valid (same semantics as the old in-slab insert, where position
+        # `off` went through the valid mask like any other slot).
+        fresh_on = jnp.max(jnp.where(is_new_r, valid[None, :], 0)) > 0
+        # slab slots feeding the QK/PV matmuls: valid, NOT the append slot
+        dead = jnp.logical_or(valid[None, :] <= 0, is_new_r)
+        roww = roww0 + off_al
+        is_new_w = roww == off
 
-        slot = jax.lax.rem(i, depth)
-        if groups % depth == 0:
-            slot = g % depth  # static when depth | groups
-        slab_dma(i, slot).wait()
+        for g in range(groups):
+            i = (p * bb + r) * groups + g
+            # keep `depth` slab groups in flight
+            @pl.when(i + depth - 1 < n)
+            def _(r=r, g=g):
+                idx = (p * bb + r) * groups + g + depth - 1
+                slab_dma(idx, jax.lax.rem(idx, depth)).start()
 
-        for h2 in range(hpd):
-            h = g * hpd + h2
-            t = g * hpd + h2  # global head index (static)
-            wsl = t % 2
-            if t >= 2:
-                # double-buffered staging: only wait for the copy that
-                # used THIS slot two heads ago (a serial wait per head
-                # was ~the write-back DMA latency on the critical path)
-                wbs[t - 2].wait()
-            # window-only insert: the 32-row aligned window around `off`
-            # goes through a scratch buffer so the full slab is never
-            # rewritten (the DMA read below is 32-sublane aligned)
-            win = kv_db[slot, h2, pl.ds(off_al, 32), :]
-            wb_buf[wsl] = jnp.where(is_new_w, kvnew_ref[0, h][None, :], win)
-            wb = pltpu.make_async_copy(
-                wb_buf.at[wsl],
-                ckv_out.at[li, b, h, pl.ds(off_al, 32), :], wsems.at[wsl],
-            )
-            wb.start()
-            wbs.append(wb)
+            slot = jax.lax.rem(i, depth)
+            if (bb * groups) % depth == 0:
+                slot = (r * groups + g) % depth  # static per program
+            slab_dma(i, slot).wait()
 
-            q = q_ref[0, h]
-            # analytic fresh-row term (shared by every chain)
-            n32 = kvnew_ref[0, h][None, :].astype(jnp.int32)
-            # K rides the low nibble OFFSET-BINARY (quantize_kv_rows4)
-            k_n = (jnp.bitwise_and(n32, 0xF) - 8).astype(cdt)
-            # hi nibble: one arithmetic shr4 (n32 is the sign-extended byte)
-            # — the shl24/shr28 pair costs an extra VPU pass per byte
-            # (round-4 finding: +17% B1 decode in the matmul kernels)
-            v_n = jnp.right_shift(n32, 4).astype(cdt)
-            # f32 VPU multiply-reduce: Mosaic rejects the skinny
-            # [G,hd]x[1,hd] bf16->f32 dot (vector.broadcast verify error —
-            # the decode_attention_packed lesson), and at [G,hd] the VPU
-            # pass is cheaper than an MXU trip anyway
-            lf = jnp.sum(
-                q.astype(jnp.float32) * k_n.astype(jnp.float32),
-                axis=1, keepdims=True,
-            )  # [G, 1]
-            lf = lf * (ks_new_ref[0, h] * scale)
-            lf = jnp.where(fresh_on, lf, -1e30)
+            for h2 in range(hpd):
+                h = g * hpd + h2
+                t = (r * groups + g) * hpd + h2  # program-local (static)
+                wsl = t % 2
+                if t >= 2:
+                    # double-buffered staging: only wait for the copy
+                    # that used THIS slot two heads ago (a serial wait
+                    # per head was ~the write-back DMA latency on the
+                    # critical path)
+                    wbs[t - 2].wait()
+                # window-only insert: the 32-row aligned window around
+                # `off` goes through a scratch buffer so the full slab is
+                # never rewritten (the DMA read is 32-sublane aligned)
+                win = kv_db[slot, h2, pl.ds(off_al, 32), :]
+                wb_buf[wsl] = jnp.where(
+                    is_new_w, kvnew_ref[r, h][None, :], win
+                )
+                wb = pltpu.make_async_copy(
+                    wb_buf.at[wsl],
+                    ckv_out.at[li, b, h, pl.ds(off_al, 32), :],
+                    wsems.at[wsl],
+                )
+                wb.start()
+                wbs.append(wb)
 
-            # kepi epilogue constant: -8 * sum_d q[g, d] (the lo-nibble
-            # offset applied uniformly to every slot's byte)
-            sq8 = -8.0 * jnp.sum(q.astype(jnp.float32), axis=1,
-                                 keepdims=True)  # [G, 1]
+                q = q_ref[r, h]
+                # analytic fresh-row term (shared by every chain)
+                n32 = kvnew_ref[r, h][None, :].astype(jnp.int32)
+                # K rides the low nibble OFFSET-BINARY (quantize_kv_rows4)
+                k_n = (jnp.bitwise_and(n32, 0xF) - 8).astype(cdt)
+                # hi nibble: one arithmetic shr4 (n32 is the sign-extended byte)
+                # — the shl24/shr28 pair costs an extra VPU pass per byte
+                # (round-4 finding: +17% B1 decode in the matmul kernels)
+                v_n = jnp.right_shift(n32, 4).astype(cdt)
+                # f32 VPU multiply-reduce: Mosaic rejects the skinny
+                # [G,hd]x[1,hd] bf16->f32 dot (vector.broadcast verify error —
+                # the decode_attention_packed lesson), and at [G,hd] the VPU
+                # pass is cheaper than an MXU trip anyway
+                lf = jnp.sum(
+                    q.astype(jnp.float32) * k_n.astype(jnp.float32),
+                    axis=1, keepdims=True,
+                )  # [G, 1]
+                lf = lf * (ks_new_ref[r, h] * scale)
+                lf = jnp.where(fresh_on, lf, -1e30)
 
-            def chain(start, length):
-                """One independent (m, l, acc) softmax chain over slab
-                slots [start, start+length). start/length are static and
-                128-lane aligned."""
-                braw = kv_db[slot, h2, start:start + length, :]
-                b32 = braw.astype(jnp.int32)
-                v_q = jnp.right_shift(b32, 4).astype(cdt)  # hi: one shr4
-                if kepi:
-                    # K logits from the raw byte plane: byte = 16v + (k+8),
-                    # so q.k = q.byte - 16 q.v - 8 sum(q). Skips the K
-                    # unpack's 2 VPU passes over [length, hd] for one more
-                    # skinny MXU dot + an O(G*length) f32 epilogue.
-                    d_b = jax.lax.dot_general(
-                        q, braw.astype(cdt), (((1,), (1,)), ((), ())),
+                # kepi epilogue constant: -8 * sum_d q[g, d] (the lo-nibble
+                # offset applied uniformly to every slot's byte)
+                sq8 = -8.0 * jnp.sum(q.astype(jnp.float32), axis=1,
+                                     keepdims=True)  # [G, 1]
+
+                def chain(start, length):
+                    """One independent (m, l, acc) softmax chain over slab
+                    slots [start, start+length). start/length are static and
+                    128-lane aligned."""
+                    braw = kv_db[slot, h2, start:start + length, :]
+                    b32 = braw.astype(jnp.int32)
+                    v_q = jnp.right_shift(b32, 4).astype(cdt)  # hi: one shr4
+                    if kepi:
+                        # K logits from the raw byte plane: byte = 16v + (k+8),
+                        # so q.k = q.byte - 16 q.v - 8 sum(q). Skips the K
+                        # unpack's 2 VPU passes over [length, hd] for one more
+                        # skinny MXU dot + an O(G*length) f32 epilogue.
+                        d_b = jax.lax.dot_general(
+                            q, braw.astype(cdt), (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        d_v = jax.lax.dot_general(
+                            q, v_q, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        logits = d_b - 16.0 * d_v + sq8
+                    else:
+                        k_q = (jnp.bitwise_and(b32, 0xF) - 8).astype(cdt)
+                        logits = jax.lax.dot_general(
+                            q, k_q, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    logits = logits * (
+                        ks_ref[0, r, h, start:start + length][None, :] * scale
+                    )
+                    logits = jnp.where(
+                        dead[:, start:start + length], -1e30, logits
+                    )
+                    mh = jnp.max(logits, axis=-1, keepdims=True)
+                    p = jnp.exp(logits - mh)
+                    lh = jnp.sum(p, axis=-1, keepdims=True)
+                    acc = jax.lax.dot_general(
+                        (p * vs_ref[0, r, h, start:start + length][None, :]
+                         ).astype(cdt), v_q,
+                        (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    d_v = jax.lax.dot_general(
-                        q, v_q, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    logits = d_b - 16.0 * d_v + sq8
+                    return mh, lh, acc
+
+                if ilp <= 1 or split == 0:
+                    m1, l1, acc1 = chain(0, max_len)
+                    m = jnp.maximum(m1, lf)
+                    a1 = jnp.exp(m1 - m)
+                    pf = jnp.exp(lf - m)
+                    denom = a1 * l1 + pf
+                    acc = a1 * acc1
                 else:
-                    k_q = (jnp.bitwise_and(b32, 0xF) - 8).astype(cdt)
-                    logits = jax.lax.dot_general(
-                        q, k_q, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                logits = logits * (
-                    ks_ref[0, 0, h, start:start + length][None, :] * scale
-                )
-                logits = jnp.where(
-                    dead[:, start:start + length], -1e30, logits
-                )
-                mh = jnp.max(logits, axis=-1, keepdims=True)
-                p = jnp.exp(logits - mh)
-                lh = jnp.sum(p, axis=-1, keepdims=True)
-                acc = jax.lax.dot_general(
-                    (p * vs_ref[0, 0, h, start:start + length][None, :]
-                     ).astype(cdt), v_q,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                return mh, lh, acc
-
-            if ilp <= 1 or split == 0:
-                m1, l1, acc1 = chain(0, max_len)
-                m = jnp.maximum(m1, lf)
-                a1 = jnp.exp(m1 - m)
-                pf = jnp.exp(lf - m)
-                denom = a1 * l1 + pf
-                acc = a1 * acc1
-            else:
-                # two independent chains; merge with one rescale (the
-                # sp_partial_attention stats math, in-kernel)
-                m1, l1, acc1 = chain(0, split)
-                m2, l2, acc2 = chain(split, max_len - split)
-                m = jnp.maximum(jnp.maximum(m1, m2), lf)
-                a1 = jnp.exp(m1 - m)
-                a2 = jnp.exp(m2 - m)
-                pf = jnp.exp(lf - m)
-                denom = a1 * l1 + a2 * l2 + pf
-                acc = a1 * acc1 + a2 * acc2
-            acc = acc + (pf * vs_new_ref[0, h]) * v_n.astype(jnp.float32)
-            out = acc / denom
-            out_ref[0, h] = out.astype(out_ref.dtype)
+                    # two independent chains; merge with one rescale (the
+                    # sp_partial_attention stats math, in-kernel)
+                    m1, l1, acc1 = chain(0, split)
+                    m2, l2, acc2 = chain(split, max_len - split)
+                    m = jnp.maximum(jnp.maximum(m1, m2), lf)
+                    a1 = jnp.exp(m1 - m)
+                    a2 = jnp.exp(m2 - m)
+                    pf = jnp.exp(lf - m)
+                    denom = a1 * l1 + a2 * l2 + pf
+                    acc = a1 * acc1 + a2 * acc2
+                acc = acc + (pf * vs_new_ref[r, h]) * v_n.astype(jnp.float32)
+                out = acc / denom
+                out_ref[r, h] = out.astype(out_ref.dtype)
 
     # drain the last (up to 2) window write-backs before the program ends
     for wb in wbs[-2:]:
@@ -270,6 +285,7 @@ def decode_attention_quantized4_mono(
     layer, offset, valid, scale, interpret: bool = False,
     depth: int | None = None, hpd: int | None = None,
     ilp: int | None = None, kepi: int | None = None,
+    bb: int | None = None,
 ):
     """int4-KV mono-grid decode attention (same contract as
     decode_attention_db.decode_attention_quantized4_db).
@@ -289,7 +305,11 @@ def decode_attention_quantized4_mono(
     BlockSpec index map (scalar prefetch), saving the XLA-side
     dynamic-slice that MATERIALIZED a copy of both scale slabs every
     layer (B64 trace: 2x ~0.19 ms/step — the int4_matmul_stacked lesson
-    applied to scales)."""
+    applied to scales).
+
+    bb (MONO_BB env): batch rows per grid program — B/bb programs, same
+    global cross-program slab-DMA pipeline, bb x less per-program
+    overhead (must divide B; falls back to 1)."""
     L, B, Hkv, max_len, hd = cache_kv.shape
     if max_len % 32 != 0:
         raise ValueError(f"max_len % 32 != 0 ({max_len})")
@@ -297,8 +317,11 @@ def decode_attention_quantized4_mono(
     hpd = MONO_HPD if hpd is None else hpd
     ilp = MONO_ILP if ilp is None else ilp
     kepi = MONO_KEPI if kepi is None else kepi
+    bb = MONO_BB if bb is None else bb
     if Hkv % hpd:
         hpd = 1
+    if bb < 1 or B % bb:
+        bb = 1
     off_arr = jnp.asarray(offset, jnp.int32).reshape(-1)
     per_row = off_arr.size > 1
     if per_row and off_arr.size != B:
@@ -312,19 +335,19 @@ def decode_attention_quantized4_mono(
     bmap3 = lambda i, *_: (i, 0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B,),
+        grid=(B // bb,),
         in_specs=[
-            pl.BlockSpec((1, Hkv, G, hd), bmap),
-            pl.BlockSpec((1, Hkv, hd), bmap3),
-            pl.BlockSpec((1, Hkv, 1), bmap3),
-            pl.BlockSpec((1, Hkv, 1), bmap3),
-            pl.BlockSpec((1, 1, Hkv, max_len), smap),
-            pl.BlockSpec((1, 1, Hkv, max_len), smap),
-            pl.BlockSpec((1, 1, max_len), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((bb, Hkv, G, hd), bmap),
+            pl.BlockSpec((bb, Hkv, hd), bmap3),
+            pl.BlockSpec((bb, Hkv, 1), bmap3),
+            pl.BlockSpec((bb, Hkv, 1), bmap3),
+            pl.BlockSpec((1, bb, Hkv, max_len), smap),
+            pl.BlockSpec((1, bb, Hkv, max_len), smap),
+            pl.BlockSpec((bb, 1, max_len), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, Hkv, G, hd), bmap),
+            pl.BlockSpec((bb, Hkv, G, hd), bmap),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
@@ -338,6 +361,7 @@ def decode_attention_quantized4_mono(
         functools.partial(
             _kernel_mono4, scale=scale, n_heads=Hkv, n_rows=B,
             depth=depth, hpd=hpd, per_row=per_row, ilp=ilp, kepi=kepi,
+            bb=bb,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -370,8 +394,8 @@ def _kernel_mono_q8(
     vnew_ref,
     ks_new_ref,  # [1, Hkv, 1] f32
     vs_new_ref,
-    ks_ref,      # [1, Hkv, max_len] f32
-    vs_ref,
+    ks_ref,      # [1, 1, Hkv, max_len] f32 (layer picked by the index map
+    vs_ref,      #   in slab mode — see the int4 kernel)
     valid_ref,   # [1, 1, max_len]
     ck_any, cv_any,
     out_ref,     # [1, Hkv, G, hd]
@@ -469,7 +493,7 @@ def _kernel_mono_q8(
             q, k_db[slot].astype(cdt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        logits = logits * (ks_ref[0, h][None, :] * scale)
+        logits = logits * (ks_ref[0, 0, h][None, :] * scale)
         logits = jnp.where(dead, -1e30, logits)
         # f32 VPU multiply-reduce (Mosaic rejects the skinny bf16->f32 dot;
         # see the int4 kernel's note)
@@ -485,7 +509,8 @@ def _kernel_mono_q8(
         pf = jnp.exp(lf - m)
         denom = jnp.sum(p, axis=-1, keepdims=True) + pf
         acc = jax.lax.dot_general(
-            (p * vs_ref[0, h][None, :]).astype(cdt), v_db[slot].astype(cdt),
+            (p * vs_ref[0, 0, h][None, :]).astype(cdt),
+            v_db[slot].astype(cdt),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -506,7 +531,13 @@ def decode_attention_quantized_mono(
 ):
     """int8 mono-grid decode attention (same contract as
     decode_attention_db.decode_attention_quantized_db; offset may be
-    scalar or [B] per-row append slots — see the int4 wrapper)."""
+    scalar or [B] per-row append slots — see the int4 wrapper).
+
+    k_scales/v_scales: per-layer [B, Hkv, max_len] OR the FULL stacked
+    slabs [L, B, Hkv, max_len] — slab mode picks the layer inside the
+    BlockSpec index map (scalar prefetch), saving the XLA-side
+    dynamic-slice that MATERIALIZED a copy of both scale slabs every
+    layer (same as the int4 wrapper above)."""
     L, B, Hkv, max_len, hd = cache_k.shape
     if max_len % 32 != 0:
         raise ValueError(f"max_len % 32 != 0 ({max_len})")
@@ -516,6 +547,9 @@ def decode_attention_quantized_mono(
         raise ValueError(f"offset must be scalar or [B]; got {off_arr.shape}")
     Hq = q.shape[1]
     G = Hq // Hkv
+    stacked = k_scales.ndim == 4
+    smap = (lambda i, li, *_: (li[0], i, 0, 0)) if stacked else \
+        (lambda i, *_: (0, i, 0, 0))
     bmap = lambda i, *_: (i, 0, 0, 0)  # noqa: E731
     bmap3 = lambda i, *_: (i, 0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -527,8 +561,8 @@ def decode_attention_quantized_mono(
             pl.BlockSpec((1, Hkv, hd), bmap3),
             pl.BlockSpec((1, Hkv, 1), bmap3),
             pl.BlockSpec((1, Hkv, 1), bmap3),
-            pl.BlockSpec((1, Hkv, max_len), bmap3),
-            pl.BlockSpec((1, Hkv, max_len), bmap3),
+            pl.BlockSpec((1, 1, Hkv, max_len), smap),
+            pl.BlockSpec((1, 1, Hkv, max_len), smap),
             pl.BlockSpec((1, 1, max_len), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -570,8 +604,8 @@ def decode_attention_quantized_mono(
         v_new_q.reshape(B, Hkv, hd),
         k_new_scale.astype(jnp.float32).reshape(B, Hkv, 1),
         v_new_scale.astype(jnp.float32).reshape(B, Hkv, 1),
-        k_scales.astype(jnp.float32).reshape(B, Hkv, max_len),
-        v_scales.astype(jnp.float32).reshape(B, Hkv, max_len),
+        k_scales.astype(jnp.float32).reshape(-1, B, Hkv, max_len),
+        v_scales.astype(jnp.float32).reshape(-1, B, Hkv, max_len),
         valid.astype(jnp.int32)[:, None, :],
         cache_k,
         cache_v,

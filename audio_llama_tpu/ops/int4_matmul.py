@@ -56,6 +56,15 @@ import os as _os
 # the qkv/o matmuls at 57% of their weight-DMA floor at M=1)
 INT4_BN = int(_os.environ.get("INT4_BN", "0"))
 
+# contraction (K) block for the STACKED decode matmuls: 0 = whole K per
+# grid step (rounds 3-4). A K-split grid (mi, ni, ki-minor with scratch
+# accumulation) shrinks the first-fetch pipeline-fill exposure — at M=1
+# the qkv/o grids are only 3-5 steps of 1.5 MB weight blocks, so the
+# unoverlapped first fetch alone costs ~1/(n+1) of the kernel (round-5
+# trace: qkv/o at 65% of their weight-DMA floor; the round-4 N-block
+# sweep never touched K). Must divide K and be a multiple of GROUP.
+INT4_BK = int(_os.environ.get("INT4_BK", "0"))
+
 # nibble-unpack variant (A/B knob; all three are BIT-EXACT equal):
 #   i32lite — DEFAULT: lo shl28/shr28, hi = one arithmetic shr4 (3 shifts).
 #             One shift fewer than 'shift' measured +17.4% B1 decode /
@@ -381,9 +390,40 @@ def _kernel_stacked(li_ref, x_ref, p_ref, slo_ref, shi_ref, o_ref, *,
     o_ref[1] = acc_hi.astype(o_ref.dtype)
 
 
+def _kernel_stacked_ksplit(li_ref, x_ref, p_ref, slo_ref, shi_ref, o_ref,
+                           acc, *, group, n_groups, bm, nh, nk, fmt):
+    """K-split twin of _kernel_stacked: the grid's minor axis walks
+    contraction blocks of n_groups scale groups each, accumulating into a
+    VMEM scratch and emitting once at the last K block. Same math, same
+    DMA bytes — but the per-step weight block is nk x smaller, so the
+    pipeline fills (and drains) in 1/nk of the old exposure (the INT4_BK
+    rationale above)."""
+    del li_ref
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[:]  # [bm, block_k]
+    acc_lo = jnp.zeros((bm, nh), jnp.float32)
+    acc_hi = jnp.zeros((bm, nh), jnp.float32)
+    for g in range(n_groups):
+        rows = slice(g * group, (g + 1) * group)
+        plo, phi = _group_dots(x[:, rows], p_ref[0, rows, :], x.dtype, fmt)
+        acc_lo = acc_lo + plo * slo_ref[0, g, :][None, :]
+        acc_hi = acc_hi + phi * shi_ref[0, g, :][None, :]
+    acc[0] += acc_lo
+    acc[1] += acc_hi
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[...] = acc[...].astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("group", "block_m", "block_n", "interpret",
+    static_argnames=("group", "block_m", "block_n", "block_k", "interpret",
                      "return_planes", "fmt"),
 )
 def int4_matmul_stacked(
@@ -394,6 +434,7 @@ def int4_matmul_stacked(
     group: int = GROUP,
     block_m: int = 0,
     block_n: int = 0,
+    block_k: int = 0,
     interpret: bool = False,
     return_planes: bool = False,
     fmt: str | None = None,
@@ -405,7 +446,10 @@ def int4_matmul_stacked(
     [0, N/2) and [N/2, N) — WITHOUT the final lane concatenation. For a
     fused gate|up slab the halves ARE gate and up (N_gate == N_up), so
     the caller skips a [M, N] materialized copy — at B64 x 2048 prefill
-    rows that copy transient OOM'd HBM (llama_int4 fusion note)."""
+    rows that copy transient OOM'd HBM (llama_int4 fusion note).
+
+    block_k (or the INT4_BK env default): contraction-split grid — see
+    the knob note at the top. 0 keeps the whole-K grid."""
     fmt = fmt or INT4_FMT
     *lead, K = x.shape
     L, _, Nh = packed_all.shape
@@ -413,6 +457,9 @@ def int4_matmul_stacked(
     n_groups = K // group
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
+    bk = block_k or INT4_BK
+    if bk and (K % bk or bk % group):
+        bk = 0  # geometry doesn't allow the K split; whole-K grid
 
     def fits(bm_, nh_):
         per = bm_ * K * 2 + K * nh_ + 2 * bm_ * nh_ * 2 + 8 * nh_ * 4 * 2
@@ -439,25 +486,59 @@ def int4_matmul_stacked(
         x2 = jnp.pad(x2, ((0, M_pad - M), (0, 0)))
     nm, nn = M_pad // bm, Nh // nh
 
-    kernel = functools.partial(
-        _kernel_stacked, group=group, n_groups=n_groups, bm=bm, nh=nh,
-        fmt=fmt,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nm, nn),
-        in_specs=[
-            pl.BlockSpec((bm, K), lambda mi, ni, li: (mi, 0)),
-            pl.BlockSpec((1, K, nh), lambda mi, ni, li: (li[0], 0, ni)),
-            # scale lo/hi halves addressed by BLOCK column offset into the
-            # same [L, n_groups, N] array — no host-side lane slicing
-            pl.BlockSpec((1, n_groups, nh), lambda mi, ni, li: (li[0], 0, ni)),
-            pl.BlockSpec(
-                (1, n_groups, nh), lambda mi, ni, li, _nn=nn: (li[0], 0, ni + _nn)
+    if bk:
+        nk = K // bk
+        bkg = bk // group  # scale groups per K block
+        kernel = functools.partial(
+            _kernel_stacked_ksplit, group=group, n_groups=bkg, bm=bm,
+            nh=nh, nk=nk, fmt=fmt,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nm, nn, nk),  # ki minor: out block constant across it
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda mi, ni, ki, li: (mi, ki)),
+                pl.BlockSpec(
+                    (1, bk, nh), lambda mi, ni, ki, li: (li[0], ki, ni)
+                ),
+                pl.BlockSpec(
+                    (1, bkg, nh), lambda mi, ni, ki, li: (li[0], ki, ni)
+                ),
+                pl.BlockSpec(
+                    (1, bkg, nh),
+                    lambda mi, ni, ki, li, _nn=nn: (li[0], ki, ni + _nn),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (2, bm, nh), lambda mi, ni, ki, li: (0, mi, ni)
             ),
-        ],
-        out_specs=pl.BlockSpec((2, bm, nh), lambda mi, ni, li: (0, mi, ni)),
-    )
+            scratch_shapes=[pltpu.VMEM((2, bm, nh), jnp.float32)],
+        )
+    else:
+        kernel = functools.partial(
+            _kernel_stacked, group=group, n_groups=n_groups, bm=bm, nh=nh,
+            fmt=fmt,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nm, nn),
+            in_specs=[
+                pl.BlockSpec((bm, K), lambda mi, ni, li: (mi, 0)),
+                pl.BlockSpec((1, K, nh), lambda mi, ni, li: (li[0], 0, ni)),
+                # scale lo/hi halves addressed by BLOCK column offset into
+                # the same [L, n_groups, N] array — no host-side slicing
+                pl.BlockSpec(
+                    (1, n_groups, nh), lambda mi, ni, li: (li[0], 0, ni)
+                ),
+                pl.BlockSpec(
+                    (1, n_groups, nh),
+                    lambda mi, ni, li, _nn=nn: (li[0], 0, ni + _nn)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (2, bm, nh), lambda mi, ni, li: (0, mi, ni)
+            ),
+        )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

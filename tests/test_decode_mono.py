@@ -363,3 +363,165 @@ def test_mono4_kepi_matches_direct_unpack():
         np.asarray(out), np.asarray(ref_out), atol=5e-5, rtol=5e-5
     )
     np.testing.assert_array_equal(np.asarray(ockv), np.asarray(ref_ckv))
+
+
+def test_mono_q8_slab_scales_match_per_layer():
+    """int8 mono SLAB mode (full [L, ...] scale slabs, layer picked by the
+    BlockSpec index map) is bit-identical to per-layer scale slices — the
+    mode models/llama.py's int8 mono decode branch now uses (no per-layer
+    dynamic_index materialization)."""
+    from audio_llama_tpu.models.llama import quantize_kv_rows
+    from audio_llama_tpu.ops.decode_attention_mono import (
+        decode_attention_quantized_mono,
+    )
+
+    L, B, Hkv, S, hd = 3, 2, 2, 64, 32
+    Hq = 4
+    rng = np.random.RandomState(22)
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    k_new, ks_new = quantize_kv_rows(
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32))
+    v_new, vs_new = quantize_kv_rows(
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32))
+    ckq, ks = quantize_kv_rows(
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32))
+    cvq, vs = quantize_kv_rows(
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32))
+    valid = np.zeros((B, S), np.int32)
+    valid[:, :20] = 1
+    tail = (jnp.int32(2), jnp.int32(19), jnp.asarray(valid), hd ** -0.5)
+    ref = decode_attention_quantized_mono(
+        q, k_new, v_new, ckq, cvq, ks[2], vs[2], ks_new, vs_new, *tail,
+        interpret=True,
+    )
+    out = decode_attention_quantized_mono(
+        q, k_new, v_new, ckq, cvq, ks, vs, ks_new, vs_new, *tail,
+        interpret=True,
+    )
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_mono_ignores_poisoned_append_scale(bits):
+    """The write→read reorder in models/llama.py (scales written into the
+    slabs BEFORE the mono kernel reads them) depends on the mono kernels
+    masking the append slot DEAD: the slab scale at `off` must never feed
+    the output (the fresh row enters the softmax analytically through
+    k/v_new_scale). Pin it by poisoning the append-slot scale with extreme
+    finite garbage — outputs must be bit-identical. (Finite, not NaN: the
+    dead slot's softmax weight is exactly 0, and 0 * NaN would manufacture
+    a NaN the mask correctly never lets a real value produce.)"""
+    from audio_llama_tpu.models.llama import (
+        quantize_kv_rows,
+        quantize_kv_rows4,
+    )
+
+    L, B, Hkv, S, hd = 2, 2, 2, 64, 32
+    Hq = 4
+    off = 19
+    rng = np.random.RandomState(23)
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    valid = np.zeros((B, S), np.int32)
+    valid[:, : off + 1] = 1  # the append slot itself is marked valid
+    tail = (jnp.int32(1), jnp.int32(off), jnp.asarray(valid), hd ** -0.5)
+
+    def poison(s):
+        s = np.asarray(s).copy()
+        s[1, :, :, off] = 1e30
+        return jnp.asarray(s)
+
+    if bits == 4:
+        from audio_llama_tpu.ops.decode_attention_mono import (
+            decode_attention_quantized4_mono,
+        )
+
+        kv_new, ks_new, vs_new = quantize_kv_rows4(
+            jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+            jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+        )
+        ckv, ks, vs = quantize_kv_rows4(
+            jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+            jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+        )
+        ref = decode_attention_quantized4_mono(
+            q, kv_new, ckv, ks, vs, ks_new, vs_new, *tail, interpret=True
+        )
+        out = decode_attention_quantized4_mono(
+            q, kv_new, ckv, poison(ks), poison(vs), ks_new, vs_new, *tail,
+            interpret=True,
+        )
+    else:
+        from audio_llama_tpu.ops.decode_attention_mono import (
+            decode_attention_quantized_mono,
+        )
+
+        k_new, ks_new = quantize_kv_rows(
+            jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32))
+        v_new, vs_new = quantize_kv_rows(
+            jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32))
+        ckq, ks = quantize_kv_rows(
+            jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32))
+        cvq, vs = quantize_kv_rows(
+            jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32))
+        ref = decode_attention_quantized_mono(
+            q, k_new, v_new, ckq, cvq, ks, vs, ks_new, vs_new, *tail,
+            interpret=True,
+        )
+        out = decode_attention_quantized_mono(
+            q, k_new, v_new, ckq, cvq, poison(ks), poison(vs), ks_new,
+            vs_new, *tail, interpret=True,
+        )
+    for a, b in zip(out, ref):
+        assert np.all(np.isfinite(np.asarray(a, np.float32)))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("bb", [2, 3])
+def test_mono4_bb_matches_bb1(bb):
+    """bb (batch rows per grid program, MONO_BB): B/bb programs with the
+    same global cross-program slab-DMA pipeline must reproduce the bb=1
+    kernel bit-exactly — including per-row append offsets and rows whose
+    fresh slot is invalid. bb=3 exercises the non-divisible fallback
+    (B=4 % 3 != 0 -> bb=1)."""
+    from audio_llama_tpu.models.llama import quantize_kv_rows4
+    from audio_llama_tpu.ops.decode_attention_mono import (
+        decode_attention_quantized4_mono,
+    )
+
+    L, B, Hkv, S, hd = 2, 4, 2, 64, 32
+    Hq = 4
+    rng = np.random.RandomState(30)
+    q = jnp.asarray(rng.randn(B, Hq, hd), jnp.float32)
+    kv_new, ks_new, vs_new = quantize_kv_rows4(
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+        jnp.asarray(rng.randn(B, Hkv, hd), jnp.float32),
+    )
+    ckv, ks, vs = quantize_kv_rows4(
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+        jnp.asarray(rng.randn(L, B, Hkv, S, hd), jnp.float32),
+    )
+    valid = np.zeros((B, S), np.int32)
+    valid[0, :20] = 1
+    valid[1, :33] = 1
+    valid[2, :7] = 1
+    valid[3, :40] = 1
+    valid[3, 39] = 0  # row 3's append slot marked invalid (fresh off)
+    offs = jnp.asarray([19, 32, 6, 39], jnp.int32)  # per-row append slots
+    args = (q, kv_new, ckv, ks, vs, ks_new, vs_new,
+            jnp.int32(1), offs, jnp.asarray(valid), hd ** -0.5)
+    ref_out, ref_ckv = decode_attention_quantized4_mono(
+        *args, interpret=True, bb=1
+    )
+    out, ockv = decode_attention_quantized4_mono(
+        *args, interpret=True, bb=bb
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    np.testing.assert_array_equal(np.asarray(ockv), np.asarray(ref_ckv))
+    # scalar-offset variant too
+    args_s = (q, kv_new, ckv, ks, vs, ks_new, vs_new,
+              jnp.int32(1), jnp.int32(19), jnp.asarray(valid), hd ** -0.5)
+    ref2 = decode_attention_quantized4_mono(*args_s, interpret=True, bb=1)
+    got2 = decode_attention_quantized4_mono(*args_s, interpret=True, bb=bb)
+    for a, b in zip(got2, ref2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

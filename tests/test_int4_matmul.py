@@ -116,3 +116,50 @@ def test_stacked_kernel_matches_ref_interpret():
             np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4,
             err_msg=f"layer {l}",
         )
+
+
+@pytest.mark.parametrize("fmt", ["pair", "obin"])
+def test_stacked_kernel_ksplit_matches_whole_k(fmt):
+    """block_k (INT4_BK): the contraction-split grid (mi, ni, ki-minor
+    with scratch accumulation) matches the whole-K grid — the round-5 B1
+    pipeline-fill lever. Covers both pack formats (obin's epilogue terms
+    are per scale group, so the K split must not change them)."""
+    from audio_llama_tpu.ops.int4_matmul import int4_matmul_stacked
+
+    rng = np.random.RandomState(6)
+    L, K, N = 2, 512, 512  # 4 scale groups -> block_k=256 is 2 K blocks
+    packed_l, scales_l = [], []
+    for l in range(L):
+        w = jnp.asarray(rng.randn(K, N).astype(np.float32)) * 0.05
+        p, s = quantize_pack(w, group=128, fmt=fmt)
+        packed_l.append(p)
+        scales_l.append(s)
+    packed_all = jnp.stack(packed_l)
+    scales_all = jnp.stack(scales_l)
+    for M in (1, 4):
+        x = jnp.asarray(rng.randn(M, K).astype(np.float32)) * 0.5
+        for l in range(L):
+            li = jnp.asarray(l, jnp.int32)
+            ref = int4_matmul_stacked(
+                x, packed_all, scales_all, li, interpret=True, fmt=fmt,
+            )
+            got = int4_matmul_stacked(
+                x, packed_all, scales_all, li, interpret=True, fmt=fmt,
+                block_k=256,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5,
+                err_msg=f"layer {l} M={M}",
+            )
+    # geometry fallbacks: block_k not dividing K / not a group multiple
+    x = jnp.asarray(rng.randn(2, K).astype(np.float32))
+    for bad in (384, 200):
+        out = int4_matmul_stacked(
+            x, packed_all, scales_all, jnp.asarray(0, jnp.int32),
+            interpret=True, block_k=bad,
+        )
+        ref = int4_matmul_stacked(
+            x, packed_all, scales_all, jnp.asarray(0, jnp.int32),
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -411,8 +411,8 @@ def _kernel_stacked_ksplit(li_ref, x_ref, p_ref, slo_ref, shi_ref, o_ref,
     for g in range(n_groups):
         rows = slice(g * group, (g + 1) * group)
         plo, phi = _group_dots(x[:, rows], p_ref[0, rows, :], x.dtype, fmt)
-        acc_lo = acc_lo + plo * slo_ref[0, g, :][None, :]
-        acc_hi = acc_hi + phi * shi_ref[0, g, :][None, :]
+        acc_lo = acc_lo + plo * slo_ref[0, 0, g, :][None, :]
+        acc_hi = acc_hi + phi * shi_ref[0, 0, g, :][None, :]
     acc[0] += acc_lo
     acc[1] += acc_hi
 
@@ -501,12 +501,19 @@ def int4_matmul_stacked(
                 pl.BlockSpec(
                     (1, bk, nh), lambda mi, ni, ki, li: (li[0], ki, ni)
                 ),
+                # scale blocks: bkg (groups per K block) is < 8, which
+                # Mosaic's sublane rule rejects as a 2nd-minor block size
+                # — so the K-block axis becomes a MAJOR (grid-indexed)
+                # axis via the [L, nk, bkg, N] reshape below and the bkg
+                # block spans its whole dim (the mlp_int4 dn_scales4
+                # trick; caught on TPU, invisible in interpret mode)
                 pl.BlockSpec(
-                    (1, bkg, nh), lambda mi, ni, ki, li: (li[0], ki, ni)
+                    (1, 1, bkg, nh),
+                    lambda mi, ni, ki, li: (li[0], ki, 0, ni),
                 ),
                 pl.BlockSpec(
-                    (1, bkg, nh),
-                    lambda mi, ni, ki, li, _nn=nn: (li[0], ki, ni + _nn),
+                    (1, 1, bkg, nh),
+                    lambda mi, ni, ki, li, _nn=nn: (li[0], ki, 0, ni + _nn),
                 ),
             ],
             out_specs=pl.BlockSpec(
@@ -548,7 +555,11 @@ def int4_matmul_stacked(
         jnp.asarray(layer, jnp.int32).reshape(1),
         # scales_all rides in TWICE (lo and hi halves read different block
         # columns of the same array — one spec each, no host-side slicing)
-        x2, packed_all, scales_all, scales_all,
+        x2, packed_all,
+        # K-split mode reads scales through the [L, nk, bkg, N] view
+        # (Mosaic sublane rule — see the in_specs note above)
+        *((scales_all.reshape(L, K // bk, bk // group, N),) * 2 if bk
+          else (scales_all, scales_all)),
     )
     if return_planes:
         lo, hi = out[0], out[1]

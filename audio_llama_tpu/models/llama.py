@@ -1228,12 +1228,55 @@ def llama_forward(
             "collect_quant_stats calibrates FULL-PRECISION trees "
             "(quantize after capturing)"
         )
-    step_fn = layer_step
-    if remat:
-        step_fn = jax.checkpoint(layer_step, prevent_cse=False)
-    (x, ck_out, cv_out, ks_out, vs_out), scan_ys = lax.scan(
-        step_fn, carry0, (lp, lora_layers, jnp.arange(L))
+
+    # Layer-fused B1 decode megakernel (ops/decode_megakernel.py): the whole
+    # stack in ONE pallas_call — no per-layer call boundaries, no XLA glue,
+    # one continuous weight-DMA pipeline. MEGA_DECODE env: '1' auto on TPU,
+    # '0' off (default until TPU-verified), 'interp' force-interpret (CPU
+    # parity tests).
+    _mega_mode = _os.environ.get("MEGA_DECODE", "0")
+    use_megakernel = (
+        _mega_mode != "0"
+        and use_mono_kernel and B == 1 and T == 1 and kv_bits == 4
+        and lora is None and tp_axis is None and sp_axis is None
+        and cache_offsets is None and not collect_quant_stats
+        and "qkv_proj" in int4_slabs
     )
+    if use_megakernel:
+        from ..ops import decode_megakernel as mk
+
+        use_megakernel = mk.ok_for(cfg, int4_slabs, Tk) and (
+            da.available() or _mega_mode == "interp"
+        )
+    if use_megakernel:
+        hidden, ckv_new, fresh = mk.decode_megakernel(
+            x[0], int4_slabs["qkv_proj"], int4_slabs["o_proj"],
+            int4_slabs["gateup_proj"], int4_slabs["down_proj"],
+            lp["input_ln"], lp["post_attn_ln"],
+            cos[0, 0], sin[0, 0],
+            kv_cache.k, kv_cache.k_scale, kv_cache.v_scale,
+            offset, decode_valid,
+            eps=cfg.rms_norm_eps, scale=cfg.head_dim ** -0.5, fmt=_i4fmt,
+            interpret=_mega_mode == "interp",
+        )
+        x = hidden[None]  # [1, 1, D]
+        ck_out, cv_out = ckv_new, None
+        # fresh per-layer KV scales (lane 0 = k, lane 1 = v) scatter into
+        # the scale slabs in ONE slice-update across all layers
+        ks_out = lax.dynamic_update_slice(
+            kv_cache.k_scale, fresh[:, None, :, 0:1], (0, 0, 0, offset)
+        )
+        vs_out = lax.dynamic_update_slice(
+            kv_cache.v_scale, fresh[:, None, :, 1:2], (0, 0, 0, offset)
+        )
+        scan_ys = None
+    else:
+        step_fn = layer_step
+        if remat:
+            step_fn = jax.checkpoint(layer_step, prevent_cse=False)
+        (x, ck_out, cv_out, ks_out, vs_out), scan_ys = lax.scan(
+            step_fn, carry0, (lp, lora_layers, jnp.arange(L))
+        )
 
     if T_real != T:  # drop the flash tile-padding rows
         x = x[:, :T_real]

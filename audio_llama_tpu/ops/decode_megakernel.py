@@ -84,7 +84,7 @@ def _rope(xf, cos, sin):
 def _kernel(
     off_ref,                      # scalar prefetch: [1] int32 append slot
     x_ref,                        # [1, D] bf16 (embedded token, post-R1)
-    iln_ref, pln_ref,             # [1, D] input/post-attn LN scales
+    iln_ref, pln_ref,             # [1, 1, D] input/post-attn LN scales
     cos_ref, sin_ref,             # [1, hd] f32 rope tables for this slot
     valid_ref,                    # [1, Tk] int32 slot validity
     qkvp_ref, qsl_ref, qsh_ref,   # qkv packed block + lo/hi scale blocks
@@ -137,7 +137,7 @@ def _kernel(
 
     @pl.when(j < nq)
     def _():
-        hn = _rms(h_scr[0:1, :], iln_ref[0:1, :].astype(cdt), eps)
+        hn = _rms(h_scr[0:1, :], iln_ref[0].astype(cdt), eps)
         acc_lo = jnp.zeros((1, bnq), f32)
         acc_hi = jnp.zeros((1, bnq), f32)
         for g in range(kg):
@@ -301,7 +301,7 @@ def _kernel(
         def _():
             dn_acc[...] = jnp.zeros_like(dn_acc)
 
-        hn2 = _rms(h_scr[0:1, :], pln_ref[0:1, :].astype(cdt), eps)
+        hn2 = _rms(h_scr[0:1, :], pln_ref[0].astype(cdt), eps)
         g_acc = jnp.zeros((1, bngu), f32)
         u_acc = jnp.zeros((1, bngu), f32)
         for g in range(kg):
@@ -393,8 +393,11 @@ def decode_megakernel(
         grid=(L, S),
         in_specs=[
             pl.BlockSpec((1, D), c1),                      # x
-            pl.BlockSpec((1, D), lmap),                    # input_ln
-            pl.BlockSpec((1, D), lmap),                    # post_attn_ln
+            # [L, 1, D] view: a (1, D) block of a [L, D] array violates
+            # Mosaic's sublane rule (2nd-minor block must be 8-divisible
+            # or span the dim); the singleton axis makes the block span
+            pl.BlockSpec((1, 1, D), lambda li, j, off: (li, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda li, j, off: (li, 0, 0)),
             pl.BlockSpec((1, hd), c1),                     # cos
             pl.BlockSpec((1, hd), c1),                     # sin
             pl.BlockSpec((1, Tk), c1),                     # valid
@@ -448,7 +451,7 @@ def decode_megakernel(
     )(
         jnp.asarray(offset, jnp.int32).reshape(1),
         x.reshape(1, D),
-        input_ln, post_attn_ln,
+        input_ln.reshape(L, 1, D), post_attn_ln.reshape(L, 1, D),
         cos.reshape(1, hd).astype(jnp.float32),
         sin.reshape(1, hd).astype(jnp.float32),
         valid.astype(jnp.int32).reshape(1, Tk),

@@ -1,0 +1,68 @@
+#!/bin/bash
+# Round-5 session-2 TPU batch 3: megakernel shakedown + MONO_BB sweep tail
+# + train-flight OOM diagnosis + quality-flight retry loop.
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax
+
+run() {
+  local tries=$1; shift
+  for i in $(seq 1 $tries); do
+    echo "=== ${ENVV[*]} $* (attempt $i) ==="
+    local tmplog
+    tmplog=$(mktemp /tmp/r5s3.XXXXXX.log)
+    timeout 3000 env "${ENVV[@]}" "$@" >"$tmplog" 2>&1
+    rc=$?
+    grep -E '^\{|timing|Error|error' "$tmplog" | tail -8
+    if [ $rc -eq 124 ]; then
+      echo "--- rc=124 (TIMEOUT) ---"
+    elif [ $rc -ne 0 ]; then
+      echo "--- rc=$rc; unfiltered tail follows ---"
+      tail -40 "$tmplog"
+    else
+      echo "--- rc=0 ---"
+    fi
+    cp "$tmplog" /tmp/r5s3_last.log
+    rm -f "$tmplog"
+    [ $rc -eq 0 ] && break
+  done
+}
+
+# 1. megakernel B1 A/B (same-session baseline: 313.63)
+ENVV=(MEGA_DECODE=1)
+run 2 python bench.py --mode decode --batch 1 --int4_weights --kv_quant --kv_bits 4 --iters 60
+ENVV=()
+
+# 2. MONO_BB sweep tail (session: B64 4522.5/4680.2@2/4756.3@4, B128 4838.7/5010.1@2)
+ENVV=(MONO_BB=4)
+run 2 python bench.py --mode decode --batch 128 --int4_weights --kv_quant --kv_bits 4 --prefill_rows 32 --iters 60
+ENVV=(MONO_BB=8)
+run 2 python bench.py --mode decode --batch 64 --int4_weights --kv_quant --kv_bits 4 --iters 60
+ENVV=(MONO_BB=8)
+run 2 python bench.py --mode decode --batch 128 --int4_weights --kv_quant --kv_bits 4 --prefill_rows 32 --iters 60
+ENVV=()
+echo SWEEP_DONE
+
+# 3. train flight, FULL log (the s2 run OOM'd; rc was masked by a tail pipe)
+echo "=== train.py --synthetic_flagship flight (full log /tmp/train_flagship.log) ==="
+timeout 6000 python -u -m audio_llama_tpu.training.train \
+  --synthetic_flagship --tokenizer byte \
+  --data_path /tmp/flagship_corpus/examples.json \
+  --audio_dir /tmp/flagship_corpus/audio \
+  --output_dir /tmp/flagship_train_run \
+  --batch_size 2 --eval_batch_size 2 --grad_accum_steps 4 \
+  --num_epochs 1 --max_steps 3 \
+  --log_steps 1 --eval_steps 2 --save_steps 100 --warmup_steps 1 \
+  --num_workers 2 --no_tensorboard --text_max_length 128 \
+  > /tmp/train_flagship.log 2>&1
+echo "--- train rc=$? ---"
+tail -5 /tmp/flagship_train_run/metrics.jsonl 2>/dev/null
+echo TRAIN_DONE
+
+# 4. quality flight: loop retries (each pass banks finished compiles in the
+#    persistent cache; transport drops mid-compile are the failure mode)
+for i in 1 2 3 4; do
+  echo "=== flagship_quality_flight (retry loop $i) ==="
+  timeout 6000 python -u experiments/flagship_quality_flight.py && break
+  echo "--- flight rc=$?; retrying ---"
+done
+echo QUEUE_DONE

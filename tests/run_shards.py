@@ -8,6 +8,15 @@ This runs the suite as N sequential pytest subprocesses over file shards
 so a crash costs one shard, then re-runs a crashed/failed shard
 file-by-file to isolate real failures from the flake.
 
+Low-core boxes: files that run LONG training loops get a single-device
+XLA override (_SINGLE_DEVICE_FILES). On a 1-core box the 8-virtual-device
+CPU collectives inside a multi-minute train step trip XLA's
+stuck-collective watchdog (CHECK failure in
+InProcessCommunicator::AllGather -> AwaitAndLogIfStuck, reproduced
+round 5); those tests don't exercise the mesh, so 1 device is both
+faster and deadlock-free. Mesh tests keep the 8-device default from
+conftest.py.
+
     python tests/run_shards.py [n_shards]   # default 6
 """
 
@@ -16,23 +25,44 @@ import os
 import subprocess
 import sys
 
+# basenames that run multi-minute CPU training loops (no mesh assertions)
+_SINGLE_DEVICE_FILES = {"test_outlier_gate.py"}
+
+
+def _env_for(files):
+    if all(os.path.basename(f) not in _SINGLE_DEVICE_FILES for f in files):
+        return None
+    if len(files) > 1:  # mixed shard: split handled by caller
+        return None
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
+    ).strip()
+    return env
+
 
 def _run(files):
     return subprocess.run(
         [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
          *files],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=_env_for(files),
     ).returncode
 
 
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(here, "test_*.py")))
+    # single-device files run as their own shards (they need their own env)
+    solo = [f for f in files if os.path.basename(f) in _SINGLE_DEVICE_FILES]
+    files = [f for f in files if f not in solo]
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    shards = [files[i::n] for i in range(n)]
+    shards = [files[i::n] for i in range(n)] + [[f] for f in solo]
     real_failures = []
     for i, shard in enumerate(shards):
-        print(f"== shard {i + 1}/{n}: {len(shard)} files", flush=True)
+        if not shard:
+            continue
+        print(f"== shard {i + 1}/{len(shards)}: {len(shard)} files", flush=True)
         rc = _run(shard)
         if rc in (0, 5):  # 5 = no tests collected (empty shard)
             continue

@@ -383,10 +383,29 @@ def decode_megakernel(
     )
 
     c1 = lambda li, j, off: (0, 0)  # noqa: E731
-    lmap = lambda li, j, off: (li, 0)  # noqa: E731
     jq = lambda j: jnp.minimum(j, nq - 1)  # noqa: E731
-    jo = lambda j: jnp.clip(j - nq - 1, 0, no - 1)  # noqa: E731
-    jc = lambda j: jnp.clip(j - nq - no - 2, 0, ngu - 1)  # noqa: E731
+
+    # o / gate|up / down blocks HOLD the previous layer's last block index
+    # until the step before their phase: Mosaic fetches a block at the
+    # step whose index map first names it (prefetching it one step
+    # earlier) and waits for EVERY mapped block before running a step's
+    # body — a naive clip() map names each phase's block 0 at the
+    # layer-start step, stalling it on ~7 MB of fetches the qkv body
+    # never touches. With the hold, block 0 of each phase is named at the
+    # step just before its phase and prefetches behind attention / the
+    # merge step instead.
+    def _hold(first_use, nblocks):
+        def bmap(li, j):
+            use = jnp.clip(j - first_use, 0, nblocks - 1)
+            hold = j < (first_use - 1)
+            return (
+                jnp.where(hold, jnp.maximum(li - 1, 0), li),
+                jnp.where(hold, nblocks - 1, use),
+            )
+        return bmap
+
+    o_b = _hold(nq + 1, no)
+    c_b = _hold(nq + no + 2, ngu)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -404,15 +423,42 @@ def decode_megakernel(
             pl.BlockSpec((1, D, bnq), lambda li, j, off: (li, 0, jq(j))),
             pl.BlockSpec((1, kg, bnq), lambda li, j, off: (li, 0, jq(j))),
             pl.BlockSpec((1, kg, bnq), lambda li, j, off: (li, 0, nq + jq(j))),
-            pl.BlockSpec((1, Hq * hd, bno), lambda li, j, off: (li, 0, jo(j))),
-            pl.BlockSpec((1, kgo, bno), lambda li, j, off: (li, 0, jo(j))),
-            pl.BlockSpec((1, kgo, bno), lambda li, j, off: (li, 0, no + jo(j))),
-            pl.BlockSpec((1, D, bngu), lambda li, j, off: (li, 0, jc(j))),
-            pl.BlockSpec((1, kg, bngu), lambda li, j, off: (li, 0, jc(j))),
-            pl.BlockSpec((1, kg, bngu), lambda li, j, off: (li, 0, ngu + jc(j))),
-            pl.BlockSpec((1, bngu, Dh), lambda li, j, off: (li, jc(j), 0)),
-            pl.BlockSpec((1, 1, cgd, Dh), lambda li, j, off: (li, jc(j), 0, 0)),
-            pl.BlockSpec((1, 1, cgd, Dh), lambda li, j, off: (li, jc(j), 0, 1)),
+            pl.BlockSpec(
+                (1, Hq * hd, bno),
+                lambda li, j, off: (o_b(li, j)[0], 0, o_b(li, j)[1]),
+            ),
+            pl.BlockSpec(
+                (1, kgo, bno),
+                lambda li, j, off: (o_b(li, j)[0], 0, o_b(li, j)[1]),
+            ),
+            pl.BlockSpec(
+                (1, kgo, bno),
+                lambda li, j, off: (o_b(li, j)[0], 0, no + o_b(li, j)[1]),
+            ),
+            pl.BlockSpec(
+                (1, D, bngu),
+                lambda li, j, off: (c_b(li, j)[0], 0, c_b(li, j)[1]),
+            ),
+            pl.BlockSpec(
+                (1, kg, bngu),
+                lambda li, j, off: (c_b(li, j)[0], 0, c_b(li, j)[1]),
+            ),
+            pl.BlockSpec(
+                (1, kg, bngu),
+                lambda li, j, off: (c_b(li, j)[0], 0, ngu + c_b(li, j)[1]),
+            ),
+            pl.BlockSpec(
+                (1, bngu, Dh),
+                lambda li, j, off: (c_b(li, j)[0], c_b(li, j)[1], 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, cgd, Dh),
+                lambda li, j, off: (c_b(li, j)[0], c_b(li, j)[1], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, cgd, Dh),
+                lambda li, j, off: (c_b(li, j)[0], c_b(li, j)[1], 0, 1),
+            ),
             pl.BlockSpec((1, 1, Hkv, Tk), lambda li, j, off: (li, 0, 0, 0)),
             pl.BlockSpec((1, 1, Hkv, Tk), lambda li, j, off: (li, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),          # ckv

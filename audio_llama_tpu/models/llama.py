@@ -1231,10 +1231,11 @@ def llama_forward(
 
     # Layer-fused B1 decode megakernel (ops/decode_megakernel.py): the whole
     # stack in ONE pallas_call — no per-layer call boundaries, no XLA glue,
-    # one continuous weight-DMA pipeline. MEGA_DECODE env: '1' auto on TPU,
-    # '0' off (default until TPU-verified), 'interp' force-interpret (CPU
-    # parity tests).
-    _mega_mode = _os.environ.get("MEGA_DECODE", "0")
+    # one continuous weight-DMA pipeline. TPU-measured +12.1% single-stream
+    # (B1 313.6 -> 351.6 tok/s, BASELINE round-5 session 2) — the DEFAULT
+    # when the geometry gate passes. MEGA_DECODE env: '1' auto on TPU
+    # (default), '0' off, 'interp' force-interpret (CPU parity tests).
+    _mega_mode = _os.environ.get("MEGA_DECODE", "1")
     use_megakernel = (
         _mega_mode != "0"
         and use_mono_kernel and B == 1 and T == 1 and kv_bits == 4

@@ -60,7 +60,17 @@ MONO_KEPI = int(os.environ.get("MONO_KEPI", "0"))
 # the 5.6 us/program B64 kernel to per-program cost (compute ~3.8 +
 # slab-DMA 2.6 overlapped). bb>1 processes several batch rows per program
 # with the SAME global cross-program DMA pipeline — B/bb programs total.
-MONO_BB = int(os.environ.get("MONO_BB", "1"))
+# 0 = AUTO from the measured round-5 sweep (BASELINE r5 session 2):
+# B64 4522->4756 @bb4 (bb8 flat, bb16 -6%); B128 4839->5619 @bb8
+# (bb16/32 regress) — bb8 for B>=128, bb4 for B>=16, else 1.
+MONO_BB = int(os.environ.get("MONO_BB", "0"))
+
+
+def _auto_bb(B: int) -> int:
+    for bb in ((8, 4, 2) if B >= 128 else (4, 2) if B >= 16 else ()):
+        if B % bb == 0:
+            return bb
+    return 1
 
 
 def _kernel_mono4(
@@ -318,6 +328,8 @@ def decode_attention_quantized4_mono(
     ilp = MONO_ILP if ilp is None else ilp
     kepi = MONO_KEPI if kepi is None else kepi
     bb = MONO_BB if bb is None else bb
+    if bb == 0:  # AUTO: the measured per-batch optimum (see MONO_BB note)
+        bb = _auto_bb(B)
     if Hkv % hpd:
         hpd = 1
     if bb < 1 or B % bb:

@@ -525,3 +525,19 @@ def test_mono4_bb_matches_bb1(bb):
     got2 = decode_attention_quantized4_mono(*args_s, interpret=True, bb=bb)
     for a, b in zip(got2, ref2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_bb_policy():
+    """Pin the measured round-5 auto-bb ladder (BASELINE r5 session 2):
+    bb8 for B>=128, bb4 for B>=16, 1 below; divisibility falls down."""
+    from audio_llama_tpu.ops.decode_attention_mono import _auto_bb
+
+    assert _auto_bb(128) == 8
+    assert _auto_bb(256) == 8
+    assert _auto_bb(132) == 4   # 132 % 8 != 0 -> next rung
+    assert _auto_bb(64) == 4
+    assert _auto_bb(16) == 4
+    assert _auto_bb(18) == 2
+    assert _auto_bb(8) == 1
+    assert _auto_bb(1) == 1
+    assert _auto_bb(27) == 1

@@ -329,7 +329,12 @@ def decode_attention_quantized4_mono(
     kepi = MONO_KEPI if kepi is None else kepi
     bb = MONO_BB if bb is None else bb
     if bb == 0:  # AUTO: the measured per-batch optimum (see MONO_BB note)
-        bb = _auto_bb(B)
+        # TPU only: in interpret mode (CPU tests) a bb-unrolled body runs
+        # bb x slower per program with no hardware to amortize — auto
+        # stays at 1 off-TPU (explicit bb= / MONO_BB still honored)
+        from .decode_attention import available as _tpu
+
+        bb = _auto_bb(B) if _tpu() else 1
     if Hkv % hpd:
         hpd = 1
     if bb < 1 or B % bb:
